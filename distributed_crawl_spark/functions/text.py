@@ -1,0 +1,209 @@
+"""HTML→text extraction and markdown helpers.
+
+The extraction pipeline is THE per-row invariant (BASELINE.json
+``input_hint``: byte-identical extracted text per url). Reference
+pipeline (hybrid_crawler.py:364-375, identical webcrawleranalyzer.py:122-134):
+
+    soup = BeautifulSoup(content, 'html.parser')
+    for s in soup(['script', 'style']): s.decompose()
+    text = soup.get_text()
+    lines  = (line.strip() for line in text.splitlines())
+    chunks = (p.strip() for line in lines for p in line.split('  '))
+    markdown = '\\n'.join(c for c in chunks if c)
+
+bs4 is not installed in this environment, so the tree step is re-expressed
+on stdlib ``html.parser.HTMLParser`` (the same tokenizer bs4's
+'html.parser' builder wraps): with ``convert_charrefs=True`` (bs4's
+default) the concatenation of data events outside script/style subtrees
+equals ``soup.get_text()`` for well-formed documents — comments, charrefs
+and CDATA handling all match. The whitespace pipeline below is verbatim.
+
+Link extraction matches ``soup.find_all('a', href=True)`` document order
+(webcrawleranalyzer.py:139-140) and the filter/absolutize/dedup/cap chain
+of ``_extract_links`` (webcrawleranalyzer.py:155-193) — with the one
+documented determinism fix: ``list(set(...))`` becomes first-occurrence
+order (SURVEY.md §2.10).
+
+Everything crosses the Python boundary exactly once, through Arrow
+(pandas UDFs); no row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+
+class _TextLinkParser(HTMLParser):
+    """Collects text nodes outside <script>/<style> and <a href> values in
+    document order — the exact event stream bs4's html.parser builder sees."""
+
+    _SKIP = ("script", "style")
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.parts: list[str] = []
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip += 1
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+                    break
+
+    def handle_startendtag(self, tag, attrs):
+        # <a href=... /> self-closing still carries an href
+        if tag == "a":
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.parts.append(data)
+
+
+def extract_text_and_hrefs(html: bytes | str | None) -> tuple[str, list[str]]:
+    """Pure-Python core of the invariant; also used by the corpus generator
+    and the pytest oracle. Returns (extracted_text, raw hrefs in doc order)."""
+    if html is None:
+        return "", []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextLinkParser()
+    parser.feed(html)
+    parser.close()
+    text_content = "".join(parser.parts)
+    # verbatim whitespace pipeline — hybrid_crawler.py:373-375
+    lines = (line.strip() for line in text_content.splitlines())
+    chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
+    markdown = "\n".join(chunk for chunk in chunks if chunk)
+    return markdown, parser.hrefs
+
+
+def resolve_links(base_url: str, hrefs: list[str], max_links: int | None) -> list[str]:
+    """webcrawleranalyzer.py:155-193 semantics: skip empty / '#...' hrefs,
+    absolutize against the page URL, keep http(s) only, dedup
+    (first-occurrence — determinism fix over list(set())), cap."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in hrefs:
+        if not href or href.startswith("#"):
+            continue
+        absolute = urljoin(base_url, href)
+        if urlparse(absolute).scheme not in ("http", "https"):
+            continue
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    if max_links is not None:
+        out = out[:max_links]
+    return out
+
+
+EXTRACT_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+def make_extract_udf(max_links: int | None = 10):
+    """Vectorized extractor: (url, html) → struct(text, links).
+
+    One Arrow batch in, one out; resolution/filter/dedup/cap happen in the
+    same pass so html bytes cross into Python exactly once.
+    """
+
+    @pandas_udf(EXTRACT_RESULT_TYPE)
+    def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        texts: list[str] = []
+        links: list[list[str]] = []
+        for u, h in zip(url, html):
+            text, hrefs = extract_text_and_hrefs(h)
+            texts.append(text)
+            links.append(resolve_links(u, hrefs, max_links))
+        return pd.DataFrame({"text": texts, "links": links})
+
+    return extract
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Text-only variant (no link pass) for extraction-only pipelines."""
+    return html.map(lambda h: extract_text_and_hrefs(h)[0])
+
+
+@pandas_udf(StringType())
+def normalize_url_exact_udf(url: pd.Series) -> pd.Series:
+    """P2 exact form — utils.py:32-43: urlparse rebuild
+    ``scheme://netloc path [?query]`` (drops fragment AND params)."""
+
+    def _norm(u: str) -> str:
+        p = urlparse(u)
+        out = f"{p.scheme}://{p.netloc}{p.path}"
+        if p.query:
+            out += f"?{p.query}"
+        return out
+
+    return url.map(_norm)
+
+
+# --- native markdown helpers (SURVEY.md §2.3 P8-P10) -----------------------
+
+
+def clean_markdown(text: Column) -> Column:
+    """P8 — utils.py:611-633: rstrip every line, collapse blank-line runs
+    to one, drop leading/trailing blank lines. Pure regexp — no UDF."""
+    c = F.regexp_replace(text, r"[ \t]+(\n|$)", "$1")  # rstrip lines
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")  # collapse blank runs
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")  # strip boundary blanks
+    return c
+
+
+def text_metadata(text: Column) -> dict[str, Column]:
+    """P9 — utils.py:635-657: word/char/line counts + first '#' heading.
+
+    Parity notes: ``len(content.split())`` is 0 for whitespace-only text;
+    the title rule is ``line.strip().startswith('#')`` then
+    ``lstrip('#').strip()`` — leading whitespace before '#' allowed,
+    trailing '#' KEPT.
+    """
+    word_count = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+    return {
+        "word_count": word_count,
+        "char_count": F.length(text),
+        "line_count": F.size(F.split(text, "\n")),
+        "title": F.regexp_extract(
+            text, r"(?m)^[^\S\n]*#+[^\S\n]*(.*?)[^\S\n]*$", 1
+        ),
+    }
+
+
+def truncate_content(text: Column, max_words: int = 4000) -> Column:
+    """P10 — utils.py:659-667: ``content.split()`` (any-whitespace split,
+    collapsing) → first N words + marker; content returned VERBATIM when it
+    fits (no whitespace normalization on the short path)."""
+    words = F.split(F.trim(text), r"\s+")
+    return F.when(
+        F.size(words) > max_words,
+        F.concat(
+            F.array_join(F.slice(words, 1, max_words), " "),
+            F.lit("\n\n[Content truncated...]"),
+        ),
+    ).otherwise(text)

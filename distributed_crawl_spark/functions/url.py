@@ -1,0 +1,184 @@
+"""URL kernel — native Spark SQL expressions reproducing the reference's
+string/hash semantics exactly (SURVEY.md §2.3/§2.4).
+
+Everything here is a Column-builder over built-in functions: zero Python
+in the executor hot path, full whole-stage codegen. Each function's
+docstring cites the reference behavior it reproduces.
+
+Reference parity notes:
+- ``netloc`` follows ``urllib.parse.urlparse`` (includes port/userinfo),
+  NOT Spark's ``parse_url(url,'HOST')`` (host only) — the slug kernel
+  needs urlparse semantics byte-for-byte.
+- Python ``str.replace('www.','')`` replaces ALL occurrences, so the slug
+  domain step uses a global regexp_replace, not a prefix strip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Blocked download extensions — utils.py:50-52 (reference filter_urls).
+BLOCKED_EXTENSIONS = [
+    ".pdf", ".doc", ".docx", ".xls", ".xlsx",
+    ".zip", ".rar", ".exe", ".dmg", ".pkg",
+]
+_BLOCKED_EXT_RE = r"\.(pdf|doc|docx|xls|xlsx|zip|rar|exe|dmg|pkg)$"
+
+# Geo-block trigger phrases — hybrid_crawler.py:59-68 (verbatim, lowercased
+# substring match against lowercased content).
+GEO_BLOCK_PHRASES = [
+    "your location not permitted",
+    "not available in your region",
+    "geo-blocked",
+    "location not supported",
+    "access denied from your location",
+    "content not available in your country",
+    "vpn detected",
+    "proxy detected",
+]
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_NETLOC_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Scheme per urlparse ('' when URL has no ``scheme://``)."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _has_scheme(url: Column) -> Column:
+    return url.rlike(_SCHEME_RE)
+
+
+def url_netloc(url: Column) -> Column:
+    """urlparse().netloc — host[:port], userinfo included, '' if absent
+    (scheme-less strings have no netloc per urlparse)."""
+    return F.when(_has_scheme(url), F.regexp_extract(url, _NETLOC_RE, 1)).otherwise(
+        F.lit("")
+    )
+
+
+def url_path(url: Column) -> Column:
+    """urlparse().path — everything between netloc and '?'/'#'; for
+    scheme-less strings urlparse puts the whole prefix in .path."""
+    return F.when(_has_scheme(url), F.regexp_extract(url, _PATH_RE, 1)).otherwise(
+        F.regexp_extract(url, r"^([^?#]*)", 1)
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Politeness partition key: lowercased netloc (engine-defined — the
+    reference has no per-host scheduling, SURVEY.md §2.9 W1)."""
+    return F.lower(url_netloc(url))
+
+
+def is_valid_url(url: Column) -> Column:
+    """P1 — utils.py:23-29: scheme ∈ {http,https} AND netloc non-empty."""
+    return url_scheme(url).isin("http", "https") & (url_netloc(url) != "")
+
+
+def normalize_url(url: Column) -> Column:
+    """P2 — utils.py:32-43: rebuild ``scheme://netloc path [?query]``;
+    drops fragment AND params, keeps query/trailing slash, no case-fold.
+
+    Native approximation: strips ``#fragment`` (params — ``;`` in the last
+    path segment — are vanishingly rare; the exact urlparse rebuild lives
+    in the link-resolution pandas UDF where urljoin already forces Python).
+    """
+    return F.regexp_replace(url, r"#.*$", "")
+
+
+def content_hash(content: Column) -> Column:
+    """P4 — hybrid_crawler.py:313-315: sha256(utf8)[:16] lowercase hex."""
+    return F.substring(F.sha2(content, 256), 1, 16)
+
+
+def md5_hash(content: Column) -> Column:
+    """utils.py:78-80 MD5 variant."""
+    return F.md5(content)
+
+
+def unique_id_from_latlong(lat: Column, long: Column) -> Column:
+    """P5 — hybrid_crawler.py:184-202: sha1(trim(lat)+trim(long))[:12]
+    over the STRING forms (never parse to double — hash input must be the
+    raw text)."""
+    return F.substring(F.sha1(F.concat(F.trim(lat), F.trim(long))), 1, 12)
+
+
+def unique_id_from_url(url: Column) -> Column:
+    """hybrid_crawler.py:274-277 fallback: sha1(url)[:12]."""
+    return F.substring(F.sha1(url), 1, 12)
+
+
+def page_slug(url: Column) -> Column:
+    """P3 — hybrid_crawler.py:147-182, byte-for-byte:
+
+    domain = netloc, all 'www.' removed, [^a-zA-Z0-9.-] stripped, '.'→'_'
+    page   = last path segment minus one extension; if that's empty, the
+             whole path with '/'→'_' stripped of '_'; 'index' for empty
+             path; non-[a-zA-Z0-9-_]→'_', collapse '_+', strip '_',
+             'page' if empty
+    slug   = f"{domain}_{page}"[:50].strip('_')
+    """
+    netloc = url_netloc(url)
+    domain = F.regexp_replace(netloc, r"www\.", "")  # str.replace = global
+    domain = F.regexp_replace(domain, r"[^a-zA-Z0-9.\-]", "")
+    domain = F.translate(domain, ".", "_")
+
+    path = F.regexp_replace(url_path(url), r"^/+|/+$", "")  # path.strip('/')
+    last_seg = F.element_at(F.split(path, "/"), -1)
+    no_ext = F.regexp_replace(last_seg, r"\.[^.]*$", "")
+    # reference: if stripping the extension emptied the name, fall back to
+    # full path with '/'→'_' then strip('_')
+    page_raw = F.when(path == "", F.lit("index")).otherwise(
+        F.when(no_ext == "", F.regexp_replace(F.translate(path, "/", "_"), r"^_+|_+$", ""))
+        .otherwise(no_ext)
+    )
+    page = F.regexp_replace(page_raw, r"[^a-zA-Z0-9\-_]", "_")
+    page = F.regexp_replace(page, r"_+", "_")
+    page = F.regexp_replace(page, r"^_+|_+$", "")  # str.strip('_')
+    page = F.when(page == "", F.lit("page")).otherwise(page)
+
+    slug = F.substring(F.concat(domain, F.lit("_"), page), 1, 50)
+    return F.regexp_replace(slug, r"^_+|_+$", "")
+
+
+def enhanced_filename(unique_id: Column, md_hash: Column, slug: Column) -> Column:
+    """P6 — hybrid_crawler.py:295-311: ``{uid}_{hash}_{slug}`` when a CSV
+    unique id exists, else ``{hash}_{slug}``."""
+    return F.when(
+        unique_id.isNotNull() & (unique_id != ""),
+        F.concat_ws("_", unique_id, md_hash, slug),
+    ).otherwise(F.concat_ws("_", md_hash, slug))
+
+
+def has_blocked_extension(url: Column) -> Column:
+    """F4 — utils.py:65-67: lowercased URL endswith a blocked extension."""
+    return F.lower(url).rlike(_BLOCKED_EXT_RE)
+
+
+def is_geo_blocked(text: Column) -> Column:
+    """P12 — hybrid_crawler.py:317-320: lowercased content contains any of
+    the 8 trigger phrases. Plain substring containment, so escape-free
+    ``contains`` OR-chain (rlike would need phrase escaping)."""
+    lowered = F.lower(text)
+    cond = F.lit(False)
+    for phrase in GEO_BLOCK_PHRASES:
+        cond = cond | lowered.contains(phrase)
+    return cond
+
+
+def url_hash64(url: Column) -> Column:
+    """Bucketing key for the seen-set layer: xxhash64 of the RAW url string
+    (dedup equality stays on the raw string — SURVEY.md §2.10)."""
+    return F.xxhash64(url)
+
+
+def ensure_scheme(url: Column) -> Column:
+    """S2 — hybrid_crawler.py:259-260: default ``https://`` when the seed
+    URL has no http(s) scheme."""
+    return F.when(
+        url.startswith("http://") | url.startswith("https://"), url
+    ).otherwise(F.concat(F.lit("https://"), url))

@@ -1,0 +1,146 @@
+"""Byte-identity tests for the HTML→text extractor (the per-row invariant,
+BASELINE.json input_hint) and the link pipeline.
+
+Expected strings are hand-derived from the reference pipeline
+(hybrid_crawler.py:364-375: decompose script/style → get_text →
+splitlines → strip → split('  ') → strip → join non-empty with '\\n').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark import corpus
+from distributed_crawl_spark.functions.text import (
+    extract_text_and_hrefs,
+    make_extract_udf,
+    resolve_links,
+)
+
+
+def test_basic_extraction():
+    # get_text() concatenates text nodes with NO separator: adjacent tags
+    # with no whitespace between them merge ('TitleHello world'), while
+    # newline text nodes become line boundaries.
+    html = "<html><body><h1>Title</h1><p>Hello world</p></body></html>"
+    text, _ = extract_text_and_hrefs(html)
+    assert text == "TitleHello world"
+
+    html_nl = "<html><body>\n<h1>Title</h1>\n<p>Hello world</p>\n</body></html>"
+    text_nl, _ = extract_text_and_hrefs(html_nl)
+    assert text_nl == "Title\nHello world"
+
+
+def test_script_style_removed():
+    html = (
+        "<html><head><style>p { color: red }</style>\n"
+        "<script>var x = 'SCRIPT_TEXT';</script></head>\n"
+        "<body><p>kept</p>\n<script>more()</script>\n<p>also kept</p></body></html>"
+    )
+    text, _ = extract_text_and_hrefs(html)
+    assert text == "kept\nalso kept"
+    assert "SCRIPT_TEXT" not in text and "color" not in text
+
+
+def test_comments_excluded():
+    # bs4 get_text() excludes Comment nodes
+    text, _ = extract_text_and_hrefs("<p>a<!-- hidden -->b</p>")
+    assert text == "ab"
+
+
+def test_entities_decoded():
+    text, _ = extract_text_and_hrefs("<p>a &amp; b &#65; &lt;tag&gt;</p>")
+    assert text == "a & b A <tag>"
+
+
+def test_two_space_phrase_split():
+    # '  ' inside a line splits into separate output lines; single spaces kept
+    text, _ = extract_text_and_hrefs("<p>alpha  beta gamma   delta</p>")
+    # 'alpha', 'beta gamma', '', 'delta' → blanks dropped
+    assert text == "alpha\nbeta gamma\ndelta"
+
+
+def test_whitespace_only_lines_dropped():
+    html = "<div>\n   \n  first\n\t\nsecond   </div>"
+    text, _ = extract_text_and_hrefs(html)
+    assert text == "first\nsecond"
+
+
+def test_bytes_input():
+    text, _ = extract_text_and_hrefs("<p>ünïcødé</p>".encode("utf-8"))
+    assert text == "ünïcødé"
+
+
+def test_href_document_order_and_filtering():
+    html = (
+        '<a href="/one">1</a><a>no href</a><a href="">empty</a>'
+        '<a href="#frag">frag</a><a href="mailto:x@y">mail</a>'
+        '<a href="/two">2</a><a href="/one">dup</a>'
+        '<a href="https://other.test/abs">abs</a>'
+    )
+    _, hrefs = extract_text_and_hrefs(html)
+    assert hrefs == ["/one", "", "#frag", "mailto:x@y", "/two", "/one",
+                     "https://other.test/abs"]
+    links = resolve_links("https://base.test/dir/page", hrefs, max_links=10)
+    # empty + '#frag' skipped; mailto dropped (non-http); dup deduped
+    assert links == [
+        "https://base.test/one",
+        "https://base.test/two",
+        "https://other.test/abs",
+    ]
+
+
+def test_link_cap():
+    hrefs = [f"/p{i}" for i in range(20)]
+    links = resolve_links("https://h.test/", hrefs, max_links=5)
+    assert links == [f"https://h.test/p{i}" for i in range(5)]
+
+
+def test_relative_resolution_urljoin_semantics():
+    links = resolve_links(
+        "https://h.test/a/b/page.html", ["sibling", "../up", "/root", "//proto.test/x"],
+        max_links=None,
+    )
+    assert links == [
+        "https://h.test/a/b/sibling",
+        "https://h.test/a/up",
+        "https://h.test/root",
+        "https://proto.test/x",
+    ]
+
+
+def test_udf_matches_pure_python(spark):
+    """The Spark-side pandas UDF must agree byte-for-byte with the pure
+    function over the full tiny corpus (mock graph + edge cases)."""
+    pages = corpus.tiny_pages(spark)
+    extract = make_extract_udf(max_links=10)
+    out = (
+        pages.withColumn("ex", extract(F.col("url"), F.col("html")))
+        .select("url", "html", "text", F.col("ex.text").alias("got"),
+                F.col("ex.links").alias("links"))
+        .collect()
+    )
+    assert len(out) == 17
+    for row in out:
+        want_text, want_hrefs = extract_text_and_hrefs(bytes(row.html))
+        assert row.got == want_text, row.url
+        assert row.got == row.text, row.url  # corpus text column = invariant
+        assert row.links == resolve_links(row.url, want_hrefs, 10), row.url
+
+
+def test_mock_graph_links_roundtrip(spark):
+    """Extracted+resolved links of the mock home page equal the fixture
+    graph absolutized in document order."""
+    pages = corpus.tiny_pages(spark)
+    extract = make_extract_udf(max_links=10)
+    row = (
+        pages.filter(F.col("url") == f"{corpus.SITE_A}/")
+        .select(extract(F.col("url"), F.col("html")).alias("ex"))
+        .collect()[0]
+    )
+    assert row.ex.links == [
+        f"{corpus.SITE_A}/about",
+        f"{corpus.SITE_A}/services",
+        f"{corpus.SITE_A}/contact",
+        f"{corpus.SITE_B}/",
+    ]

@@ -1,0 +1,37 @@
+"""Crawl configuration — mirrors the reference's ``CrawlConfig``
+(run_crawl_local.py:42-55) and config file (all.configfiles.json:2-31),
+plus the engine's scale knobs (politeness budget, salting, bloom)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # reference-parity knobs
+    max_levels: int = 2          # run_crawl_local.py:46
+    retry_attempts: int = 3      # run_crawl_local.py:47
+    max_links: int = 10          # per-page link cap (hybrid_crawler.py:344)
+    extract_links: bool = True
+    allowed_domains: tuple[str, ...] = ()  # empty = no whitelist (utils.py:61-63)
+    block_extensions: bool = True          # utils.py:50-52 filter
+
+    # engine scale knobs (SURVEY.md §2.9/§4)
+    host_budget: int | None = None  # None = unlimited (parity mode)
+    salt_threshold: int = 100_000
+    max_salts: int = 32
+    use_bloom: bool = True
+    bloom_buckets: int = 64
+    bloom_bits: int = 1 << 20
+
+    # loop bounds
+    max_rounds: int = 100
+
+    def validate(self) -> None:
+        if self.max_levels < 1:
+            raise ValueError("max_levels >= 1")
+        if self.retry_attempts < 1:
+            raise ValueError("retry_attempts >= 1")
+        if self.host_budget is not None and self.host_budget < 1:
+            raise ValueError("host_budget >= 1 or None")

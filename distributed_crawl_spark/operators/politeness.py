@@ -1,0 +1,79 @@
+"""Per-host politeness budget — the salted window ranking (SURVEY.md §2.9 W1).
+
+The reference rate-limits globally (one ``time.sleep(rate_limit_delay)``
+per scheduler tick, run_crawl_local.py:312-313) and has no per-host queue.
+At 10^10-URL scale a global limit is meaningless and per-host fairness is
+mandatory, so the engine selects each round's fetchable set with a window:
+
+    row_number() OVER (PARTITION BY host[, salt] ORDER BY level, attempt,
+                       seq) <= budget
+
+**Skew**: one mega-host owning 30%+ of the frontier would put 30% of rows
+in one window partition — one straggler task. Hosts whose pending count
+exceeds ``salt_threshold`` are split into ``n_salts`` salt lanes keyed by
+``pmod(url_hash, n_salts)``; each lane gets ``ceil(budget / n_salts)``
+slots. The shuffle then spreads the mega-host over n_salts tasks. AQE skew
+handling remains on as backstop, but the salting is explicit and tested
+(tests/test_politeness.py asserts lane balance on a Zipf frontier).
+
+The heavy-host census is one map-side-combinable groupBy over the frontier,
+broadcast back — tiny (#distinct hosts ≪ #urls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_round(
+    frontier: DataFrame,
+    host_budget: int | None,
+    salt_threshold: int = 100_000,
+    max_salts: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the pending frontier into (selected, deferred) for one round.
+
+    ``host_budget=None`` → unlimited (every pending row selected; no
+    shuffle at all — the window is skipped entirely, which is also the
+    exact-ordering parity configuration).
+    """
+    if host_budget is None:
+        return frontier, frontier.limit(0)
+
+    heavy = (
+        frontier.groupBy("host")
+        .agg(F.count("*").alias("pending_count"))
+        .filter(F.col("pending_count") > salt_threshold)
+        .withColumn(
+            "n_salts",
+            F.least(
+                F.lit(max_salts),
+                F.ceil(F.col("pending_count") / salt_threshold).cast("int"),
+            ),
+        )
+        .select("host", "n_salts")
+    )
+
+    salted = frontier.join(F.broadcast(heavy), "host", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("n_salts").isNotNull(),
+            F.pmod(F.xxhash64("url"), F.col("n_salts")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+    w = Window.partitionBy("host", "salt").orderBy("level", "attempt", "seq")
+    lane_budget = F.when(
+        F.col("n_salts").isNotNull(),
+        F.ceil(F.lit(host_budget) / F.col("n_salts")),
+    ).otherwise(F.lit(host_budget))
+
+    ranked = salted.withColumn("rn", F.row_number().over(w))
+    selected = ranked.filter(F.col("rn") <= lane_budget).drop(
+        "rn", "salt", "n_salts"
+    )
+    deferred = ranked.filter(F.col("rn") > lane_budget).drop(
+        "rn", "salt", "n_salts"
+    )
+    return selected, deferred

@@ -1,0 +1,127 @@
+"""One crawl round as declarative DataFrame plans (SURVEY.md §4.3).
+
+    frontier ── robots gate ── politeness window ── fetch join(pages)
+        │                                               │
+        │                              ┌── ok ──► results append
+        │                              │            └─ posexplode(links)
+        │                              │                 → filter F1/F4
+        │                              │                 → batch dedup (min priority wins)
+        │                              │                 → seen filter (bloom + anti-join)
+        │                              │                 → children
+        │                              └── miss ─► retry (attempt+1) / failed
+        └── deferred ───────────────────────────────► next frontier ∪ retry ∪ children
+
+Each stage is a pure DataFrame→DataFrame function so Catalyst sees one
+logical plan per materialization point; the driver (streaming/driver.py)
+decides where to cut lineage via checkpoint writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions import url as U
+from ..schema import FRONTIER_SCHEMA
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """Level-0 frontier from a seeds table (url, seq). Mirrors
+    ``add_urls(initial_urls, level=0)`` (run_crawl_local.py:262): invalid
+    URLs are kept out up front (utils.py:23-29 would fail them at fetch)."""
+    return (
+        seeds.filter(U.is_valid_url(F.col("url")))
+        .select(
+            "url",
+            U.url_host(F.col("url")).alias("host"),
+            F.lit(0).alias("level"),
+            F.lit(0).alias("attempt"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).cast("long").alias("parent_seq"),
+            F.lit(0).alias("link_pos"),
+            F.col("seq").cast("long").alias("seq"),
+            F.lit(0).alias("discovered_round"),
+        )
+        # a seed list may itself repeat a URL — first occurrence wins (F6)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("url").orderBy("seq")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def child_candidates(fetched_ok: DataFrame, cfg: CrawlConfig, round_no: int) -> DataFrame:
+    """Extracted links → next-level frontier candidates.
+
+    Link extraction only happens while ``level < max_levels - 1``
+    (run_crawl_local.py:178,228-232). Child ``seq`` =
+    ``parent_seq * (max_links+1) + pos + 1`` — lexicographically consistent
+    with (parent_seq, link_pos), collision-free within a level, and
+    overflow-safe to ~12 levels at 10^10 seeds (documented bound).
+
+    Within-batch dedup: the same URL discovered by two parents keeps the
+    lowest (level, attempt, seq) row — the reference's first-enqueuer-wins
+    (run_crawl_local.py:165). Implemented as a min_by aggregation, not a
+    global window: it shuffles by url exactly once, and that shuffle is
+    shared with the downstream anti-join partitioning.
+    """
+    stride = cfg.max_links + 1
+
+    links = fetched_ok.filter(
+        F.col("level") < cfg.max_levels - 1
+    ).select(
+        F.col("url").alias("parent_url"),
+        F.col("seq").alias("parent_seq"),
+        F.col("level").alias("parent_level"),
+        F.posexplode("extracted_links").alias("link_pos", "url"),
+    )
+
+    links = links.filter(U.is_valid_url(F.col("url")))
+    if cfg.block_extensions:
+        links = links.filter(~U.has_blocked_extension(F.col("url")))
+    if cfg.allowed_domains:
+        links = links.filter(
+            U.url_netloc(F.col("url")).isin(*cfg.allowed_domains)
+        )
+
+    cand = links.select(
+        "url",
+        U.url_host(F.col("url")).alias("host"),
+        (F.col("parent_level") + 1).alias("level"),
+        F.lit(0).alias("attempt"),
+        "parent_url",
+        "parent_seq",
+        "link_pos",
+        (F.col("parent_seq") * stride + F.col("link_pos") + 1).alias("seq"),
+        F.lit(round_no + 1).alias("discovered_round"),
+    )
+
+    # first-enqueuer-wins batch dedup
+    rest = [c for c in FRONTIER_COLS if c != "url"]
+    return (
+        cand.groupBy("url")
+        .agg(F.min_by(F.struct(*rest), F.struct("level", "attempt", "seq")).alias("w"))
+        .select("url", *[F.col(f"w.{c}").alias(c) for c in rest])
+    )
+
+
+def split_fetch_results(fetched: DataFrame, cfg: CrawlConfig):
+    """(ok, retry, failed) from the fetch+extract output.
+
+    Miss → attempt+1; back to the frontier while
+    ``attempt_count < retry_attempts`` (run_crawl_local.py:240-250).
+    The reference increments attempt_count at processing start
+    (run_crawl_local.py:208), so a row that has been tried
+    ``retry_attempts`` times is failed."""
+    ok = fetched.filter(F.col("ok"))
+    miss = fetched.filter(~F.col("ok")).withColumn(
+        "attempt", F.col("attempt") + 1
+    )
+    retry = miss.filter(F.col("attempt") < cfg.retry_attempts).select(*FRONTIER_COLS)
+    failed = miss.filter(F.col("attempt") >= cfg.retry_attempts)
+    return ok, retry, failed

@@ -1,0 +1,149 @@
+"""Atomic multi-table checkpoint store — the Iceberg-commit stand-in.
+
+The reference checkpoints by rewriting three JSON files every 10 completed
+URLs (run_crawl_local.py:147-160,299-301) — a torn-write risk its own
+resume path has to repair (``in_progress`` → ``pending`` reset,
+run_crawl_local.py:127-131). Here a round commits ALL state tables as one
+atomic snapshot: each table is staged under a new version directory, and
+a single pointer file is flipped via ``os.replace`` (atomic on POSIX) only
+after every write succeeded. A crash mid-round leaves the previous
+snapshot intact — "in_progress" never persists; resume = read the latest
+pointer.
+
+Two table modes, chosen for 10^10-URL scale:
+
+- **replace** — the working set (pending frontier, bloom bitmaps): small
+  relative to history, rewritten whole each round.
+- **append**  — the logs (url_seen status events, crawl_results, errors,
+  round_metrics): each round writes only its delta; a read unions the
+  version dirs listed in the pointer. This is the parquet analog of an
+  Iceberg append commit — the seen set is NEVER rewritten. ``compact()``
+  folds old deltas together (Iceberg's rewrite_data_files).
+
+Staged writes double as the round barrier: the driver writes an
+intermediate (e.g. the fetch+extract output), gets back a DataFrame read
+from the written files, and builds downstream plans on that — each
+expensive stage (the pandas-UDF extraction above all) executes exactly
+once per round, and lineage is cut at every commit boundary.
+
+On a real cluster this class swaps for an Iceberg catalog with the same
+interface (one transaction per round, per-partition lineage from file
+manifests)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Staging:
+    """One in-progress snapshot. Nothing is visible until finalize()."""
+
+    def __init__(self, store: "CheckpointStore", version: int, tables: dict):
+        self.store = store
+        self.version = version
+        self.tables = tables  # carried-forward pointer state, mutated here
+        self.vdir = store._version_dir(version)
+        if self.vdir.exists():  # leftover of a crashed round — discard
+            shutil.rmtree(self.vdir)
+        self.vdir.mkdir(parents=True)
+
+    def _write(self, name: str, df: DataFrame) -> str:
+        path = str(self.vdir / name)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def write_replace(self, name: str, df: DataFrame) -> DataFrame:
+        path = self._write(name, df)
+        self.tables[name] = {"mode": "replace", "version": self.version}
+        return df.sparkSession.read.parquet(path)
+
+    def write_append(self, name: str, df: DataFrame) -> DataFrame:
+        path = self._write(name, df)
+        entry = self.tables.get(name, {"mode": "append", "versions": []})
+        assert entry["mode"] == "append", name
+        entry = {"mode": "append", "versions": entry["versions"] + [self.version]}
+        self.tables[name] = entry
+        return df.sparkSession.read.parquet(path)
+
+    def finalize(self, meta: dict | None = None) -> int:
+        pointer = {"version": self.version, "tables": self.tables, **(meta or {})}
+        tmp = self.store.root / f".{CheckpointStore.POINTER}.tmp"
+        tmp.write_text(json.dumps(pointer, sort_keys=True))
+        os.replace(tmp, self.store.root / CheckpointStore.POINTER)
+        return self.version
+
+
+class CheckpointStore:
+    POINTER = "_LATEST"
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def latest_meta(self) -> dict | None:
+        p = self.root / self.POINTER
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def latest_version(self) -> int | None:
+        meta = self.latest_meta()
+        return None if meta is None else meta["version"]
+
+    def _version_dir(self, version: int) -> Path:
+        return self.root / f"v{version:06d}"
+
+    def begin(self) -> Staging:
+        meta = self.latest_meta()
+        version = 0 if meta is None else meta["version"] + 1
+        tables = dict(meta["tables"]) if meta else {}
+        return Staging(self, version, tables)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        meta = self.latest_meta()
+        if meta is None or name not in meta["tables"]:
+            raise FileNotFoundError(f"table {name!r} not in snapshot at {self.root}")
+        entry = meta["tables"][name]
+        if entry["mode"] == "replace":
+            return spark.read.parquet(str(self._version_dir(entry["version"]) / name))
+        paths = [str(self._version_dir(v) / name) for v in entry["versions"]]
+        return spark.read.parquet(*paths)
+
+    def compact(self, spark: SparkSession, names: list[str] | None = None) -> None:
+        """Fold append deltas into a single delta (new snapshot)."""
+        meta = self.latest_meta()
+        if meta is None:
+            return
+        staging = self.begin()
+        for name, entry in meta["tables"].items():
+            if entry["mode"] != "append":
+                continue
+            if names is not None and name not in names:
+                continue
+            df = self.read(spark, name)
+            staging._write(name, df)
+            staging.tables[name] = {"mode": "append", "versions": [staging.version]}
+        staging.finalize({"compaction": True})
+
+    def gc(self, keep_last: int = 2) -> None:
+        """Drop version dirs not referenced by the pointer and older than
+        ``keep_last`` snapshots back."""
+        meta = self.latest_meta()
+        if meta is None:
+            return
+        live: set[int] = set()
+        for entry in meta["tables"].values():
+            if entry["mode"] == "replace":
+                live.add(entry["version"])
+            else:
+                live.update(entry["versions"])
+        cutoff = meta["version"] - keep_last
+        for d in sorted(self.root.glob("v*")):
+            v = int(d.name[1:])
+            if v not in live and v <= cutoff:
+                shutil.rmtree(d)

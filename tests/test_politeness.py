@@ -1,0 +1,78 @@
+"""Politeness window: budget enforcement, FIFO-priority selection, and
+heavy-host salting balance (SURVEY.md §7.3 risk 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark.operators.politeness import select_round
+
+
+def _frontier(spark, rows):
+    # rows: (url, host, level, attempt, seq)
+    return spark.createDataFrame(
+        [(u, h, l, a, s, None, 0, 0, 0) for (u, h, l, a, s) in rows],
+        "url string, host string, level int, attempt int, seq long, "
+        "parent_url string, parent_seq long, link_pos int, discovered_round int",
+    )
+
+
+def test_budget_enforced_per_host(spark):
+    rows = [(f"https://a.test/{i}", "a.test", 0, 0, i) for i in range(10)]
+    rows += [(f"https://b.test/{i}", "b.test", 0, 0, 100 + i) for i in range(3)]
+    selected, deferred = select_round(_frontier(spark, rows), host_budget=4,
+                                      salt_threshold=1000)
+    per_host = {
+        r.host: r["cnt"]
+        for r in selected.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_host == {"a.test": 4, "b.test": 3}
+    assert deferred.count() == 6
+
+
+def test_selection_respects_priority_order(spark):
+    """Lowest (level, attempt, seq) rows win the budget."""
+    rows = [
+        ("https://a.test/l1", "a.test", 1, 0, 5),
+        ("https://a.test/retry", "a.test", 0, 1, 1),
+        ("https://a.test/first", "a.test", 0, 0, 9),
+        ("https://a.test/l2", "a.test", 2, 0, 0),
+    ]
+    selected, _ = select_round(_frontier(spark, rows), host_budget=2,
+                               salt_threshold=1000)
+    got = {r.url for r in selected.collect()}
+    assert got == {"https://a.test/first", "https://a.test/retry"}
+
+
+def test_unlimited_budget_selects_all(spark):
+    rows = [(f"https://a.test/{i}", "a.test", 0, 0, i) for i in range(10)]
+    selected, deferred = select_round(_frontier(spark, rows), host_budget=None)
+    assert selected.count() == 10
+    assert deferred.count() == 0
+
+
+def test_heavy_host_salting_spreads_and_overshoots_bounded(spark):
+    """A host above salt_threshold splits into lanes; the selected count is
+    within [budget, budget + n_salts) (per-lane ceil overshoot is the
+    documented cost of skew mitigation), and light hosts are unaffected."""
+    rows = [(f"https://mega.test/{i}", "mega.test", 0, 0, i) for i in range(2000)]
+    rows += [(f"https://tiny.test/{i}", "tiny.test", 0, 0, 10_000 + i) for i in range(5)]
+    selected, deferred = select_round(
+        _frontier(spark, rows), host_budget=100, salt_threshold=500, max_salts=8
+    )
+    per_host = {
+        r.host: r["cnt"]
+        for r in selected.groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_host["tiny.test"] == 5
+    n_salts = 4  # ceil(2000/500)
+    assert 100 <= per_host["mega.test"] <= 100 + n_salts
+    # lane balance: recompute the salt and check spread
+    lanes = (
+        selected.filter(F.col("host") == "mega.test")
+        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+        .groupBy("salt").count().collect()
+    )
+    assert len(lanes) == n_salts
+    counts = [r["count"] for r in lanes]
+    assert max(counts) == 25  # ceil(100/4) per lane

@@ -1,0 +1,248 @@
+"""Document deduplication for web-scale training-data pipelines.
+
+Four families, all expressed as native DataFrame plans (no Python in the
+hot path) so Catalyst/AQE handle distribution:
+
+- **exact**        : hash-groupBy on a content digest (map-side partial agg;
+                     one shuffle keyed by digest — uniform by construction).
+- **n-gram Jaccard**: shingle → explode → distinct → self-join on shingle →
+                     pair intersection counts. The shingle join is the
+                     classic "inverted index" plan: at 100 TB the per-shingle
+                     posting lists are bounded by dropping ultra-common
+                     shingles (document-frequency cap), which also kills the
+                     skew on the join key.
+- **MinHash + LSH** : k portable hash functions (a*x+b mod p over a 48-bit
+                     md5-prefix integer), min-aggregated per doc, banded into
+                     b bands of r rows; candidate pairs only join within a
+                     band bucket — pair cost is output-bound, never O(n^2).
+- **SimHash**      : 32-bit sign-aggregated token-hash fingerprint; equal
+                     fingerprints (or small hamming distance via bit_count)
+                     are dup candidates.
+
+The reference (thebenjy/distributed_crawl) only dedups exact content hashes
+(hybrid_crawler.py:539-544 — same sha256[:16] ⇒ same filename) and URL
+strings (run_crawl_local.py:165); near-dup is this engine's scale-path
+extension for Common-Crawl-style corpora.
+
+Portability contract: every hash here is reproducible in ANSI SQL
+(md5-prefix → hex cast) so the DuckDB oracle can verify results
+value-for-value. Spark's own xxhash64/hash are NOT used in checked outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31 - 1 (Mersenne prime) — all modular hash arithmetic happens below
+# 2^62 so BIGINT never overflows under ANSI mode, in Spark or DuckDB.
+MERSENNE31 = 2_147_483_647
+
+# MinHash universal-hash parameters (a, b) — fixed constants so signatures
+# are stable across runs/engines. Generated once from a seeded PRNG
+# (random.Random(42): a = randrange(1, p), b = randrange(0, p)).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1371122509, 1466744115), (600719669, 1222629959),
+    (2022357103, 1392867223), (351983150, 1110025181),
+    (707827934, 1116840442), (1777395783, 558138720),
+    (1789871276, 1072379372), (794550492, 1711554614),
+    (1437012366, 1870163568), (216871947, 1536477801),
+    (1974567224, 626655159), (1402647089, 275100566),
+    (632173397, 1843442913), (82922247, 1027448960),
+    (1864546432, 2128915999), (1902963049, 1567962386),
+]
+MINHASH_K = len(MINHASH_PARAMS)  # 16 hash functions
+LSH_BANDS = 4                     # 4 bands × 4 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def md5_int48(col: Column) -> Column:
+    """Portable 48-bit integer hash: first 12 hex chars of md5.
+
+    Same value via DuckDB: ``CAST('0x' || substr(md5(x),1,12) AS BIGINT)``.
+    48 bits keeps every downstream product inside signed-64 range.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (collapsing, like Python str.split())."""
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles in document order (may repeat).
+
+    Guarded: Spark's ``sequence(1, 0)`` counts DOWN, so short docs must
+    short-circuit to an empty array explicitly.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index input.
+
+    distinct() before any join: partial (map-side) dedup runs per input
+    partition, so the shuffle carries unique (doc, shingle) pairs only.
+    """
+    return (
+        docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest, keep the minimum id as
+    canonical. One shuffle keyed by the digest (uniform distribution —
+    sha/md5 output is unskewable). Returns (digest, canonical_id, n_copies).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
+
+    Plan: inverted index (doc, shingle) → self-join on shingle →
+    count intersections → join per-doc shingle counts → filter.
+    ``max_df`` drops shingles appearing in more than max_df docs before the
+    pair join — at corpus scale this bounds posting-list length (join skew)
+    and barely moves Jaccard for near-dup pairs.
+    Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b.
+    """
+    ds = doc_shingles(docs, id_col, text_col, n).alias("ds")
+    if max_df is not None:
+        rare = (
+            ds.groupBy("shingle").count()
+            .filter(F.col("count") <= max_df)
+            .select("shingle")
+        )
+        ds = ds.join(rare, "shingle")
+    counts = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # jaccard is a small-int ratio — the double is bit-identical in any
+    # engine; outputs are floor-scaled to integer micros (hash-stable),
+    # never round()'ed (round impls differ at representability edges).
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(ca, "id_a").join(cb, "id_b")
+        .withColumn("jaccard_u", F.floor(jac * 1_000_000).cast("long"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard_u")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, i, minhash): the k-row signature per document.
+
+    min() is algebraic → Spark computes partial minima map-side; the only
+    shuffle is keyed (doc_id, i), k× the doc count, uniform.
+    """
+    spark = docs.sparkSession
+    params = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i INT, a LONG, b LONG"
+    )
+    ds = doc_shingles(docs, id_col, text_col, n)
+    x = md5_int48(F.col("shingle")) % F.lit(MERSENNE31)
+    return (
+        ds.withColumn("x", x)
+        .crossJoin(F.broadcast(params))
+        .groupBy(id_col, "i")
+        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % F.lit(MERSENNE31)).alias("minhash"))
+    )
+
+
+def lsh_bucket_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_key): one md5 bucket key per band, hashing the
+    band's r minhash values in hash-function order."""
+    in_band = (
+        signatures.withColumn("band", (F.col("i") / F.lit(LSH_ROWS)).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "minhash"))).alias("sig"))
+    )
+    key = F.md5(F.concat_ws(",", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))))
+    return in_band.select(id_col, "band", key.alias("band_key"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    The pair join happens per (band, band_key) — output-bound, never
+    all-pairs. At 10^10 docs this is the only dedup plan that survives.
+    Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+    """
+    buckets = lsh_bucket_keys(minhash_signatures(docs, id_col, text_col, n), id_col)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Token hash = md5-prefix int; each bit contributes +tf / -tf by its
+    value; fingerprint bit j = 1 iff the weighted sum > 0. The bit
+    explosion (×32) happens AFTER per-doc token aggregation, so the wide
+    stage is bounded by vocabulary, not corpus size.
+    Returns (doc_id, simhash).
+    """
+    spark = docs.sparkSession
+    bit_pos = spark.createDataFrame([(j,) for j in range(bits)], "j INT")
+    toks = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", md5_int48(F.col("tok")) % F.lit(2**bits))
+    )
+    # expr() because the PySpark shiftleft/shiftright wrappers only accept
+    # int literals for the bit count, not a Column.
+    contrib = F.when(
+        F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, F.col("tf")
+    ).otherwise(-F.col("tf"))
+    return (
+        toks.crossJoin(F.broadcast(bit_pos))
+        .groupBy(id_col, "j")
+        .agg(F.sum(contrib).alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )

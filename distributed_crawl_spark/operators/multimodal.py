@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas iterators.
+
+The Spark-side contract is real and tested — schema, partitioning, UDF
+signature, batch shape — while the actual media decode is stubbed: the
+container has no image/audio libraries, so ``decode_image_real`` raises
+``NotImplementedError`` and the default pipeline uses a deterministic fake
+decoder (pure arithmetic over the byte payload) that the DuckDB oracle can
+reproduce. Swapping ``_FAKE_DECODE=False`` plugs a real PIL/libav decode
+into the same mapInPandas stage without touching the plan.
+
+Scale notes:
+- binary payloads never leave the executor: mapInPandas streams Arrow
+  record batches, so peak memory is one batch, not one partition;
+- metadata-only consumers select typed columns and Parquet column pruning
+  skips the binary blob entirely (verified in tests via ReadSchema);
+- batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch —
+  size it so batch_rows × avg_blob ≤ executor memory share.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("payload", BinaryType()),     # opaque encoded bytes
+        StructField("mime", StringType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decode path — requires an image library absent from this
+    container. Kept as the documented extension point."""
+    raise NotImplementedError(
+        "no image decode library in this environment; "
+        "use the deterministic fake decoder (decode_image_fake)"
+    )
+
+
+def decode_image_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: dimensions derived arithmetically from
+    the payload length (oracle-reproducible: width = 16 + n % 240,
+    height = 16 + (n // 7) % 240, channels = 1 + n % 3)."""
+    n = len(payload)
+    return 16 + n % 240, 16 + (n // 7) % 240, 1 + n % 3
+
+
+def image_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas image metadata extraction.
+
+    Input: MEDIA_SCHEMA-shaped frame. Output: IMAGE_META_SCHEMA. The
+    iterator signature keeps one Arrow batch in flight; the binary column
+    is consumed and NOT emitted, so downstream stages shed the blob.
+    """
+    decode = decode_image_fake if fake else decode_image_real
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(process, IMAGE_META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_index) rows for
+    frames a real decoder would materialize — index stream is deterministic
+    from payload length (fake 'frame count' = n_bytes // 1024 + 1), the
+    Spark shape (explode to one row per sampled frame) is the real one."""
+    n_frames = (F.octet_length("payload") / 1024 + 1).cast("int")
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+            ).alias("frame_index"),
+        )
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes payloads through mapInPandas tagging the
+    target size (a real implementation rewrites bytes in place)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "kind", "payload", "mime"]].copy()
+            yield out
+
+    return (
+        media.mapInPandas(process, MEDIA_SCHEMA)
+        .withColumn("target_width", F.lit(width))
+        .withColumn("target_height", F.lit(height))
+    )

@@ -1,0 +1,119 @@
+"""Training-data dedup operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — correctness against pure-Python oracles on small inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark.functions import dedup as DD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different text about spark engines here"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "a b"),                                            # shorter than 3-gram
+    (5, ""),                                               # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def py_md5_int48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split()
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_md5_int48_matches_python(spark):
+    df = spark.createDataFrame([("hello",), ("wörld",)], "s STRING")
+    got = {r.s: r.h for r in df.select("s", DD.md5_int48(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        assert h == py_md5_int48(s)
+
+
+def test_shingles_and_guard(docs_df):
+    rows = {r.doc_id: r.sh for r in docs_df.select(
+        "doc_id", DD.shingles(F.col("text")).alias("sh")).collect()}
+    assert rows[0] == py_shingles(DOCS[0][1])
+    assert rows[4] == []  # 2 tokens < n — must NOT produce a descending sequence
+    assert rows[5] == []
+
+
+def test_exact_duplicates(docs_df):
+    out = {r.digest: (r.canonical_id, r.n_copies)
+           for r in DD.exact_duplicates(docs_df).collect()}
+    dup_digest = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert out[dup_digest] == (0, 2)
+    assert sum(n for _, n in out.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    pairs = {(r.id_a, r.id_b): r.jaccard_u
+             for r in DD.ngram_jaccard_pairs(docs_df, threshold=0.2).collect()}
+    # doc 0 vs 3 identical → jaccard 1.0
+    assert pairs[(0, 3)] == 1_000_000
+    # doc 0 vs 1 share 5 of 7+7-5 distinct trigrams (one differs at tail)
+    a, b = set(py_shingles(DOCS[0][1])), set(py_shingles(DOCS[1][1]))
+    expect = int(len(a & b) / len(a | b) * 1_000_000)
+    assert pairs[(0, 1)] == expect
+    assert (0, 2) not in pairs
+
+
+def py_minhash_sig(text: str) -> list[int]:
+    xs = {py_md5_int48(s) % DD.MERSENNE31 for s in py_shingles(text)}
+    return [min((a * x + b) % DD.MERSENNE31 for x in xs)
+            for a, b in DD.MINHASH_PARAMS]
+
+
+def test_minhash_signatures_match_python(docs_df):
+    sigs = {}
+    for r in DD.minhash_signatures(docs_df.filter("doc_id < 3")).collect():
+        sigs.setdefault(r.doc_id, {})[r.i] = r.minhash
+    for doc_id in (0, 1, 2):
+        expect = py_minhash_sig(DOCS[doc_id][1])
+        got = [sigs[doc_id][i] for i in range(DD.MINHASH_K)]
+        assert got == expect
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs_df):
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands
+             for r in DD.minhash_lsh_pairs(docs_df).collect()}
+    assert pairs[(0, 3)] == DD.LSH_BANDS  # identical docs share every band
+    assert (0, 2) not in pairs            # unrelated docs share none
+
+
+def py_simhash(text: str, bits: int = 32) -> int:
+    from collections import Counter
+
+    tf = Counter(text.split())
+    w = [0] * bits
+    for tok, n in tf.items():
+        h = py_md5_int48(tok) % (2 ** bits)
+        for j in range(bits):
+            w[j] += n if (h >> j) & 1 else -n
+    return sum(1 << j for j in range(bits) if w[j] > 0)
+
+
+def test_simhash_matches_python(docs_df):
+    got = {r.doc_id: r.simhash
+           for r in DD.simhash(docs_df.filter("doc_id < 4")).collect()}
+    for doc_id in range(4):
+        assert got[doc_id] == py_simhash(DOCS[doc_id][1]), doc_id
+    assert got[0] == got[3]
+
+
+def test_simhash_near_dups_are_close(docs_df):
+    got = {r.doc_id: r.simhash for r in DD.simhash(docs_df.filter("doc_id < 3")).collect()}
+    ham_near = bin(got[0] ^ got[1]).count("1")
+    ham_far = bin(got[0] ^ got[2]).count("1")
+    assert ham_near < ham_far

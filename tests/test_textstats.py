@@ -1,0 +1,118 @@
+"""Text analysis: language ID, quality features, token counts,
+fingerprint determinism + order sensitivity; multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark.functions import textstats as TS
+from distributed_crawl_spark.operators.multimodal import (
+    IMAGE_META_SCHEMA,
+    decode_image_fake,
+    decode_image_real,
+    frame_sample_plan,
+    image_metadata,
+)
+
+ROWS = [
+    (0, "the cat and the dog is in that house of it"),
+    (1, "le chat est dans les maisons pour que des"),
+    (2, "der hund und die katze ist nicht mit ein"),
+    (3, "el perro es la casa que los gatos una para con"),
+    (4, "zzz qqq www"),                      # no markers → und
+    (5, "a b! c, d; e: f? g."),
+]
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    return spark.createDataFrame(ROWS, "doc_id LONG, text STRING")
+
+
+def test_lang_id(text_df):
+    got = {r.doc_id: r.lang for r in text_df.select(
+        "doc_id", TS.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "fr"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_token_counts(text_df):
+    out = {r.doc_id: (r.ws, r.bpe) for r in text_df.select(
+        "doc_id",
+        TS.whitespace_token_count(F.col("text")).alias("ws"),
+        TS.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()}
+    assert out[0] == (len(ROWS[0][1].split()), len(ROWS[0][1].split()))
+    # letters+punct: 7 single letters + 6 punct marks
+    assert out[5] == (7, 13)
+
+
+def test_punct_and_alpha_counts(text_df):
+    r = text_df.filter("doc_id = 5").select(
+        TS.punct_count(F.col("text")).alias("p"),
+        TS.alpha_count(F.col("text")).alias("a"),
+    ).collect()[0]
+    assert r.p == 6 and r.a == 7
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha gamma"), (2, "alpha beta gamma")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.fp for r in df.select(
+        "doc_id", TS.doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[2]          # deterministic
+    assert got[0] != got[1]          # order matters (rolling property)
+    assert 0 <= got[0] < TS.MERSENNE31
+
+
+def test_quality_score_monotone(spark):
+    good = "the cat and the dog is in that house of it " * 10
+    bad = "@@@@ #### %%%% ^^^^"
+    df = spark.createDataFrame([(0, good), (1, bad)], "doc_id LONG, text STRING")
+    got = {r.doc_id: r.q for r in df.select(
+        "doc_id", TS.quality_score(F.col("text")).alias("q")).collect()}
+    assert got[0] > got[1]
+    assert 0 <= got[1] <= 100
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
+
+
+def test_image_metadata_plumbing(spark):
+    media = spark.createDataFrame(
+        [(0, "image", b"x" * 100, "image/png"),
+         (1, "image", b"", "image/png"),
+         (2, "video", b"y" * 3000, "video/mp4")],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING",
+    )
+    out = image_metadata(media, fake=True)
+    assert out.schema == IMAGE_META_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[0].n_bytes == 100
+    assert (rows[0].width, rows[0].height, rows[0].channels) == decode_image_fake(b"x" * 100)
+    assert rows[1].n_bytes == 0
+    # binary column consumed, not emitted — downstream sheds the blob
+    assert "payload" not in out.columns
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(0, "video", b"z" * 5000, "video/mp4"), (1, "image", b"q", "image/png")],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING",
+    )
+    rows = frame_sample_plan(media, every_n=2).collect()
+    ids = {r.media_id for r in rows}
+    assert ids == {0}                      # images filtered out
+    frames = sorted(r.frame_index for r in rows)
+    assert frames == [0, 2, 4]             # 5000//1024+1 = 5 frames, step 2

@@ -390,6 +390,61 @@ def q_hourly_events(spark, sf_dir):
     )
 
 
+def q_session_counters(spark, sf_dir):
+    """A1/A2 session counters + success rate over events (SURVEY §2.7):
+    one-row aggregate with conditional counts and a derived ratio."""
+    ev = _t(spark, sf_dir, "events")
+    n_click = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+    n_view = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return ev.agg(
+        total.alias("total"),
+        n_click.alias("n_click"),
+        n_view.alias("n_view"),
+        (total - n_click - n_view).alias("n_other"),
+        _fl((n_click + n_view) / total, 10000).alias("success_rate_x1e4"),
+    )
+
+
+def q_frontier_expand(spark, sf_dir):
+    """One BFS frontier expansion, end to end (SURVEY §2.5/§2.6 composition):
+    seeds (doc_id<20) → 3 links each (deterministic link graph) →
+    first-enqueuer-wins batch dedup → anti-join vs the seen set (= seeds)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    seeds = docs.filter(F.col("doc_id") < 20).select(
+        _doc_url_col().alias("url"), F.col("doc_id").alias("seq"), "source"
+    )
+    k = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    links = seeds.select("url", "seq", "source", k).select(
+        F.col("url").alias("parent_url"),
+        F.col("seq").alias("parent_seq"),
+        F.col("k").alias("link_pos"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/d/"),
+            (((F.col("seq") * 7 + F.col("k")) % n) % 5).cast("string"),
+            F.lit("/page-"),
+            ((F.col("seq") * 7 + F.col("k")) % n).cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+    )
+    dedup = (
+        links.groupBy("url")
+        .agg(
+            F.min_by(
+                F.struct("parent_url", "parent_seq", "link_pos"),
+                F.struct("parent_seq", "link_pos"),
+            ).alias("w")
+        )
+        .select("url", "w.parent_url", "w.parent_seq", "w.link_pos")
+    )
+    return dedup.join(seeds.select("url"), "url", "left_anti").select(
+        "url", "parent_url", "parent_seq", "link_pos"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5 digest groups (training-data pipeline)."""
     return DD.exact_duplicates(_t(spark, sf_dir, "documents"))
@@ -506,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_markdown": q_clean_markdown,
         "pricing_summary": q_pricing_summary,
         "hourly_events": q_hourly_events,
+        "session_counters": q_session_counters,
+        "frontier_expand": q_frontier_expand,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -703,6 +760,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "session_counters": """
+            SELECT count(*) AS total,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   count(*)
+                     - sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_other,
+                   CAST(floor(
+                     (sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+                     / count(*) * 10000) AS BIGINT) AS success_rate_x1e4
+            FROM events""",
+        "frontier_expand": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            seeds AS (
+              SELECT doc_id AS seq, source, {_URL_SQL} AS url
+              FROM documents WHERE doc_id < 20
+            ),
+            links AS (
+              SELECT s.url AS parent_url, s.seq AS parent_seq, k.k AS link_pos,
+                     'https://' || s.source || '.example.org/d/'
+                       || (((s.seq * 7 + k.k) % nn.n) % 5)::VARCHAR
+                       || '/page-' || ((s.seq * 7 + k.k) % nn.n)::VARCHAR
+                       || '.html' AS url
+              FROM seeds s CROSS JOIN (VALUES (1), (2), (3)) k(k) CROSS JOIN nn
+            ),
+            dedup AS (
+              SELECT url, parent_url, parent_seq, link_pos,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY parent_seq, link_pos) AS rn
+              FROM links
+            )
+            SELECT url, parent_url, parent_seq, link_pos FROM dedup
+            WHERE rn = 1 AND url NOT IN (SELECT url FROM seeds)""",
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                    count(*) AS n_copies

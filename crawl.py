@@ -1,0 +1,84 @@
+"""spark-submit entry point for the crawl engine.
+
+    spark-submit --py-files engine.zip crawl.py \
+        --pages /data/pages_parquet --seeds seeds.txt \
+        --checkpoint /data/crawl_ckpt --rounds 10 --host-budget 64
+
+On a cluster, drop ``--cores`` (the master/executors come from
+spark-submit conf); locally ``--cores N`` runs ``local[N]``. ``--resume``
+continues from the latest committed snapshot in ``--checkpoint`` (no
+seeds needed). Pages input: parquet/Iceberg table with columns
+``url, warc_ts, html, text, lang`` (see SURVEY.md §1.4).
+
+Build engine.zip:  cd <repo> && zip -r engine.zip distributed_crawl_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="PySpark URL-frontier crawl")
+    ap.add_argument("--pages", required=True, help="pages table path (parquet)")
+    ap.add_argument("--seeds", help="URL-list file (one per line)")
+    ap.add_argument("--seeds-csv", help="CSV seed file (site/lat/long/id columns)")
+    ap.add_argument("--robots", help="robots table path (host, rules_text)")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--max-levels", type=int, default=3)
+    ap.add_argument("--host-budget", type=int, default=64)
+    ap.add_argument("--salt-threshold", type=int, default=100_000)
+    ap.add_argument("--retry-attempts", type=int, default=3)
+    ap.add_argument("--max-links", type=int, default=10)
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
+    args = ap.parse_args(argv)
+
+    from distributed_crawl_spark.config import CrawlConfig
+    from distributed_crawl_spark.session import build_session
+    from distributed_crawl_spark.sources.seeds import load_seed_csv, load_url_list
+    from distributed_crawl_spark.streaming.driver import CrawlDriver
+
+    if args.cores:
+        spark = build_session(app_name="crawl", cores=args.cores,
+                              shuffle_partitions=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("crawl").getOrCreate()
+
+    pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    cfg = CrawlConfig(
+        max_levels=args.max_levels,
+        host_budget=args.host_budget,
+        salt_threshold=args.salt_threshold,
+        retry_attempts=args.retry_attempts,
+        max_links=args.max_links,
+        max_rounds=args.rounds,
+        use_bloom=not args.no_bloom,
+    )
+    driver = CrawlDriver(spark, pages, robots, cfg, args.checkpoint)
+
+    if args.resume:
+        stats = driver.resume()
+    else:
+        if args.seeds_csv:
+            seeds = load_seed_csv(spark, args.seeds_csv).select("url", "seq")
+        elif args.seeds:
+            seeds = load_url_list(spark, args.seeds)
+        else:
+            ap.error("--seeds or --seeds-csv required unless --resume")
+        stats = driver.run(seeds)
+
+    for s in stats:
+        print(json.dumps(s.__dict__))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,12 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 20
+    # 'broadcast': stream the pages table against a broadcast round slice —
+    # html never shuffles; right whenever the politeness budget bounds the
+    # slice below executor memory. 'shuffle': plain partitioned join — for
+    # clusters where pages+frontier are co-bucketed by url in Iceberg, or
+    # slices too large to broadcast.
+    fetch_join_strategy: str = "broadcast"
 
     # loop bounds
     max_rounds: int = 100
@@ -35,3 +41,5 @@ class CrawlConfig:
             raise ValueError("retry_attempts >= 1")
         if self.host_budget is not None and self.host_budget < 1:
             raise ValueError("host_budget >= 1 or None")
+        if self.fetch_join_strategy not in ("broadcast", "shuffle"):
+            raise ValueError("fetch_join_strategy: broadcast|shuffle")

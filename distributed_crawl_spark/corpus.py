@@ -222,9 +222,17 @@ def _page_record(page_id: int, n_pages: int, zipf_cdf: np.ndarray) -> dict:
     if page_id % 17 == 0:
         hrefs.append("mailto:x@y.test")
 
-    words = [_WORDS[_u64(page_id, f"w{k}") % len(_WORDS)] for k in range(40)]
+    # realistic page weight: 200-800 words (~2-6 KB html, Common-Crawl-ish
+    # order of magnitude) — extraction cost per page must dominate row
+    # bookkeeping, as it does on real pages. One seeded RNG per page keeps
+    # generation deterministic under any partitioning.
+    rng = np.random.RandomState(_u64(page_id, "words") % (2**32))
+    n_words = 200 + int(_u64(page_id, "nwords") % 600)
+    words = np.asarray(_WORDS, dtype=object)[
+        rng.randint(0, len(_WORDS), size=n_words)
+    ]
     geo = host_id == 3  # one whole host is geo-blocked
-    body = " ".join(words)
+    body = " ".join(words.tolist())
     banner = f"<p>{GEO_PHRASE}</p>" if geo else ""
     items = "\n".join(f'<li><a href="{h}">link</a></li>' for h in hrefs)
     html = (
@@ -269,16 +277,26 @@ def scaled_pages(
 
 def scaled_seeds(spark: SparkSession, n_pages: int, n_seeds: int,
                  n_hosts: int | None = None) -> DataFrame:
-    """First n_seeds page urls (by id) as seeds."""
+    """First n_seeds page urls (by id) as seeds — generated distributively
+    (a driver-side row list stops scaling long before 10^7 seeds)."""
     if n_hosts is None:
         n_hosts = max(16, n_pages // 200)
     cdf = _zipf_cdf(n_hosts)
-    rows = []
-    for i in range(n_seeds):
-        u = _u64(i, "host") / 2**64
-        host = f"host{int(np.searchsorted(cdf, u)):05d}.test"
-        path_id = _u64(i, "path") % 10_000_000
-        rows.append(
-            {"url": f"https://{host}/p/{path_id}", "seq": int(i), "unique_id": None}
-        )
-    return spark.createDataFrame(rows, schema=SEEDS_SCHEMA)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                u = _u64(int(i), "host") / 2**64
+                host = f"host{int(np.searchsorted(cdf, u)):05d}.test"
+                path_id = _u64(int(i), "path") % 10_000_000
+                rows.append(f"https://{host}/p/{path_id}")
+            yield pd.DataFrame(
+                {"url": rows, "seq": ids, "unique_id": None}
+            )
+
+    n_parts = min(32, max(1, n_seeds // 5000))
+    return spark.range(0, n_seeds, numPartitions=n_parts).mapInPandas(
+        gen, schema=SEEDS_SCHEMA
+    )

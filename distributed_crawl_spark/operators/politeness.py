@@ -26,21 +26,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def select_round(
+RANK_COLS = ["rn", "salt", "n_salts", "lane_budget"]
+
+
+def rank_frontier(
     frontier: DataFrame,
-    host_budget: int | None,
+    host_budget: int,
     salt_threshold: int = 100_000,
     max_salts: int = 32,
-) -> tuple[DataFrame, DataFrame]:
-    """Split the pending frontier into (selected, deferred) for one round.
-
-    ``host_budget=None`` → unlimited (every pending row selected; no
-    shuffle at all — the window is skipped entirely, which is also the
-    exact-ordering parity configuration).
-    """
-    if host_budget is None:
-        return frontier, frontier.limit(0)
-
+) -> DataFrame:
+    """Frontier with window rank + per-lane budget attached — ONE window
+    shuffle; callers split selected/deferred by filtering ``rn`` against
+    ``lane_budget`` (the driver materializes this once per round so the
+    selected and deferred branches never recompute the window)."""
     heavy = (
         frontier.groupBy("host")
         .agg(F.count("*").alias("pending_count"))
@@ -69,11 +67,32 @@ def select_round(
         F.ceil(F.lit(host_budget) / F.col("n_salts")),
     ).otherwise(F.lit(host_budget))
 
-    ranked = salted.withColumn("rn", F.row_number().over(w))
-    selected = ranked.filter(F.col("rn") <= lane_budget).drop(
-        "rn", "salt", "n_salts"
+    return salted.withColumn("rn", F.row_number().over(w)).withColumn(
+        "lane_budget", lane_budget.cast("long")
     )
-    deferred = ranked.filter(F.col("rn") > lane_budget).drop(
-        "rn", "salt", "n_salts"
-    )
+
+
+def split_ranked(ranked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(selected, deferred) from a ``rank_frontier`` output."""
+    selected = ranked.filter(F.col("rn") <= F.col("lane_budget")).drop(*RANK_COLS)
+    deferred = ranked.filter(F.col("rn") > F.col("lane_budget")).drop(*RANK_COLS)
     return selected, deferred
+
+
+def select_round(
+    frontier: DataFrame,
+    host_budget: int | None,
+    salt_threshold: int = 100_000,
+    max_salts: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the pending frontier into (selected, deferred) for one round.
+
+    ``host_budget=None`` → unlimited (every pending row selected; no
+    shuffle at all — the window is skipped entirely, which is also the
+    exact-ordering parity configuration).
+    """
+    if host_budget is None:
+        return frontier, frontier.limit(0)
+    return split_ranked(
+        rank_frontier(frontier, host_budget, salt_threshold, max_salts)
+    )

@@ -22,13 +22,17 @@ filter (tests/test_seen.py property-checks this under adversarial
 collisions). Build and probe are vectorized numpy over Arrow batches
 (``applyInPandas`` per bucket) — no per-row Python.
 
-Bitmap hashing uses blake2b(url) → two u64s → k=7 double-hashed probes
-into an m-bit bucket bitmap. All Python-side and version-stable.
+Bitmap hashing is double hashing (Kirsch-Mitzenmacher): two independent
+u64 seeds per URL computed JVM-side as ``xxhash64(url, 1)`` and
+``xxhash64(url, 2)`` (inside whole-stage codegen, so the Python side never
+touches the URL string), then k=7 probe positions ``(h1 + k*h2) mod m``
+derived with pure-numpy uint64 arithmetic. Seeds 1/2 are distinct from the
+bucket hash ``xxhash64(url)`` so positions are uncorrelated with bucket
+assignment (both moduli are powers of two — reusing the bucket hash would
+pin the low bits of every k=0 probe within a bucket).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -39,7 +43,6 @@ from pyspark.sql.types import (
     BooleanType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -53,21 +56,26 @@ BLOOM_STATE_SCHEMA = StructType(
 )
 
 _K_HASHES = 7
+_HASH_COLS = ["__h1", "__h2"]
 
 
-def _hash_pair(url: str) -> tuple[int, int]:
-    d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
-    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+def _with_probe_hashes(df: DataFrame) -> DataFrame:
+    """Attach the two u64 probe seeds, computed JVM-side (codegen)."""
+    return df.withColumn("__h1", F.xxhash64(F.col("url"), F.lit(1))).withColumn(
+        "__h2", F.xxhash64(F.col("url"), F.lit(2))
+    )
 
 
-def _probe_positions(urls: pd.Series, m_bits: int) -> np.ndarray:
-    """(len(urls), K) array of bit positions."""
-    out = np.empty((len(urls), _K_HASHES), dtype=np.int64)
-    for i, u in enumerate(urls):
-        h1, h2 = _hash_pair(u)
-        for k in range(_K_HASHES):
-            out[i, k] = (h1 + k * h2) % m_bits
-    return out
+def _probe_positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, K) bit positions via double hashing — fully vectorized; uint64
+    wrap-around is the intended modular arithmetic."""
+    h1 = h1.astype(np.uint64, copy=False)
+    h2 = h2.astype(np.uint64, copy=False)
+    k = np.arange(_K_HASHES, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + k[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
 
 
 class BloomSeenFilter:
@@ -92,8 +100,10 @@ class BloomSeenFilter:
         the full replacement state."""
         m_bits = self.m_bits
 
-        tagged = new_urls.select(
-            F.col("url"), self.bucket_col(F.col("url")).alias("bucket")
+        tagged = _with_probe_hashes(
+            new_urls.select(
+                F.col("url"), self.bucket_col(F.col("url")).alias("bucket")
+            )
         )
 
         def merge(key, urls_pdf, state_pdf) -> pd.DataFrame:
@@ -107,7 +117,9 @@ class BloomSeenFilter:
                 bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
                 n = 0
             if len(urls_pdf):
-                pos = _probe_positions(urls_pdf["url"], m_bits).ravel()
+                pos = _probe_positions(
+                    urls_pdf["__h1"].to_numpy(), urls_pdf["__h2"].to_numpy(), m_bits
+                ).ravel()
                 np.bitwise_or.at(bitmap, pos // 8, (1 << (pos % 8)).astype(np.uint8))
                 n += len(urls_pdf)
             return pd.DataFrame(
@@ -128,17 +140,20 @@ class BloomSeenFilter:
             candidates.schema.fields
             + [StructField("maybe_seen", BooleanType(), False)]
         )
-        tagged = candidates.withColumn("bucket", self.bucket_col(F.col("url")))
-        in_schema = tagged.schema
+        tagged = _with_probe_hashes(
+            candidates.withColumn("bucket", self.bucket_col(F.col("url")))
+        )
 
         def check(cand_pdf, state_pdf) -> pd.DataFrame:
-            cand_pdf = cand_pdf.drop(columns=["bucket"])
+            h1 = cand_pdf["__h1"].to_numpy()
+            h2 = cand_pdf["__h2"].to_numpy()
+            cand_pdf = cand_pdf.drop(columns=["bucket", *_HASH_COLS])
             if not len(cand_pdf):
                 return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
             if not len(state_pdf):
                 return cand_pdf.assign(maybe_seen=False)
             bitmap = np.frombuffer(state_pdf["bitmap"].iloc[0], dtype=np.uint8)
-            pos = _probe_positions(cand_pdf["url"], m_bits)
+            pos = _probe_positions(h1, h2, m_bits)
             bits = (bitmap[pos // 8] >> (pos % 8)) & 1
             return cand_pdf.assign(maybe_seen=bits.all(axis=1).astype(bool))
 
@@ -154,16 +169,25 @@ def filter_unseen(
     url_seen: DataFrame,
     bloom: BloomSeenFilter | None = None,
     bloom_state: DataFrame | None = None,
+    materialize=None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose raw ``url`` is not in ``url_seen``.
 
     With a bloom state, only maybe-seen candidates pay the exact anti-join;
     definite-new rows bypass it. Without, plain left_anti.
+
+    ``materialize``: optional ``(name, df) -> df`` callback (the driver's
+    staged checkpoint write). The probed output forks into two branches
+    (definite-new ∪ anti-join-confirmed); without materialization Catalyst
+    duplicates the whole candidates+probe subtree under the union — the
+    explode/dedup/probe pipeline would run twice per round.
     """
     if bloom is None or bloom_state is None:
         return candidates.join(url_seen.select("url"), "url", "left_anti")
 
     probed = bloom.probe(bloom_state, candidates)
+    if materialize is not None:
+        probed = materialize("_round_probed", probed)
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(url_seen.select("url"), "url", "left_anti")

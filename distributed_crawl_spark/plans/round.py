@@ -55,7 +55,9 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
-def child_candidates(fetched_ok: DataFrame, cfg: CrawlConfig, round_no: int) -> DataFrame:
+def child_candidates(
+    fetched_ok: DataFrame, cfg: CrawlConfig, round_no: int, observation=None
+) -> DataFrame:
     """Extracted links → next-level frontier candidates.
 
     Link extraction only happens while ``level < max_levels - 1``
@@ -100,6 +102,11 @@ def child_candidates(fetched_ok: DataFrame, cfg: CrawlConfig, round_no: int) -> 
         (F.col("parent_seq") * stride + F.col("link_pos") + 1).alias("seq"),
         F.lit(round_no + 1).alias("discovered_round"),
     )
+
+    if observation is not None:
+        # pre-dedup census rides the downstream action for free (the
+        # ``deduped`` lineage counter = n_candidates - new_frontier rows)
+        cand = cand.observe(observation, F.count(F.lit(1)).alias("n_candidates"))
 
     # first-enqueuer-wins batch dedup
     rest = [c for c in FRONTIER_COLS if c != "url"]

@@ -1,0 +1,98 @@
+"""Report sinks (SURVEY.md §2.2 K5/K6 and §2.7 A1-A5).
+
+K6 — CSV status export (utils.py:758-787): flatten the per-URL status map
+to CSV with a header.
+
+K5 — session summary (hybrid_crawler.py:744-771, utils.py:677-756): nested
+counters — totals, per-level stats (A3), error histogram (A4), content
+stats (A5) — computed as DataFrame aggregations and collected (the summary
+is a small driver-side artifact by definition).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_status_csv(status: DataFrame, path: str) -> None:
+    """K6: write the current per-URL status (driver.current_status() shape:
+    url, status, level, attempt, parent_url, seq) as headered CSV."""
+    (
+        status.select("url", "status", "level", "attempt", "parent_url", "seq")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def level_stats(status: DataFrame) -> DataFrame:
+    """A3 (utils.py:694-704): per-level total/completed/failed."""
+    return (
+        status.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("status") == "completed").cast("long")).alias("n_completed"),
+            F.sum((F.col("status") == "failed").cast("long")).alias("n_failed"),
+        )
+        .orderBy("level")
+    )
+
+
+def error_histogram(errors: DataFrame) -> DataFrame:
+    """A4 (utils.py:687-692): failures grouped by reason/error prefix."""
+    return (
+        errors.groupBy(
+            "reason", F.substring(F.coalesce("error", F.lit("")), 1, 50).alias("error_prefix")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
+
+
+def content_stats(results: DataFrame) -> DataFrame:
+    """A5 (utils.py:706-726): content_length sum/avg/min/max."""
+    return results.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("content_length").alias("total_chars"),
+        F.avg("content_length").alias("avg_chars"),
+        F.min("content_length").alias("min_chars"),
+        F.max("content_length").alias("max_chars"),
+    )
+
+
+def session_summary(driver, path: str | None = None) -> dict:
+    """K5: the reference's crawl_summary JSON, from the checkpoint state.
+
+    Mirrors hybrid_crawler.py:749-771 keys: totals + success rate (A1/A2),
+    per-level stats, error histogram, content stats, per-round lineage.
+    """
+    status = driver.current_status()
+    by_status = {
+        r["status"]: r["n"]
+        for r in status.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(by_status.values())
+    completed = by_status.get("completed", 0)
+    summary = {
+        "total_urls": total,
+        "completed": completed,
+        "failed": by_status.get("failed", 0),
+        "pending": by_status.get("pending", 0),
+        "robots_denied": by_status.get("robots_denied", 0),
+        "success_rate_pct": round(completed / total * 100, 2) if total else 0.0,
+        "per_level": [r.asDict() for r in level_stats(status).collect()],
+        "content": [r.asDict() for r in content_stats(driver.results()).collect()],
+        "rounds": [r.asDict() for r in driver.metrics().collect()],
+    }
+    try:
+        errs = driver.store.read(driver.spark, "errors")
+        summary["errors"] = [r.asDict() for r in error_histogram(errs).collect()]
+    except FileNotFoundError:
+        summary["errors"] = []
+    if path is not None:
+        Path(path).write_text(json.dumps(summary, indent=2, default=str))
+    return summary

@@ -35,9 +35,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_TIMING = bool(os.environ.get("CRAWL_TIMING"))
 
 
 class Staging:
@@ -54,7 +58,13 @@ class Staging:
 
     def _write(self, name: str, df: DataFrame) -> str:
         path = str(self.vdir / name)
+        t0 = time.monotonic()
         df.write.mode("overwrite").parquet(path)
+        if _TIMING:
+            print(
+                f"  [write v{self.version} {name}: {time.monotonic() - t0:.2f}s]",
+                file=sys.stderr,
+            )
         return path
 
     def write_replace(self, name: str, df: DataFrame) -> DataFrame:

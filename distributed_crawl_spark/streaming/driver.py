@@ -20,20 +20,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..operators.fetch import fetch_and_extract
-from ..operators.politeness import select_round
+from ..operators.fetch import fetch_hits, fetch_misses
+from ..operators.politeness import rank_frontier, split_ranked
 from ..operators.robots import apply_robots_gate
 from ..operators.seen import BloomSeenFilter, filter_unseen
-from ..plans.round import (
-    FRONTIER_COLS,
-    child_candidates,
-    seeds_to_frontier,
-    split_fetch_results,
-)
+from ..plans.round import FRONTIER_COLS, child_candidates, seeds_to_frontier
 from ..schema import ROUND_METRICS_SCHEMA
 from .checkpoint import CheckpointStore
 
@@ -136,71 +131,117 @@ class CrawlDriver:
     # -- one round ---------------------------------------------------------------
 
     def run_round(self, round_no: int) -> RoundStats:
+        """One micro-batch round. Every lineage counter rides an
+        ``Observation`` on a write that happens anyway — a round runs NO
+        standalone count jobs (at 10^10-frontier scale a stray count is a
+        full table scan)."""
         spark, cfg = self.spark, self.cfg
         frontier = self.store.read(spark, "frontier")
         staging = self.store.begin()
 
-        # 1. robots gate
+        # 1. robots gate — denied side is tiny; materialize it once so the
+        #    seen/errors writes don't re-run the gate
         if self.robots is not None:
             allowed, denied = apply_robots_gate(frontier, self.robots)
+            obs_denied = Observation()
+            denied = staging.write_replace(
+                "_round_denied",
+                denied.observe(obs_denied, F.count(F.lit(1)).alias("n")),
+            )
+            n_denied = int(obs_denied.get["n"])
         else:
             allowed, denied = frontier, frontier.limit(0)
+            n_denied = 0
 
-        # 2. politeness window
-        selected, deferred = select_round(
-            allowed, cfg.host_budget, cfg.salt_threshold, cfg.max_salts
-        )
+        # 2. politeness window — ONE window shuffle, materialized, then the
+        #    selected and deferred branches are parquet filters over it
+        if cfg.host_budget is None:
+            selected, deferred, n_deferred = allowed, allowed.limit(0), 0
+        else:
+            ranked = staging.write_replace(
+                "_round_ranked",
+                rank_frontier(
+                    allowed, cfg.host_budget, cfg.salt_threshold, cfg.max_salts
+                ),
+            )
+            selected, deferred = split_ranked(ranked)
+            n_deferred = None  # observed on the frontier write below
 
-        # 3. fetch + extract — materialized once (staged write cuts lineage
-        #    so the pandas-UDF extraction never re-executes downstream)
-        fetched = fetch_and_extract(
-            selected, self.pages, cfg.max_links, cfg.extract_links
-        )
-        # replace-mode scratch: one materialization per round, GC'd later
-        fetched = staging.write_replace(
-            "_round_fetch",
-            fetched.withColumn("round", F.lit(round_no)),
-        )
+        # 3. fetch + extract. Hits first: pages stay put (bucket-colocated
+        #    or streamed vs a broadcast slice), html never shuffled, the
+        #    pandas-UDF extraction runs exactly once — its write IS the
+        #    crawl_results append (4.), no scratch+projection double write.
+        #    Misses derived afterwards as a parquet-vs-parquet anti-join
+        #    (selected slice vs the just-written hits).
+        obs_fetch = Observation()
+        hits = fetch_hits(
+            selected, self.pages, cfg.max_links, cfg.extract_links,
+            strategy=cfg.fetch_join_strategy,
+        ).withColumn("round", F.lit(round_no))
+        hits = hits.observe(obs_fetch, F.count(F.lit(1)).alias("n_ok"))
+        fetched = staging.write_append("crawl_results", hits)
+        n_ok = int(obs_fetch.get["n_ok"] or 0)
 
-        ok, retry, failed = split_fetch_results(fetched, cfg)
-
-        # slim per-attempt log (url, round, level, attempt, ok) — the crawl
-        # ordering evidence (attempt = reference attempt_count, 1-based)
-        staging.write_append(
-            "fetch_log",
-            fetched.select(
-                "url", "round", "level",
-                (F.col("attempt") + 1).alias("attempt"),
-                "ok", "seq", "status_code",
-            ),
+        obs_miss = Observation()
+        misses = fetch_misses(selected, fetched).withColumn(
+            "round", F.lit(round_no)
         )
-
-        # 4. results delta
-        results = ok.select(
-            "url", "seq", "level", "round", "text", "md_hash", "page_slug",
-            "filename", "method", "status_code", "content_length",
-            "last_modified", "extracted_links",
-            F.col("geo_blocked").cast("string").alias("geo_blocked"),
+        misses = misses.observe(
+            obs_miss,
+            F.count(F.lit(1)).alias("n_miss"),
+            F.sum(
+                (F.col("attempt") + 1 >= cfg.retry_attempts).cast("long")
+            ).alias("n_failed"),
         )
-        staging.write_append("crawl_results", results)
+        misses = staging.write_append("miss_log", misses)
+        n_failed = int(obs_miss.get["n_failed"] or 0)
+
+        ok = fetched
+        bumped = misses.withColumn("attempt", F.col("attempt") + 1)
+        retry = bumped.filter(F.col("attempt") < cfg.retry_attempts).select(
+            *FRONTIER_COLS
+        )
+        failed = bumped.filter(F.col("attempt") >= cfg.retry_attempts)
 
         # 5. children: extract links → filter → batch-dedup → seen-filter
-        candidates = child_candidates(ok, cfg, round_no)
+        obs_cand = Observation()
+        candidates = child_candidates(ok, cfg, round_no, observation=obs_cand)
         url_seen = self.store.read(spark, "url_seen")
         bloom_state = (
             self.store.read(spark, "bloom_state") if self.bloom else None
         )
         new_frontier = filter_unseen(
-            candidates.select(*FRONTIER_COLS), url_seen, self.bloom, bloom_state
+            candidates.select(*FRONTIER_COLS),
+            url_seen,
+            self.bloom,
+            bloom_state,
+            materialize=staging.write_replace,
         )
 
-        # 6. next frontier = deferred ∪ retries ∪ new children — staged
+        # 6. next frontier = deferred ∪ retries ∪ new children — staged;
+        #    per-source counts observed on this one write
+        obs_frontier = Observation()
+
+        def _src(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(*FRONTIER_COLS, F.lit(tag).alias("_src"))
+
         next_frontier = (
-            deferred.select(*FRONTIER_COLS)
-            .unionByName(retry.select(*FRONTIER_COLS))
-            .unionByName(new_frontier.select(*FRONTIER_COLS))
+            _src(deferred, "deferred")
+            .unionByName(_src(retry, "retry"))
+            .unionByName(_src(new_frontier, "new"))
+            .observe(
+                obs_frontier,
+                F.sum((F.col("_src") == "deferred").cast("long")).alias("n_deferred"),
+                F.sum((F.col("_src") == "new").cast("long")).alias("n_new"),
+            )
+            .select(*FRONTIER_COLS)
         )
         next_frontier = staging.write_replace("frontier", next_frontier)
+        m_frontier = obs_frontier.get
+        if n_deferred is None:
+            n_deferred = int(m_frontier["n_deferred"] or 0)
+        n_new = int(m_frontier["n_new"] or 0)
+        n_candidates = int(obs_cand.get["n_candidates"] or 0)
 
         # 7. url_seen delta: new pending + completed + failed (+ robots)
         new_children = next_frontier.filter(
@@ -214,7 +255,8 @@ class CrawlDriver:
         )
         staging.write_append("url_seen", seen_delta)
 
-        # 8. errors delta (K4/R2 semantics: reason + 200-char preview)
+        # 8. errors delta (K4/R2 semantics: reason + 200-char preview) —
+        #    skipped entirely on clean rounds (counts already observed)
         errors = failed.select(
             "url",
             F.lit(round_no).alias("round"),
@@ -230,39 +272,36 @@ class CrawlDriver:
                 F.lit(None).cast("string").alias("preview"),
             )
         )
-        staging.write_append("errors", errors)
+        if n_failed + n_denied > 0:
+            staging.write_append("errors", errors)
 
-        # 9. bloom insert for the newly-enqueued urls
-        if self.bloom:
+        # 9. bloom insert for the newly-enqueued urls (no-op round → keep
+        #    the previous state version, saving the cogroup shuffle)
+        if self.bloom and n_new > 0:
             new_bloom = self.bloom.insert(bloom_state, new_children.select("url"))
             staging.write_replace("bloom_state", new_bloom)
 
-        # 10. metrics — counts over already-materialized deltas (cheap)
-        n_candidates = candidates.count()
-        n_new = new_children.count()
+        # 10. metrics — every number came off an Observation riding a write;
+        #     the history lives in the commit pointer (one JSON, no extra
+        #     parquet job per round), materialized on demand by metrics()
         stats = RoundStats(
             round=round_no,
             urls_seen=n_new,
-            fetched=fetched.filter(F.col("ok")).count(),
-            failed=failed.count(),
+            fetched=n_ok,
+            failed=n_failed,
             deduped=n_candidates - n_new,
-            deferred_by_politeness=deferred.count(),
-            robots_denied=denied.count(),
+            deferred_by_politeness=n_deferred,
+            robots_denied=n_denied,
             new_frontier=n_new,
         )
-        metrics_row = spark.createDataFrame(
-            [
-                (
-                    stats.round, stats.urls_seen, stats.fetched, stats.failed,
-                    stats.deduped, stats.deferred_by_politeness,
-                    stats.robots_denied, stats.new_frontier,
-                )
-            ],
-            schema=ROUND_METRICS_SCHEMA,
+        history = (self.store.latest_meta() or {}).get("metrics_history", [])
+        staging.finalize(
+            {
+                "round": round_no,
+                "metrics": stats.__dict__,
+                "metrics_history": history + [stats.__dict__],
+            }
         )
-        staging.write_append("round_metrics", metrics_row)
-
-        staging.finalize({"round": round_no, "metrics": stats.__dict__})
         return stats
 
     # -- views --------------------------------------------------------------------
@@ -289,7 +328,37 @@ class CrawlDriver:
         )
 
     def results(self) -> DataFrame:
-        return self.store.read(self.spark, "crawl_results")
+        """Completed pages in the reference's results-store shape (K1/K2:
+        text + metadata columns, one row per fetched URL)."""
+        return self.store.read(self.spark, "crawl_results").select(
+            "url", "seq", "level", "round", "text", "md_hash", "page_slug",
+            "filename", "method", "status_code", "content_length",
+            "last_modified", "extracted_links",
+            F.col("geo_blocked").cast("string").alias("geo_blocked"),
+        )
+
+    def fetch_log(self) -> DataFrame:
+        """Slim per-attempt log — the crawl-ordering evidence (attempt is
+        1-based like the reference's attempt_count)."""
+
+        def slim(df: DataFrame) -> DataFrame:
+            return df.select(
+                "url", "round", "level",
+                (F.col("attempt") + 1).alias("attempt"),
+                "ok", "seq", "status_code",
+            )
+
+        log = slim(self.store.read(self.spark, "crawl_results"))
+        try:
+            log = log.unionByName(slim(self.store.read(self.spark, "miss_log")))
+        except FileNotFoundError:
+            pass
+        return log
 
     def metrics(self) -> DataFrame:
-        return self.store.read(self.spark, "round_metrics")
+        hist = (self.store.latest_meta() or {}).get("metrics_history", [])
+        rows = [
+            tuple(h[f.name] for f in ROUND_METRICS_SCHEMA.fields)
+            for h in hist
+        ]
+        return self.spark.createDataFrame(rows, schema=ROUND_METRICS_SCHEMA)

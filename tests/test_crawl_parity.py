@@ -37,7 +37,7 @@ def _run_engine(spark, tmp_path, cfg, seeds=None, pages=None, robots=None):
 
 def _engine_order(driver):
     rows = (
-        driver.store.read(driver.spark, "fetch_log")
+        driver.fetch_log()
         .orderBy("round", "level", "attempt", "seq")
         .collect()
     )
@@ -120,13 +120,13 @@ def test_retry_and_failure_parity(spark, tmp_path):
     }
     assert engine_status == {u: s.status for u, s in oracle.status.items()}
 
-    log = driver.store.read(spark, "fetch_log").filter(f"url = '{dead}'").collect()
+    log = driver.fetch_log().filter(f"url = '{dead}'").collect()
     assert sorted(r.attempt for r in log) == [1, 2, 3]
     # multiset of attempts matches the oracle even though tail-re-append
     # order may differ
     engine_attempts = sorted(
         (r.url, r.attempt)
-        for r in driver.store.read(spark, "fetch_log").collect()
+        for r in driver.fetch_log().collect()
     )
     assert engine_attempts == sorted((u, a) for u, _, a in oracle.order)
 

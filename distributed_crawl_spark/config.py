@@ -16,6 +16,15 @@ class CrawlConfig:
     extract_links: bool = True
     allowed_domains: tuple[str, ...] = ()  # empty = no whitelist (utils.py:61-63)
     block_extensions: bool = True          # utils.py:50-52 filter
+    # F5: restrict children to the parent's host (present-but-commented in
+    # the reference, webcrawleranalyzer.py:181-183)
+    same_domain_only: bool = False
+    # F8/R2/R3 geo-block routing (hybrid_crawler.py:588-643): 'keep' = keep
+    # the local content tagged method='local_geo_blocked' (the reference's
+    # lambda-failed fallback); 'skip' = don't follow links, log to errors
+    # with a 200-char preview, status geo_blocked_skipped (disable_lambda
+    # path)
+    geo_block_policy: str = "keep"
 
     # engine scale knobs (SURVEY.md §2.9/§4)
     host_budget: int | None = None  # None = unlimited (parity mode)
@@ -43,3 +52,5 @@ class CrawlConfig:
             raise ValueError("host_budget >= 1 or None")
         if self.fetch_join_strategy not in ("broadcast", "shuffle"):
             raise ValueError("fetch_join_strategy: broadcast|shuffle")
+        if self.geo_block_policy not in ("keep", "skip"):
+            raise ValueError("geo_block_policy: keep|skip")

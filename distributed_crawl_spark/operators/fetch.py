@@ -72,7 +72,14 @@ def _with_extract_columns(
             ),
         )
         .withColumn("geo_blocked", U.is_geo_blocked(text))
-        .withColumn("method", F.lit("pages_table_join"))
+        # R3 parity tag: geo-blocked content kept from the local fetch
+        # (hybrid_crawler.py:625-639 keeps it tagged when the fallback
+        # path is unavailable)
+        .withColumn(
+            "method",
+            F.when(F.coalesce(U.is_geo_blocked(text), F.lit(False)),
+                   F.lit("local_geo_blocked")).otherwise(F.lit("pages_table_join")),
+        )
         .drop("ex")
     )
 

@@ -90,6 +90,10 @@ def child_candidates(
         links = links.filter(
             U.url_netloc(F.col("url")).isin(*cfg.allowed_domains)
         )
+    if cfg.same_domain_only:  # F5 (webcrawleranalyzer.py:181-183)
+        links = links.filter(
+            U.url_host(F.col("url")) == U.url_host(F.col("parent_url"))
+        )
 
     cand = links.select(
         "url",

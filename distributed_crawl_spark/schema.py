@@ -101,6 +101,7 @@ ROUND_METRICS_SCHEMA = StructType(
         StructField("deduped", LongType(), False),
         StructField("deferred_by_politeness", LongType(), False),
         StructField("robots_denied", LongType(), False),
+        StructField("geo_blocked_skipped", LongType(), False),
         StructField("new_frontier", LongType(), False),
     ]
 )

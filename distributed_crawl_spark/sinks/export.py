@@ -83,6 +83,7 @@ def session_summary(driver, path: str | None = None) -> dict:
         "failed": by_status.get("failed", 0),
         "pending": by_status.get("pending", 0),
         "robots_denied": by_status.get("robots_denied", 0),
+        "geo_blocked_skipped": by_status.get("geo_blocked_skipped", 0),
         "success_rate_pct": round(completed / total * 100, 2) if total else 0.0,
         "per_level": [r.asDict() for r in level_stats(status).collect()],
         "content": [r.asDict() for r in content_stats(driver.results()).collect()],

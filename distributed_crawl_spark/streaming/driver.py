@@ -61,6 +61,7 @@ class RoundStats:
     deduped: int
     deferred_by_politeness: int
     robots_denied: int
+    geo_blocked_skipped: int
     new_frontier: int
 
 
@@ -178,9 +179,15 @@ class CrawlDriver:
             selected, self.pages, cfg.max_links, cfg.extract_links,
             strategy=cfg.fetch_join_strategy,
         ).withColumn("round", F.lit(round_no))
-        hits = hits.observe(obs_fetch, F.count(F.lit(1)).alias("n_ok"))
+        hits = hits.observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("n_ok"),
+            F.sum(F.col("geo_blocked").cast("long")).alias("n_geo"),
+        )
         fetched = staging.write_append("crawl_results", hits)
-        n_ok = int(obs_fetch.get["n_ok"] or 0)
+        m_fetch = obs_fetch.get
+        n_ok = int(m_fetch["n_ok"] or 0)
+        n_geo = int(m_fetch["n_geo"] or 0)
 
         obs_miss = Observation()
         misses = fetch_misses(selected, fetched).withColumn(
@@ -196,7 +203,15 @@ class CrawlDriver:
         misses = staging.write_append("miss_log", misses)
         n_failed = int(obs_miss.get["n_failed"] or 0)
 
-        ok = fetched
+        # F8 geo-block routing: 'skip' = don't follow links, log + mark
+        # (the reference's disable_lambda path, hybrid_crawler.py:592-616);
+        # 'keep' = content stays, tagged method='local_geo_blocked' (R3)
+        if cfg.geo_block_policy == "skip" and n_geo > 0:
+            ok = fetched.filter(~F.col("geo_blocked"))
+            geo_skipped = fetched.filter(F.col("geo_blocked"))
+            n_ok -= n_geo
+        else:
+            ok, geo_skipped = fetched, fetched.limit(0)
         bumped = misses.withColumn("attempt", F.col("attempt") + 1)
         retry = bumped.filter(F.col("attempt") < cfg.retry_attempts).select(
             *FRONTIER_COLS
@@ -252,6 +267,7 @@ class CrawlDriver:
             .unionByName(_seen_events(ok, "completed", round_no))
             .unionByName(_seen_events(failed, "failed", round_no))
             .unionByName(_seen_events(denied, "robots_denied", round_no))
+            .unionByName(_seen_events(geo_skipped, "geo_blocked_skipped", round_no))
         )
         staging.write_append("url_seen", seen_delta)
 
@@ -271,8 +287,17 @@ class CrawlDriver:
                 F.lit(None).cast("string").alias("error"),
                 F.lit(None).cast("string").alias("preview"),
             )
+        ).unionByName(
+            geo_skipped.select(
+                "url",
+                F.lit(round_no).alias("round"),
+                F.lit("geo_blocked").alias("reason"),
+                F.lit(None).cast("string").alias("error"),
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200).alias("preview"),
+            )
         )
-        if n_failed + n_denied > 0:
+        n_geo_skipped = n_geo if cfg.geo_block_policy == "skip" else 0
+        if n_failed + n_denied + n_geo_skipped > 0:
             staging.write_append("errors", errors)
 
         # 9. bloom insert for the newly-enqueued urls (no-op round → keep
@@ -292,6 +317,7 @@ class CrawlDriver:
             deduped=n_candidates - n_new,
             deferred_by_politeness=n_deferred,
             robots_denied=n_denied,
+            geo_blocked_skipped=n_geo_skipped,
             new_frontier=n_new,
         )
         history = (self.store.latest_meta() or {}).get("metrics_history", [])
@@ -358,7 +384,7 @@ class CrawlDriver:
     def metrics(self) -> DataFrame:
         hist = (self.store.latest_meta() or {}).get("metrics_history", [])
         rows = [
-            tuple(h[f.name] for f in ROUND_METRICS_SCHEMA.fields)
+            tuple(h.get(f.name, 0) for f in ROUND_METRICS_SCHEMA.fields)
             for h in hist
         ]
         return self.spark.createDataFrame(rows, schema=ROUND_METRICS_SCHEMA)

@@ -1,0 +1,96 @@
+"""Structured Streaming surfaces (SURVEY.md §2.13).
+
+The reference is batch-with-a-loop (scheduler tick run_crawl_local.py:269-313)
+and the round driver mirrors that as micro-batches over checkpoint state.
+These helpers are the true `readStream` path for the engine's *continuous*
+inputs — a pages/events firehose landing as files:
+
+- :func:`stream_events_hourly` — event-time tumbling window with a
+  watermark for late data; the streaming twin of the batch
+  ``hourly_events`` contract query (same results once the stream drains).
+- :func:`stream_extract_pages` — pages files → politeness-agnostic
+  extract-and-hash flow (the stateless inner stage of a crawl round),
+  shaped for ``foreachBatch`` composition with the round driver.
+
+Both run with ``Trigger.AvailableNow`` so a drained run is deterministic
+and testable (process everything present, then stop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import url as U
+from ..functions.text import make_extract_udf
+from ..schema import PAGES_SCHEMA
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling 1-hour event-time windows with late-data watermark.
+
+    Returns a streaming DataFrame (window_start, event_type, n, sum_value);
+    append-mode compatible (aggregation behind a watermark).
+    """
+    schema = spark.read.parquet(events_dir).schema  # infer once, batch-side
+    events = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks require TIMESTAMP (with zone); the testdata is NTZ —
+    # session tz is UTC, so the cast preserves the wall-clock value
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour_str"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_extract_pages(
+    spark: SparkSession, pages_dir: str, max_links: int = 10
+) -> DataFrame:
+    """Streaming pages → (url, host, md_hash, page_slug, n_links,
+    content_length): the stateless extract stage as a stream."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    extract = make_extract_udf(max_links=max_links)
+    ex = pages.withColumn("ex", extract(F.col("url"), F.col("html")))
+    return ex.select(
+        "url",
+        U.url_host(F.col("url")).alias("host"),
+        U.content_hash(F.col("ex.text")).alias("md_hash"),
+        U.page_slug(F.col("url")).alias("page_slug"),
+        F.size("ex.links").alias("n_links"),
+        F.length("ex.text").cast("long").alias("content_length"),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "drain"
+) -> None:
+    """Drain everything currently available into an in-memory table named
+    ``query_name`` and stop — the deterministic test/batch-parity mode."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

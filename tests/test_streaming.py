@@ -1,0 +1,51 @@
+"""Structured Streaming parity (SURVEY.md §2.13): a drained
+Trigger.AvailableNow stream must equal its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark import corpus
+from distributed_crawl_spark.streaming.stream import (
+    run_available_now,
+    stream_events_hourly,
+    stream_extract_pages,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_equals_batch(spark, tmp_path):
+    # the streaming file source needs a DIRECTORY of files
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(events_dir)
+    stream = stream_events_hourly(spark, events_dir)
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck"), "hourly")
+    got = {
+        (r.hour_str, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("hourly").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour_str"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = {
+        (r.hour_str, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_extract_pages(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    corpus.tiny_pages(spark).write.parquet(pages_dir)
+    stream = stream_extract_pages(spark, pages_dir)
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck2"), "extracted")
+    rows = spark.table("extracted").collect()
+    assert len(rows) == corpus.tiny_pages(spark).count()
+    assert all(len(r.md_hash) == 16 for r in rows)

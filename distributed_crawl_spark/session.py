@@ -47,6 +47,12 @@ def build_session(
         # Quieter local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # keep catalog artifacts out of the repo/cwd (bucketed bench tables
+        # are external — only metadata lives in the in-memory catalog)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -31,8 +31,11 @@ class CrawlConfig:
     salt_threshold: int = 100_000
     max_salts: int = 32
     use_bloom: bool = True
+    # 'bloom' (default, cheapest) | 'cuckoo' (deletable — recrawl TTLs)
+    seen_filter: str = "bloom"
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 20
+    cuckoo_buckets: int = 1 << 16
     # 'broadcast': stream the pages table against a broadcast round slice —
     # html never shuffles; right whenever the politeness budget bounds the
     # slice below executor memory. 'shuffle': plain partitioned join — for
@@ -54,3 +57,5 @@ class CrawlConfig:
             raise ValueError("fetch_join_strategy: broadcast|shuffle")
         if self.geo_block_policy not in ("keep", "skip"):
             raise ValueError("geo_block_policy: keep|skip")
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError("seen_filter: bloom|cuckoo")

@@ -80,11 +80,14 @@ class CrawlDriver:
         self.robots = robots
         self.cfg = cfg
         self.store = CheckpointStore(checkpoint_dir)
-        self.bloom = (
-            BloomSeenFilter(cfg.bloom_buckets, cfg.bloom_bits)
-            if cfg.use_bloom
-            else None
-        )
+        if not cfg.use_bloom:
+            self.bloom = None
+        elif cfg.seen_filter == "cuckoo":
+            from ..operators.cuckoo import CuckooSeenFilter
+
+            self.bloom = CuckooSeenFilter(cfg.bloom_buckets, cfg.cuckoo_buckets)
+        else:
+            self.bloom = BloomSeenFilter(cfg.bloom_buckets, cfg.bloom_bits)
         self.stats: list[RoundStats] = []
 
     # -- lifecycle -------------------------------------------------------------
@@ -306,7 +309,25 @@ class CrawlDriver:
             new_bloom = self.bloom.insert(bloom_state, new_children.select("url"))
             staging.write_replace("bloom_state", new_bloom)
 
-        # 10. metrics — every number came off an Observation riding a write;
+        # 10. per-partition lineage: fetched/failed/new counts keyed by the
+        #     url-hash bucket each row lives in — one slim agg over the
+        #     already-materialized deltas per round. This is the audit trail
+        #     that says WHICH partition of the seen/results space each
+        #     round's rows landed in (Iceberg file-manifest stand-in).
+        bucket = F.pmod(F.xxhash64("url"), F.lit(cfg.bloom_buckets)).cast("int")
+        part_delta = (
+            fetched.select(bucket.alias("bucket"), F.lit("fetched").alias("kind"))
+            .unionByName(failed.select(bucket.alias("bucket"), F.lit("failed").alias("kind")))
+            .unionByName(
+                new_children.select(bucket.alias("bucket"), F.lit("enqueued").alias("kind"))
+            )
+            .groupBy("bucket", "kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("round", F.lit(round_no))
+        )
+        staging.write_append("partition_metrics", part_delta)
+
+        # 11. metrics — every number came off an Observation riding a write;
         #     the history lives in the commit pointer (one JSON, no extra
         #     parquet job per round), materialized on demand by metrics()
         stats = RoundStats(
@@ -380,6 +401,11 @@ class CrawlDriver:
         except FileNotFoundError:
             pass
         return log
+
+    def partition_metrics(self) -> DataFrame:
+        """Per-(round, url-bucket) lineage counts (kind ∈ fetched/failed/
+        enqueued) — which partition of the url space each round touched."""
+        return self.store.read(self.spark, "partition_metrics")
 
     def metrics(self) -> DataFrame:
         hist = (self.store.latest_meta() or {}).get("metrics_history", [])

@@ -42,8 +42,10 @@ def _bucketed_pages(spark, n_pages: int):
     deterministic in n_pages)."""
     from distributed_crawl_spark import corpus
 
-    cache = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
+    cache = os.environ.get("SPARK_GRAFT_PAGES_CACHE", "/tmp/bench_pages_cache")
     base = cache or tempfile.mkdtemp(prefix="bench_pages_")
+    if cache:
+        os.makedirs(base, exist_ok=True)
     name = f"bench_pages_{n_pages}_b{N_BUCKETS}"
     pages_dir = os.path.join(base, name)
     if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):

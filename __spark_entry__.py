@@ -717,14 +717,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ts, event_id LIMIT 100""",
         "level_stats": """
             SELECT l_linenumber AS level, count(*) AS n_total,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY 1""",
         "error_histogram": """
             SELECT event_type, substr(props, 1, 8) AS props_prefix, count(*) AS n
             FROM events GROUP BY 1, 2""",
         "content_stats": """
-            SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    CAST(floor(sum(n_chars) / count(*) * 10000) AS BIGINT) AS avg_chars_x1e4,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents""",
@@ -779,11 +779,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
         "session_counters": """
             SELECT count(*) AS total,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                   count(*)
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(count(*)
                      - sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                     - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_other,
+                     - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
                    CAST(floor(
                      (sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                       + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
@@ -863,7 +863,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT doc_id,
-                   sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY 1""",
         "dedup_embedding": """
             WITH v AS (
@@ -963,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   sum((({_MD5I48.format(x='tok')} % {P31}) * ((pos * 2654435761) % {P31})) % {P31}) % {P31} AS fingerprint
+                   CAST(sum((({_MD5I48.format(x='tok')} % {P31}) * ((pos * 2654435761) % {P31})) % {P31}) % {P31} AS BIGINT) AS fingerprint
             FROM toks GROUP BY 1""",
         "analyze_stub": f"""
             WITH t AS (SELECT doc_id, substr(text, 1, 4000) AS t4 FROM documents),

@@ -18,6 +18,47 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# Spark simpleString dtype -> DuckDB type names that hash identically on the
+# driver side.  The driver stringifies values after a pandas round-trip, so
+# the whole int64-and-under family collapses to the same hash — but DuckDB
+# HUGEINT (int128, what an uncast integer sum() returns) converts to float64
+# and hashes differently even when numerically equal.  This gate must reject
+# exactly what the driver rejects: HUGEINT against any Spark integer type.
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+         "UTINYINT", "USMALLINT", "UINTEGER"}
+_DTYPE_OK = {
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "binary": {"BLOB"},
+}
+
+
+def dtype_mismatches(scols, sdtypes, dcols, dtypes_duck):
+    """Return [(col, spark_type, duck_type)] where the oracle's DuckDB column
+    type would hash differently from the Spark column type."""
+    sm = {c.lower(): t for c, t in zip(scols, sdtypes)}
+    dm = {c.lower(): str(t) for c, t in zip(dcols, dtypes_duck)}
+    bad = []
+    for c, st in sm.items():
+        dt = dm.get(c)
+        if dt is None:
+            continue
+        ok = _DTYPE_OK.get(st)
+        if st.startswith(("array", "struct", "map", "decimal")):
+            continue  # nested/decimal: values-only compare (driver stringifies)
+        if ok is not None and dt.upper() not in ok:
+            bad.append((c, st, dt))
+    return bad
+
+
 def normalize(rows, cols):
     out = []
     for row in rows:
@@ -88,6 +129,11 @@ def main() -> int:
             continue
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        bad = dtype_mismatches(scols, [t for _, t in sdf.dtypes], dcols, rel.types)
+        if bad:
+            print(f"FAIL {name}: dtype mismatch {bad}")
             n_fail += 1
             continue
         if len(srows) != len(drows):

@@ -43,6 +43,12 @@ class CrawlConfig:
     # slices too large to broadcast.
     fetch_join_strategy: str = "broadcast"
 
+    # Fold url_seen/crawl_results/... append deltas into one delta (and gc
+    # dead version dirs) every K completed rounds, so a read stops paying
+    # O(rounds) parquet-dir unions. None disables (read amplification grows
+    # linearly with rounds — only for short crawls / debugging).
+    compact_every: int | None = 16
+
     # loop bounds
     max_rounds: int = 100
 
@@ -59,3 +65,5 @@ class CrawlConfig:
             raise ValueError("geo_block_policy: keep|skip")
         if self.seen_filter not in ("bloom", "cuckoo"):
             raise ValueError("seen_filter: bloom|cuckoo")
+        if self.compact_every is not None and self.compact_every < 1:
+            raise ValueError("compact_every >= 1 or None")

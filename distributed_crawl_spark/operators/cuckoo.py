@@ -149,6 +149,12 @@ class CuckooSeenFilter:
 
     # -- dataframe API ------------------------------------------------------------
 
+    @property
+    def format(self) -> str:
+        """Hash scheme + geometry stamp for persisted state (see
+        BloomSeenFilter.format) — mismatched probes mean false negatives."""
+        return f"cuckoo/xxhash64-fp16/parts={self.n_partitions}/buckets={self.m_buckets}"
+
     def empty_state(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame([], CUCKOO_STATE_SCHEMA)
 

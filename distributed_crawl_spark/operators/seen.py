@@ -86,6 +86,14 @@ class BloomSeenFilter:
         self.n_buckets = n_buckets
         self.m_bits = m_bits
 
+    @property
+    def format(self) -> str:
+        """Identifies the hash scheme + geometry a persisted state was built
+        with. Probing bitmaps with a different scheme yields false negatives
+        (silent re-enqueue of crawled URLs), so the driver stamps this in the
+        checkpoint pointer and rebuilds from url_seen on mismatch."""
+        return f"bloom/xxhash64-km{_K_HASHES}/buckets={self.n_buckets}/bits={self.m_bits}"
+
     def empty_state(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame([], BLOOM_STATE_SCHEMA)
 

@@ -47,10 +47,20 @@ _TIMING = bool(os.environ.get("CRAWL_TIMING"))
 class Staging:
     """One in-progress snapshot. Nothing is visible until finalize()."""
 
-    def __init__(self, store: "CheckpointStore", version: int, tables: dict):
+    def __init__(
+        self,
+        store: "CheckpointStore",
+        version: int,
+        tables: dict,
+        prior_extra: dict | None = None,
+    ):
         self.store = store
         self.version = version
         self.tables = tables  # carried-forward pointer state, mutated here
+        # Non-table pointer meta (round, metrics, metrics_history, ...) is
+        # carried forward through every commit unless finalize() overrides a
+        # key — a maintenance commit (compact) must not wipe crawl state.
+        self.prior_extra = dict(prior_extra or {})
         self.vdir = store._version_dir(version)
         if self.vdir.exists():  # leftover of a crashed round — discard
             shutil.rmtree(self.vdir)
@@ -81,7 +91,12 @@ class Staging:
         return df.sparkSession.read.parquet(path)
 
     def finalize(self, meta: dict | None = None) -> int:
-        pointer = {"version": self.version, "tables": self.tables, **(meta or {})}
+        pointer = {
+            **self.prior_extra,
+            "version": self.version,
+            "tables": self.tables,
+            **(meta or {}),
+        }
         tmp = self.store.root / f".{CheckpointStore.POINTER}.tmp"
         tmp.write_text(json.dumps(pointer, sort_keys=True))
         os.replace(tmp, self.store.root / CheckpointStore.POINTER)
@@ -112,7 +127,10 @@ class CheckpointStore:
         meta = self.latest_meta()
         version = 0 if meta is None else meta["version"] + 1
         tables = dict(meta["tables"]) if meta else {}
-        return Staging(self, version, tables)
+        extra = {
+            k: v for k, v in (meta or {}).items() if k not in ("version", "tables")
+        }
+        return Staging(self, version, tables, prior_extra=extra)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         meta = self.latest_meta()
@@ -129,16 +147,21 @@ class CheckpointStore:
         meta = self.latest_meta()
         if meta is None:
             return
+        todo = [
+            name
+            for name, entry in meta["tables"].items()
+            if entry["mode"] == "append"
+            and len(entry["versions"]) >= 2  # single delta = nothing to fold
+            and (names is None or name in names)
+        ]
+        if not todo:
+            return
         staging = self.begin()
-        for name, entry in meta["tables"].items():
-            if entry["mode"] != "append":
-                continue
-            if names is not None and name not in names:
-                continue
+        for name in todo:
             df = self.read(spark, name)
             staging._write(name, df)
             staging.tables[name] = {"mode": "append", "versions": [staging.version]}
-        staging.finalize({"compaction": True})
+        staging.finalize({"last_compaction": staging.version})
 
     def gc(self, keep_last: int = 2) -> None:
         """Drop version dirs not referenced by the pointer and older than

@@ -103,17 +103,32 @@ class CrawlDriver:
                 self.bloom.empty_state(self.spark), frontier.select("url")
             )
             staging.write_replace("bloom_state", state)
-        staging.finalize({"round": -1})
+        staging.finalize(
+            {
+                "round": -1,
+                "seen_filter_format": self.bloom.format if self.bloom else None,
+            }
+        )
 
     def run(self, seeds: DataFrame | None = None) -> list[RoundStats]:
         """Full crawl: start (unless resuming) then loop until the frontier
         drains or max_rounds."""
         if seeds is not None:
             self.start(seeds)
+        else:
+            self._check_seen_filter()
         round_no = self._next_round()
+        k = self.cfg.compact_every
         while round_no < self.cfg.max_rounds:
             stats = self.run_round(round_no)
             self.stats.append(stats)
+            # Periodic maintenance commit: fold the append logs so url_seen/
+            # crawl_results reads union O(compact_every) deltas instead of
+            # O(rounds), then drop unreferenced version dirs. Pointer meta
+            # (round, metrics_history) is carried through the commit.
+            if k is not None and (round_no + 1) % k == 0:
+                self.store.compact(self.spark)
+                self.store.gc()
             if stats.new_frontier == 0 and self._frontier_empty():
                 break
             round_no += 1
@@ -122,6 +137,26 @@ class CrawlDriver:
     def resume(self) -> list[RoundStats]:
         """Continue from the latest committed snapshot."""
         return self.run(seeds=None)
+
+    def _check_seen_filter(self) -> None:
+        """Persisted seen-filter bitmaps are valid only for the exact hash
+        scheme + geometry that built them — probing with different code
+        yields false negatives, and filter_unseen's definite-new branch
+        would silently re-enqueue already-crawled URLs. On a format
+        mismatch (old checkpoint, changed config), rebuild the filter from
+        the exact url_seen log and stamp the new format."""
+        if not self.bloom:
+            return
+        meta = self.store.latest_meta()
+        if meta is None or meta.get("seen_filter_format") == self.bloom.format:
+            return
+        state = self.bloom.insert(
+            self.bloom.empty_state(self.spark),
+            self.store.read(self.spark, "url_seen").select("url").distinct(),
+        )
+        staging = self.store.begin()
+        staging.write_replace("bloom_state", state)
+        staging.finalize({"seen_filter_format": self.bloom.format})
 
     def _next_round(self) -> int:
         meta = self.store.latest_meta()
@@ -187,13 +222,32 @@ class CrawlDriver:
             F.count(F.lit(1)).alias("n_ok"),
             F.sum(F.col("geo_blocked").cast("long")).alias("n_geo"),
         )
-        fetched = staging.write_append("crawl_results", hits)
-        m_fetch = obs_fetch.get
-        n_ok = int(m_fetch["n_ok"] or 0)
-        n_geo = int(m_fetch["n_geo"] or 0)
+        # F8 geo-block routing at the write boundary (hybrid_crawler.py:
+        # 592-643): under 'skip' the reference's disable_lambda path logs the
+        # error and never stores the result — so geo rows must not reach the
+        # durable crawl_results log. Stage the extraction output once, then
+        # append only the clean slice (a parquet→parquet projection copy;
+        # extraction still runs exactly once). Under 'keep' (default) the
+        # single direct append stands.
+        if cfg.geo_block_policy == "skip":
+            attempted = staging.write_replace("_round_hits", hits)
+            m_fetch = obs_fetch.get
+            n_ok = int(m_fetch["n_ok"] or 0)
+            n_geo = int(m_fetch["n_geo"] or 0)
+            ok = staging.write_append(
+                "crawl_results", attempted.filter(~F.col("geo_blocked"))
+            )
+            geo_skipped = attempted.filter(F.col("geo_blocked"))
+            n_ok -= n_geo
+        else:
+            attempted = staging.write_append("crawl_results", hits)
+            m_fetch = obs_fetch.get
+            n_ok = int(m_fetch["n_ok"] or 0)
+            n_geo = int(m_fetch["n_geo"] or 0)
+            ok, geo_skipped = attempted, attempted.limit(0)
 
         obs_miss = Observation()
-        misses = fetch_misses(selected, fetched).withColumn(
+        misses = fetch_misses(selected, attempted).withColumn(
             "round", F.lit(round_no)
         )
         misses = misses.observe(
@@ -206,15 +260,6 @@ class CrawlDriver:
         misses = staging.write_append("miss_log", misses)
         n_failed = int(obs_miss.get["n_failed"] or 0)
 
-        # F8 geo-block routing: 'skip' = don't follow links, log + mark
-        # (the reference's disable_lambda path, hybrid_crawler.py:592-616);
-        # 'keep' = content stays, tagged method='local_geo_blocked' (R3)
-        if cfg.geo_block_policy == "skip" and n_geo > 0:
-            ok = fetched.filter(~F.col("geo_blocked"))
-            geo_skipped = fetched.filter(F.col("geo_blocked"))
-            n_ok -= n_geo
-        else:
-            ok, geo_skipped = fetched, fetched.limit(0)
         bumped = misses.withColumn("attempt", F.col("attempt") + 1)
         retry = bumped.filter(F.col("attempt") < cfg.retry_attempts).select(
             *FRONTIER_COLS
@@ -316,7 +361,7 @@ class CrawlDriver:
         #     round's rows landed in (Iceberg file-manifest stand-in).
         bucket = F.pmod(F.xxhash64("url"), F.lit(cfg.bloom_buckets)).cast("int")
         part_delta = (
-            fetched.select(bucket.alias("bucket"), F.lit("fetched").alias("kind"))
+            attempted.select(bucket.alias("bucket"), F.lit("fetched").alias("kind"))
             .unionByName(failed.select(bucket.alias("bucket"), F.lit("failed").alias("kind")))
             .unionByName(
                 new_children.select(bucket.alias("bucket"), F.lit("enqueued").alias("kind"))

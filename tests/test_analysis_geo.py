@@ -76,3 +76,8 @@ def test_geo_policy_routing(spark, tmp_path):
                 e.reason == "geo_blocked" and "location not permitted" in e.preview
                 for e in errs
             )
+            # disable_lambda parity: the skipped page's content must never
+            # reach the durable results log (only errors/url_seen)
+            assert drv.results().filter(F.col("url") == geo_url).count() == 0
+            stored = drv.store.read(spark, "crawl_results")
+            assert stored.filter(F.col("geo_blocked")).count() == 0

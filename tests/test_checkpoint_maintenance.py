@@ -1,0 +1,142 @@
+"""Checkpoint maintenance: compaction folds append deltas without losing
+pointer meta (round / metrics_history), the driver auto-compacts every
+``compact_every`` rounds so reads stop paying O(rounds) unions, and a
+seen-filter format change triggers a rebuild from url_seen on resume
+instead of silently probing stale bitmaps."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark import corpus
+from distributed_crawl_spark.config import CrawlConfig
+from distributed_crawl_spark.streaming.checkpoint import CheckpointStore
+from distributed_crawl_spark.streaming.driver import CrawlDriver
+
+
+def _versions(store: CheckpointStore, table: str) -> list[int]:
+    return store.latest_meta()["tables"][table]["versions"]
+
+
+def test_compact_carries_pointer_meta(spark, tmp_path):
+    """compact() must not wipe round/metrics_history (a maintenance commit
+    carries prior pointer meta forward)."""
+    drv = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=3, max_rounds=8, host_budget=2, compact_every=None),
+        str(tmp_path / "ck"),
+    )
+    drv.run(corpus.tiny_seeds(spark))
+    before = drv.store.latest_meta()
+    assert len(before["metrics_history"]) >= 2
+    assert len(_versions(drv.store, "url_seen")) >= 2
+
+    drv.store.compact(spark)
+    after = drv.store.latest_meta()
+    assert after["round"] == before["round"]
+    assert after["metrics_history"] == before["metrics_history"]
+    assert after["last_compaction"] == after["version"]
+    assert len(_versions(drv.store, "url_seen")) == 1
+    # resume numbering unaffected by the maintenance commit
+    resumed = CrawlDriver(
+        spark, corpus.tiny_pages(spark), None,
+        CrawlConfig(max_levels=3, max_rounds=8, host_budget=2), str(tmp_path / "ck"),
+    )
+    assert resumed._next_round() == before["round"] + 1
+
+
+def test_compact_preserves_table_contents(spark, tmp_path):
+    drv = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=3, max_rounds=8, host_budget=2, compact_every=None),
+        str(tmp_path / "ck"),
+    )
+    drv.run(corpus.tiny_seeds(spark))
+    seen_before = {
+        tuple(r) for r in drv.store.read(spark, "url_seen").collect()
+    }
+    results_before = {
+        (r.url, r.md_hash) for r in drv.results().collect()
+    }
+    drv.store.compact(spark)
+    drv.store.gc()
+    assert {
+        tuple(r) for r in drv.store.read(spark, "url_seen").collect()
+    } == seen_before
+    assert {(r.url, r.md_hash) for r in drv.results().collect()} == results_before
+    # idempotent: a second compact with single deltas is a no-op commit-wise
+    v = drv.store.latest_version()
+    drv.store.compact(spark)
+    assert drv.store.latest_version() == v
+
+
+def test_driver_auto_compacts(spark, tmp_path):
+    """With compact_every=2, the url_seen union width is bounded by the
+    interval (+1 for the in-flight delta), not by the round count."""
+    drv = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=4, max_rounds=10, host_budget=1, compact_every=2),
+        str(tmp_path / "ck"),
+    )
+    stats = drv.run(corpus.tiny_seeds(spark))
+    assert len(stats) >= 3
+    assert len(_versions(drv.store, "url_seen")) <= 3
+    meta = drv.store.latest_meta()
+    assert len(meta["metrics_history"]) == len(stats)
+    # equivalent to a never-compacted run
+    plain = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=4, max_rounds=10, host_budget=1, compact_every=None),
+        str(tmp_path / "plain"),
+    )
+    plain.run(corpus.tiny_seeds(spark))
+    assert {
+        (r.url, r.status) for r in drv.current_status().collect()
+    } == {(r.url, r.status) for r in plain.current_status().collect()}
+
+
+def test_seen_filter_rebuild_on_format_change(spark, tmp_path):
+    """Resuming with a different bloom geometry must rebuild the filter from
+    url_seen (not probe stale bitmaps → false negatives → re-enqueue)."""
+    pages = corpus.tiny_pages(spark)
+    cfg_a = CrawlConfig(max_levels=3, max_rounds=8, host_budget=2, bloom_bits=1 << 16)
+    part = CrawlDriver(spark, pages, None, cfg_a, str(tmp_path / "ck"))
+    part.start(corpus.tiny_seeds(spark))
+    part.run_round(0)
+    fmt_a = json.loads((tmp_path / "ck" / "_LATEST").read_text())[
+        "seen_filter_format"
+    ]
+    assert fmt_a.startswith("bloom/")
+
+    cfg_b = CrawlConfig(max_levels=3, max_rounds=8, host_budget=2, bloom_bits=1 << 18)
+    resumed = CrawlDriver(spark, pages, None, cfg_b, str(tmp_path / "ck"))
+    resumed.resume()
+    meta = resumed.store.latest_meta()
+    assert meta["seen_filter_format"] == resumed.bloom.format != fmt_a
+
+    # crawl result equals an uninterrupted run: nothing re-enqueued/lost
+    full = CrawlDriver(spark, pages, None, cfg_a, str(tmp_path / "full"))
+    full.run(corpus.tiny_seeds(spark))
+    assert {
+        (r.url, r.status) for r in resumed.current_status().collect()
+    } == {(r.url, r.status) for r in full.current_status().collect()}
+    # no duplicate fetches: each completed url fetched exactly once
+    dup = (
+        resumed.fetch_log()
+        .filter(F.col("ok"))
+        .groupBy("url")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0

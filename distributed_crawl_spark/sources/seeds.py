@@ -15,6 +15,15 @@ a per-row ``unique_id``:
 All derivations are native Spark SQL expressions (sha1/concat/when);
 only dialect sniffing is driver-side (over the first line, mirroring the
 reference's ``csv.Sniffer`` over the file head).
+
+File-order ``seq`` is assigned DISTRIBUTED (a 10^10-seed bootstrap must
+not funnel through one task): every row is keyed by its file chunk
+(``_metadata.file_path``, ``_metadata.file_block_start``) plus an
+in-scan-partition id; chunk row-counts — one row per ~128 MB input
+split, metadata-sized — are cumulated into per-chunk offsets, and
+``seq = chunk_offset + rank_within_chunk``. The only global ordering
+happens over the chunk-count aggregate, never over the seed rows
+themselves.
 """
 
 from __future__ import annotations
@@ -32,14 +41,54 @@ LONG_ALIASES = ("long", "lng", "longitude")
 ID_ALIASES = ("uniqueid", "unique_id", "id")
 
 
+_ORDER_COLS = ["_fp", "_bs", "_mid"]
+
+
+def _with_order_cols(scan: DataFrame) -> DataFrame:
+    """Attach file-order key columns to a file-source scan: the row's input
+    chunk identity (file path + block start) and an id that increases with
+    read order inside a scan partition (each chunk lives wholly inside one
+    scan partition, so it also increases within the chunk)."""
+    return scan.select(
+        "*",
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.file_block_start").alias("_bs"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+
+
+def _attach_file_order_seq(df: DataFrame) -> DataFrame:
+    """Distributed zipWithIndex in file order.
+
+    Per-chunk row counts are cumulated into starting offsets (the global
+    window here runs over ONE ROW PER INPUT CHUNK — metadata-sized, ~800k
+    rows for a 100 TB seed list — never over the seeds), broadcast back,
+    and each row's seq = its chunk offset + its rank within the chunk.
+    The rank window is partitioned by chunk, so the seed rows themselves
+    never pass through a single-task exchange."""
+    chunks = df.groupBy("_fp", "_bs").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_fp", "_bs").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = chunks.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+    w_rn = Window.partitionBy("_fp", "_bs").orderBy("_mid")
+    return (
+        df.join(F.broadcast(offsets), ["_fp", "_bs"])
+        .withColumn(
+            "seq", (F.col("_off") + F.row_number().over(w_rn) - 1).cast("long")
+        )
+        .drop(*_ORDER_COLS, "_off")
+    )
+
+
 def load_url_list(spark: SparkSession, path: str) -> DataFrame:
     """S1: one URL per line → (url, seq). seq = file order."""
-    lines = spark.read.text(path).select(F.trim("value").alias("url"))
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return (
-        lines.filter(F.length("url") > 0)
-        .withColumn("seq", F.row_number().over(w).cast("long") - 1)
+    lines = _with_order_cols(spark.read.text(path)).select(
+        F.trim("value").alias("url"), *_ORDER_COLS
     )
+    return _attach_file_order_seq(lines.filter(F.length("url") > 0))
 
 
 def _resolve(fieldnames: list[str]) -> dict[str, str | None]:
@@ -81,14 +130,17 @@ def load_seed_csv(
     frontier later as J1).
     """
     sep = delimiter or _sniff_delimiter(spark, path)
-    raw = spark.read.option("header", True).option("sep", sep).csv(path)
-    cols = _resolve(raw.columns)
+    raw0 = spark.read.option("header", True).option("sep", sep).csv(path)
+    orig_cols = raw0.columns
+    raw = _with_order_cols(raw0)
+    cols = _resolve(orig_cols)
     if cols["url"] is None:
         raise ValueError("CSV must contain a 'site' or 'url' column")
 
     # per-cell trim of every string column (reference cleans the whole row)
     df = raw.select(
-        *[F.trim(F.col(f"`{c}`")).alias(c.strip()) for c in raw.columns]
+        *[F.trim(F.col(f"`{c}`")).alias(c.strip()) for c in orig_cols],
+        *_ORDER_COLS,
     )
     urlc = F.col(f"`{cols['url'].strip()}`")
     df = df.filter(urlc.isNotNull() & (urlc != "")).withColumn(
@@ -110,7 +162,4 @@ def load_seed_csv(
     uid = F.when(given != "", given).otherwise(
         F.coalesce(from_coords, U.unique_id_from_url(F.col("url")))
     )
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn("unique_id", uid).withColumn(
-        "seq", F.row_number().over(w).cast("long") - 1
-    )
+    return _attach_file_order_seq(df.withColumn("unique_id", uid))

@@ -116,3 +116,43 @@ def test_url_list_scan(spark, tmp_path):
         ("https://a.test/1", 0),
         ("https://b.test/2", 1),
     ]
+
+
+def test_url_list_multi_chunk_order_and_plan(spark, tmp_path):
+    """seq must equal file order even when the scan splits the file into
+    many input chunks, and the seed rows must never pass through a
+    single-task exchange (the only global ordering allowed is over the
+    chunk-count aggregate — one row per input split)."""
+    path = tmp_path / "seeds.txt"
+    urls = [f"http://h{i % 97}.test/p{i}" for i in range(60_000)]
+    path.write_text("\n".join(urls) + "\n")
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+    try:
+        df = load_url_list(spark, str(path))
+        got = [r.url for r in df.orderBy("seq").collect()]
+        assert got == urls
+        n_parts = spark.read.text(str(path)).rdd.getNumPartitions()
+        assert n_parts >= 4  # the scan really was split
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exactly one SinglePartition exchange: the per-chunk count
+        # aggregate (metadata-sized), never the row stream
+        assert plan.count("SinglePartition") <= 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+
+def test_csv_multi_chunk_seq(spark, tmp_path):
+    path = tmp_path / "seeds.csv"
+    lines = ["site,uniqueid"] + [f"h{i}.test/p,{i:06d}" for i in range(20_000)]
+    path.write_text("\n".join(lines) + "\n")
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = load_seed_csv(spark, str(path))
+        rows = df.orderBy("seq").collect()
+        assert [r.unique_id for r in rows] == [f"{i:06d}" for i in range(20_000)]
+        assert [r.seq for r in rows] == list(range(20_000))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)

@@ -470,6 +470,14 @@ def q_dedup_embedding(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs ≥ 0.4 — the scale path: the
+    self-join is an equi-join on the hyperplane bucket, never all-pairs."""
+    return SIM.embedding_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 10."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -584,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
@@ -874,6 +883,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(list_cosine_similarity(a.e, b.e) * 1000) AS BIGINT) AS cos_m
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.4""",
+        "dedup_embedding_lsh": f"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            comp AS (
+              SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) - 1 AS d FROM v
+            ),
+            planes AS (
+              SELECT j, d,
+                     (CAST('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8) AS BIGINT)
+                      % 2001 - 1000)::DOUBLE AS w
+              FROM (SELECT unnest(generate_series(0, {SIM.N_PLANES - 1})) AS j),
+                   (SELECT unnest(generate_series(0, 63)) AS d)
+            ),
+            proj AS (
+              SELECT vec_id, j, sum(val * w) AS s
+              FROM comp JOIN planes USING (d) GROUP BY 1, 2
+            ),
+            bucket AS (
+              SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+              FROM proj GROUP BY 1
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(va.e, vb.e) * 1000) AS BIGINT) AS cos_m
+            FROM bucket a
+            JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""",
         "ann_topk": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -212,37 +212,46 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash fingerprint per document.
+    """32-bit SimHash fingerprint per document, CLOSED FORM.
 
-    Token hash = md5-prefix int; each bit contributes +tf / -tf by its
-    value; fingerprint bit j = 1 iff the weighted sum > 0. The bit
-    explosion (×32) happens AFTER per-doc token aggregation, so the wide
-    stage is bounded by vocabulary, not corpus size.
+    Token hash = md5-prefix int; bit j of the fingerprint is 1 iff the
+    signed occurrence count (+1 if bit j of the token hash is set, else -1,
+    summed over ALL token occurrences — identical to the classic ±tf over
+    distinct tokens) is positive.
+
+    The whole computation is one ``aggregate`` over the row's token array
+    with an array<long>[bits] accumulator (the doc_fingerprint pattern,
+    textstats.py): no explode, no token shuffle, no ×bits row expansion —
+    per-row projection work only, so the operator scales linearly with
+    corpus bytes. Docs with zero tokens are dropped (parity with the
+    explode-based formulation and the SQL oracle's unnest).
     Returns (doc_id, simhash).
     """
-    spark = docs.sparkSession
-    bit_pos = spark.createDataFrame([(j,) for j in range(bits)], "j INT")
-    toks = (
-        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", md5_int48(F.col("tok")) % F.lit(2**bits))
+    pow2 = F.array(*[F.lit(1 << j) for j in range(bits)]).cast("array<long>")
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(
+        toks, lambda t: md5_int48(t) % F.lit(2**bits)
     )
-    # expr() because the PySpark shiftleft/shiftright wrappers only accept
-    # int literals for the bit count, not a Column.
-    contrib = F.when(
-        F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, F.col("tf")
-    ).otherwise(-F.col("tf"))
-    return (
-        toks.crossJoin(F.broadcast(bit_pos))
-        .groupBy(id_col, "j")
-        .agg(F.sum(contrib).alias("w"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+    # bit-sums: acc[j] += (h has bit j ? 1 : -1), one pass over the tokens
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            pow2,
+            lambda w, p: F.when(w > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return docs.filter(F.size(toks) > 0).select(
+        id_col, fingerprint.alias("simhash")
     )

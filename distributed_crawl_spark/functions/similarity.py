@@ -88,29 +88,35 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def plane_component(j: int, d: int) -> int:
+def plane_component(j: int, d: int, table: int = 0) -> int:
     """Deterministic pseudo-random hyperplane component in [-1000, 1000]:
-    md5-prefix int of 'j_d'. Portable: the DuckDB oracle computes the
+    md5-prefix int of 'j_d' (table 0, the legacy derivation) or 't{t}_j_d'
+    for additional hash tables. Portable: the DuckDB oracle computes the
     identical value as ``CAST('0x'||substr(md5(j||'_'||d),1,8) AS BIGINT)
     % 2001 - 1000``."""
     import hashlib
 
-    h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
+    seed = f"{j}_{d}" if table == 0 else f"t{table}_{j}_{d}"
+    h = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16)
     return h % 2001 - 1000
 
 
-def plane_matrix(n_planes: int, dim: int) -> list[list[int]]:
-    return [[plane_component(j, d) for d in range(dim)] for j in range(n_planes)]
+def plane_matrix(n_planes: int, dim: int, table: int = 0) -> list[list[int]]:
+    return [
+        [plane_component(j, d, table) for d in range(dim)]
+        for j in range(n_planes)
+    ]
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES,
+               table: int = 0) -> Column:
     """Random-hyperplane bucket id: bit j = sign(v · plane_j).
 
     The plane matrix is baked in as literal arrays (it's tiny and
     deterministic), so the bucket is a closed-form zip_with/aggregate over
     the row — no join, no shuffle, embarrassingly parallel, codegen'd.
     """
-    planes = plane_matrix(n_planes, dim)
+    planes = plane_matrix(n_planes, dim, table)
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
         plane = F.array(*[F.lit(float(v)) for v in planes[j]])
@@ -119,30 +125,58 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def _bucket_tagged(df: DataFrame, id_alias: str, vec_alias: str,
+                   id_col: str, vec_col: str, dim: int, n_planes: int,
+                   n_tables: int) -> DataFrame:
+    """(id, vec, tbl, bucket): one row per (vector, hash table). With
+    n_tables=1 this is the single-bucket tagging; more tables multiply the
+    candidate rows (and recall) by T while keeping every join an equi-join
+    on (tbl, bucket)."""
+    buckets = F.array(
+        *[
+            lsh_bucket(F.col(vec_alias), dim, n_planes, table=t)
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        as_double(F.col(vec_col)).alias(vec_alias),
+    ).select(
+        id_alias, vec_alias, F.posexplode(buckets).alias("tbl", "bucket")
+    )
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = N_PLANES, scale: int = 1000,
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, n_tables: int = 1) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
-    hyperplane bucket. The bucket equi-join is the scale move — candidate
-    work per query drops from N to N/2^planes on average.
+    hyperplane bucket(s). The bucket equi-join is the scale move —
+    candidate work per query drops from N to ~T·N/2^planes on average.
+
+    ``n_tables`` > 1 unions candidates from T independent hyperplane sets
+    (classic multi-table LSH): recall rises toward exact at T× the probe
+    cost. A candidate found by several tables is scored once (max over
+    identical cosines).
     Returns (query_id, vec_id, rank, cos).
     """
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
-    c = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    q = _bucket_tagged(
+        queries, "query_id", "qv", id_col, vec_col, dim, n_planes, n_tables
+    )
+    c = _bucket_tagged(
+        vectors, "vec_id", "cv", id_col, vec_col, dim, n_planes, n_tables
+    )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
+    if n_tables > 1:  # same pair from several tables → score once
+        scored = scored.groupBy("query_id", "vec_id").agg(
+            F.max("cos").alias("cos")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -156,9 +190,10 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
                              scale: int = 1000) -> DataFrame:
     """All pairs with cosine ≥ threshold (id_a < id_b).
 
-    Correctness-tier all-pairs join; at scale, route through lsh_bucket
-    first (same pattern as lsh_topk) — kept exact here because the oracle
-    checks exact pair sets. Returns (id_a, id_b, cos).
+    Correctness-tier all-pairs join (the recall baseline for the bucketed
+    variant below); at scale use ``embedding_near_dup_pairs_lsh`` — this
+    exact form is O(n²) and exists for oracle checks and recall
+    measurement only. Returns (id_a, id_b, cos).
     """
     a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
@@ -167,4 +202,39 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.floor(F.col("cos") * scale).cast("long").alias("cos_m"))
+    )
+
+
+def embedding_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.4,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 n_planes: int = N_PLANES, dim: int = 64,
+                                 n_tables: int = 1,
+                                 scale: int = 1000) -> DataFrame:
+    """Near-dup pairs restricted to shared hyperplane buckets — the scale
+    path for threshold-pair dedup.
+
+    The self-join is an equi-join on (tbl, bucket): pair cost is
+    sum-of-squared-bucket-sizes, never all-pairs — the same plan family as
+    minhash_lsh_pairs. Recall vs the exact form is governed by planes (a
+    pair at cosine θ collides in one table with prob (1 - acos(θ)/π)^planes)
+    and multiplied back up by ``n_tables`` independent tables; a pair found
+    by several tables is emitted once. Returns (id_a, id_b, cos_m),
+    id_a < id_b.
+    """
+    a = _bucket_tagged(vectors, "id_a", "va", id_col, vec_col, dim,
+                       n_planes, n_tables)
+    b = _bucket_tagged(vectors, "id_b", "vb", id_col, vec_col, dim,
+                       n_planes, n_tables)
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    if n_tables > 1:
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.col("cos") * scale).cast("long").alias("cos_m"),
     )

@@ -88,3 +88,57 @@ def test_near_dup_pairs(vec_df):
     pairs = SIM.embedding_near_dup_pairs(vec_df, threshold=0.95, id_col="vec_id")
     got = [(r.id_a, r.id_b) for r in pairs.collect()]
     assert got == [(0, 1)]
+
+
+def test_lsh_near_dup_pairs_subset_of_exact(spark, vec_df):
+    """Bucketed near-dup pairs ⊆ exact all-pairs; the planted near-dup
+    (nearly-identical vectors land in the same bucket w.h.p.) is found."""
+    exact = {
+        (r.id_a, r.id_b, r.cos_m)
+        for r in SIM.embedding_near_dup_pairs(
+            vec_df, threshold=0.3
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos_m)
+        for r in SIM.embedding_near_dup_pairs_lsh(
+            vec_df, threshold=0.3, dim=DIM
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (0, 1) in {(a, b) for a, b, _ in lsh}  # planted pair recalled
+
+
+def test_lsh_near_dup_multi_table_recall_monotone(spark, vec_df):
+    """More hash tables can only add pairs (recall is monotone in T) and
+    never duplicates a pair."""
+    sets = []
+    for t in (1, 4):
+        rows = SIM.embedding_near_dup_pairs_lsh(
+            vec_df, threshold=0.3, dim=DIM, n_tables=t
+        ).collect()
+        pairs = [(r.id_a, r.id_b) for r in rows]
+        assert len(pairs) == len(set(pairs))  # emitted once
+        sets.append(set(pairs))
+    assert sets[0] <= sets[1]
+
+
+def test_lsh_topk_multi_table_recall_monotone(spark, vec_df):
+    """recall@5 vs brute force is monotone in the number of hash tables."""
+    v = _vectors()
+    truth = {q: set(np_topk(v, q, 5)) for q in range(5)}
+    queries = vec_df.filter(F.col("vec_id") < 5)
+
+    def recall(n_tables: int) -> float:
+        got: dict[int, set[int]] = {q: set() for q in range(5)}
+        rows = SIM.lsh_topk(
+            vec_df, queries, k=5, dim=DIM, n_planes=2, n_tables=n_tables
+        ).collect()
+        for r in rows:
+            got[r.query_id].add(r.vec_id)
+        hit = sum(len(got[q] & truth[q]) for q in truth)
+        return hit / sum(len(t) for t in truth.values())
+
+    r1, r8 = recall(1), recall(8)
+    assert r1 <= r8
+    assert r8 >= 0.6  # 8 tables x 2 planes: most neighbours recovered

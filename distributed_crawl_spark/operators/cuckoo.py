@@ -90,28 +90,59 @@ class CuckooSeenFilter:
 
     def _insert_np(self, table: np.ndarray, fp: np.ndarray, i1: np.ndarray,
                    n_prev: int) -> None:
+        """Batch insert, vectorized.
+
+        Round-based scatter for the no-collision fast path: each round
+        (a) drops keys already present in either bucket (idempotence, and
+        how batch duplicates resolve), (b) picks each key's first bucket
+        with a free slot, (c) places ONE key per distinct target bucket
+        (first occurrence wins; numpy scatter would otherwise lose
+        conflicting writes) and requeues the rest. Placements only fill
+        slots, so a key whose both buckets are full can never become
+        placeable — those route straight to the per-key kick-chain loop,
+        the only remaining Python loop, sized by residue (rare below ~85%
+        load), not batch."""
         m = self.m_buckets
         tbl = table.reshape(m, SLOTS)
+        fp = fp.astype(np.uint64)
+        i1 = i1.astype(np.int64)
+        pending = np.arange(len(fp))
+        kickers: list[int] = []
+        while len(pending):
+            pf = fp[pending]
+            p1 = i1[pending]
+            p2 = self._alt(p1, pf)
+            f16 = pf.astype(np.uint16)[:, None]
+            present = (tbl[p1] == f16).any(axis=1) | (tbl[p2] == f16).any(axis=1)
+            keep = ~present
+            pending, pf, p1, p2 = pending[keep], pf[keep], p1[keep], p2[keep]
+            if not len(pending):
+                break
+            free1 = (tbl[p1] == 0).any(axis=1)
+            free2 = (tbl[p2] == 0).any(axis=1)
+            can = free1 | free2
+            kickers.extend(pending[~can].tolist())
+            pending, pf = pending[can], pf[can]
+            target = np.where(free1, p1, p2)[can]
+            if not len(pending):
+                break
+            _, sel = np.unique(target, return_index=True)
+            b = target[sel]
+            first_empty = (tbl[b] == 0).argmax(axis=1)
+            tbl[b, first_empty] = pf[sel].astype(np.uint16)
+            placed = np.zeros(len(pending), dtype=bool)
+            placed[sel] = True
+            pending = pending[~placed]
+
+        # kick-chain residue: per-key displacement (deterministic victim)
         kick_seed = n_prev
-        for k in range(len(fp)):
-            f = np.uint16(fp[k])
-            i = int(i1[k])
-            j = int(self._alt(np.array([i]), np.array([f], dtype=np.uint64))[0])
-            placed = False
-            for b in (i, j):
-                empty = np.nonzero(tbl[b] == 0)[0]
-                if len(empty):
-                    tbl[b, empty[0]] = f
-                    placed = True
-                    break
-                if (tbl[b] == f).any():  # already present — idempotent
-                    placed = True
-                    break
-            if placed:
+        for k in kickers:
+            cur, b = np.uint16(fp[k]), int(i1[k])
+            # the key may have become present via a batch duplicate
+            j = int(self._alt(np.array([b]), np.array([cur], dtype=np.uint64))[0])
+            if (tbl[b] == cur).any() or (tbl[j] == cur).any():
                 continue
-            # displace: deterministic pseudo-random victim slot
-            cur, b = f, i
-            for kick in range(MAX_KICKS):
+            for _kick in range(MAX_KICKS):
                 kick_seed = (kick_seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
                 slot = kick_seed % SLOTS
                 victim = tbl[b, slot]
@@ -135,16 +166,37 @@ class CuckooSeenFilter:
         return ((tbl[i1] == f).any(axis=1)) | ((tbl[i2] == f).any(axis=1))
 
     def _delete_np(self, table: np.ndarray, fp: np.ndarray, i1: np.ndarray) -> int:
+        """Batch delete, vectorized round-based like _insert_np: per round,
+        locate each key's fingerprint (primary bucket preferred), clear one
+        slot per distinct target bucket (conflicting same-bucket deletes
+        requeue so each key removes exactly one instance), drop
+        not-present keys."""
         tbl = table.reshape(self.m_buckets, SLOTS)
+        fp = fp.astype(np.uint64)
+        i1 = i1.astype(np.int64)
         removed = 0
-        for k in range(len(fp)):
-            f = np.uint16(fp[k])
-            for b in (int(i1[k]), int(self._alt(np.array([i1[k]]), np.array([fp[k]], dtype=np.uint64))[0])):
-                hit = np.nonzero(tbl[b] == f)[0]
-                if len(hit):
-                    tbl[b, hit[0]] = 0
-                    removed += 1
-                    break
+        pending = np.arange(len(fp))
+        while len(pending):
+            pf = fp[pending]
+            p1 = i1[pending]
+            p2 = self._alt(p1, pf)
+            f16 = pf.astype(np.uint16)[:, None]
+            in1 = (tbl[p1] == f16).any(axis=1)
+            in2 = (tbl[p2] == f16).any(axis=1)
+            found = in1 | in2
+            pending, pf = pending[found], pf[found]
+            if not len(pending):
+                break
+            bucket = np.where(in1, p1, p2)[found]
+            _, sel = np.unique(bucket, return_index=True)
+            b = bucket[sel]
+            f16s = pf[sel].astype(np.uint16)
+            slot = (tbl[b] == f16s[:, None]).argmax(axis=1)
+            tbl[b, slot] = 0
+            removed += len(sel)
+            done = np.zeros(len(pending), dtype=bool)
+            done[sel] = True
+            pending = pending[~done]
         return removed
 
     # -- dataframe API ------------------------------------------------------------

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -103,6 +104,7 @@ ROUND_METRICS_SCHEMA = StructType(
         StructField("robots_denied", LongType(), False),
         StructField("geo_blocked_skipped", LongType(), False),
         StructField("new_frontier", LongType(), False),
+        StructField("seconds", DoubleType(), False),  # round wall time (A6)
     ]
 )
 

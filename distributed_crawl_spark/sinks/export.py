@@ -64,11 +64,19 @@ def content_stats(results: DataFrame) -> DataFrame:
     )
 
 
-def session_summary(driver, path: str | None = None) -> dict:
+def session_summary(driver, path: str | None = None,
+                    detail: bool = False) -> dict:
     """K5: the reference's crawl_summary JSON, from the checkpoint state.
 
     Mirrors hybrid_crawler.py:749-771 keys: totals + success rate (A1/A2),
-    per-level stats, error histogram, content stats, per-round lineage.
+    per-level stats, error histogram, content stats, per-round lineage,
+    plus the A6 rate/ETA block (utils.py:819-833).
+
+    ``detail=True`` also embeds the reference's ``detailed_results``
+    (utils.py:741-756): per-URL status rows and the successful-crawl
+    result rows — minus the extracted ``text`` itself, which lives in the
+    results table / K7 mirror (embedding page bodies in a JSON summary
+    does not survive scale; every other reference field is present).
     """
     status = driver.current_status()
     by_status = {
@@ -89,11 +97,31 @@ def session_summary(driver, path: str | None = None) -> dict:
         "content": [r.asDict() for r in content_stats(driver.results()).collect()],
         "rounds": [r.asDict() for r in driver.metrics().collect()],
     }
+    summary["progress"] = driver.progress()
     try:
         errs = driver.store.read(driver.spark, "errors")
         summary["errors"] = [r.asDict() for r in error_histogram(errs).collect()]
     except FileNotFoundError:
         summary["errors"] = []
+    if detail:
+        summary["detailed_results"] = {
+            "status_by_url": {
+                r["url"]: {
+                    "status": r["status"],
+                    "level": r["level"],
+                    "attempts": r["attempt"],
+                    "parent_url": r["parent_url"],
+                }
+                for r in status.collect()
+            },
+            "successful_crawls": {
+                r["url"]: {
+                    k: v for k, v in r.asDict().items()
+                    if k not in ("url", "text", "extracted_links")
+                }
+                for r in driver.results().collect()
+            },
+        }
     if path is not None:
         Path(path).write_text(json.dumps(summary, indent=2, default=str))
     return summary

@@ -63,6 +63,7 @@ class RoundStats:
     robots_denied: int
     geo_blocked_skipped: int
     new_frontier: int
+    seconds: float = 0.0  # round wall time — feeds rate/ETA (A6)
 
 
 class CrawlDriver:
@@ -107,6 +108,9 @@ class CrawlDriver:
             {
                 "round": -1,
                 "seen_filter_format": self.bloom.format if self.bloom else None,
+                # bootstrap-only parquet count; progress() needs the
+                # denominator and round metrics never re-count seeds
+                "n_seeds": frontier.count(),
             }
         )
 
@@ -174,6 +178,9 @@ class CrawlDriver:
         ``Observation`` on a write that happens anyway — a round runs NO
         standalone count jobs (at 10^10-frontier scale a stray count is a
         full table scan)."""
+        import time as _time
+
+        t0 = _time.monotonic()
         spark, cfg = self.spark, self.cfg
         frontier = self.store.read(spark, "frontier")
         staging = self.store.begin()
@@ -385,6 +392,7 @@ class CrawlDriver:
             robots_denied=n_denied,
             geo_blocked_skipped=n_geo_skipped,
             new_frontier=n_new,
+            seconds=round(_time.monotonic() - t0, 3),
         )
         history = (self.store.latest_meta() or {}).get("metrics_history", [])
         staging.finalize(
@@ -455,7 +463,40 @@ class CrawlDriver:
     def metrics(self) -> DataFrame:
         hist = (self.store.latest_meta() or {}).get("metrics_history", [])
         rows = [
-            tuple(h.get(f.name, 0) for f in ROUND_METRICS_SCHEMA.fields)
+            tuple(
+                float(h.get(f.name, 0))
+                if f.dataType.typeName() == "double"
+                else h.get(f.name, 0)
+                for f in ROUND_METRICS_SCHEMA.fields
+            )
             for h in hist
         ]
         return self.spark.createDataFrame(rows, schema=ROUND_METRICS_SCHEMA)
+
+    def progress(self) -> dict:
+        """A6 rate/ETA (reference utils.py:819-833 ``log_progress``):
+        completed/total, URLs-per-second over the crawl's round wall time,
+        and the remaining-work ETA at that rate. Derived entirely from the
+        pointer's metrics history + the bootstrap seed count — no table
+        scan."""
+        meta = self.store.latest_meta() or {}
+        hist = meta.get("metrics_history", [])
+        terminal = sum(
+            h.get("fetched", 0)
+            + h.get("failed", 0)
+            + h.get("robots_denied", 0)
+            + h.get("geo_blocked_skipped", 0)
+            for h in hist
+        )
+        total = meta.get("n_seeds", 0) + sum(h.get("urls_seen", 0) for h in hist)
+        elapsed = sum(h.get("seconds", 0.0) for h in hist)
+        rate = terminal / elapsed if elapsed > 0 else 0.0
+        remaining = max(total - terminal, 0)
+        return {
+            "total_urls": total,
+            "current": terminal,
+            "pct": round(terminal / total * 100, 1) if total else 0.0,
+            "elapsed_sec": round(elapsed, 3),
+            "urls_per_sec": round(rate, 2),
+            "eta_sec": round(remaining / rate, 1) if rate > 0 else None,
+        }

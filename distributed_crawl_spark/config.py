@@ -40,8 +40,12 @@ class CrawlConfig:
     # html never shuffles; right whenever the politeness budget bounds the
     # slice below executor memory. 'shuffle': plain partitioned join — for
     # clusters where pages+frontier are co-bucketed by url in Iceberg, or
-    # slices too large to broadcast.
-    fetch_join_strategy: str = "broadcast"
+    # slices too large to broadcast. 'auto' (default): per round, broadcast
+    # iff the observed selected-slice row count is <= broadcast_row_limit
+    # (and a politeness budget exists to bound it at all) — an unbounded
+    # broadcast is an executor/driver OOM, not a perf tradeoff.
+    fetch_join_strategy: str = "auto"
+    broadcast_row_limit: int = 2_000_000  # ~urls only, hundreds of MB tops
 
     # Fold url_seen/crawl_results/... append deltas into one delta (and gc
     # dead version dirs) every K completed rounds, so a read stops paying
@@ -59,8 +63,17 @@ class CrawlConfig:
             raise ValueError("retry_attempts >= 1")
         if self.host_budget is not None and self.host_budget < 1:
             raise ValueError("host_budget >= 1 or None")
-        if self.fetch_join_strategy not in ("broadcast", "shuffle"):
-            raise ValueError("fetch_join_strategy: broadcast|shuffle")
+        if self.fetch_join_strategy not in ("auto", "broadcast", "shuffle"):
+            raise ValueError("fetch_join_strategy: auto|broadcast|shuffle")
+        if self.fetch_join_strategy == "broadcast" and self.host_budget is None:
+            # nothing bounds the round slice in parity mode — broadcasting
+            # the whole pending frontier is an OOM hazard; use auto/shuffle
+            raise ValueError(
+                "fetch_join_strategy='broadcast' requires a host_budget "
+                "(unbounded slice); use 'auto' or 'shuffle'"
+            )
+        if self.broadcast_row_limit < 1:
+            raise ValueError("broadcast_row_limit >= 1")
         if self.geo_block_policy not in ("keep", "skip"):
             raise ValueError("geo_block_policy: keep|skip")
         if self.seen_filter not in ("bloom", "cuckoo"):

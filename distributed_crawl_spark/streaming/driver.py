@@ -203,15 +203,36 @@ class CrawlDriver:
         #    selected and deferred branches are parquet filters over it
         if cfg.host_budget is None:
             selected, deferred, n_deferred = allowed, allowed.limit(0), 0
+            n_selected = None  # unbounded slice — auto must not broadcast
         else:
+            obs_rank = Observation()
             ranked = staging.write_replace(
                 "_round_ranked",
                 rank_frontier(
                     allowed, cfg.host_budget, cfg.salt_threshold, cfg.max_salts
+                ).observe(
+                    obs_rank,
+                    F.sum(
+                        (F.col("rn") <= F.col("lane_budget")).cast("long")
+                    ).alias("n_selected"),
                 ),
             )
             selected, deferred = split_ranked(ranked)
             n_deferred = None  # observed on the frontier write below
+            n_selected = int(obs_rank.get["n_selected"] or 0)
+
+        # Resolve the fetch-join strategy: broadcast only a slice that is
+        # provably bounded (politeness budget exists) and observed small
+        # enough; anything else takes the partitioned/bucketed join.
+        if cfg.fetch_join_strategy == "auto":
+            strategy = (
+                "broadcast"
+                if n_selected is not None
+                and n_selected <= cfg.broadcast_row_limit
+                else "shuffle"
+            )
+        else:
+            strategy = cfg.fetch_join_strategy
 
         # 3. fetch + extract. Hits first: pages stay put (bucket-colocated
         #    or streamed vs a broadcast slice), html never shuffled, the
@@ -222,7 +243,7 @@ class CrawlDriver:
         obs_fetch = Observation()
         hits = fetch_hits(
             selected, self.pages, cfg.max_links, cfg.extract_links,
-            strategy=cfg.fetch_join_strategy,
+            strategy=strategy,
         ).withColumn("round", F.lit(round_no))
         hits = hits.observe(
             obs_fetch,

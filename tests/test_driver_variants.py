@@ -48,3 +48,26 @@ def test_partition_metrics_lineage(spark, tmp_path):
     # buckets must be within the configured url-hash space
     mx = pm.agg(F.max("bucket"), F.min("bucket")).collect()[0]
     assert 0 <= mx[1] and mx[0] < 64
+
+
+def test_auto_strategy_guard_and_equivalence(spark, tmp_path):
+    """'broadcast' with an unbounded slice is rejected; 'auto' picks the
+    shuffle path when the observed slice exceeds broadcast_row_limit and
+    produces the identical crawl either way."""
+    import pytest
+
+    from distributed_crawl_spark.config import CrawlConfig as CC
+
+    with pytest.raises(ValueError, match="broadcast"):
+        CC(fetch_join_strategy="broadcast", host_budget=None).validate()
+    CC(fetch_join_strategy="auto", host_budget=None).validate()  # ok
+
+    small = _run(spark, tmp_path, host_budget=2,
+                 fetch_join_strategy="broadcast")
+    forced = _run(spark, tmp_path, host_budget=2,
+                  fetch_join_strategy="auto", broadcast_row_limit=1,
+                  seen_filter="cuckoo", cuckoo_buckets=1 << 10)
+    assert (
+        {(r.url, r.md_hash) for r in small.results().collect()}
+        == {(r.url, r.md_hash) for r in forced.results().collect()}
+    )

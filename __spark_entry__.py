@@ -451,8 +451,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard near-dup pairs ≥ 0.5 (training-data pipeline)."""
-    return DD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    """3-gram Jaccard near-dup pairs ≥ 0.5 (training-data pipeline).
+
+    max_df=64 exercises the posting-list cap that bounds the inverted-index
+    join's skew at corpus scale (a Zipf-head shingle otherwise produces an
+    O(df²) pair blowup); the oracle applies the same document-frequency
+    filter."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=64
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -826,10 +833,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            cnt AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+            rare AS (
+              SELECT shingle FROM ds GROUP BY 1 HAVING count(*) <= 64
+            ),
+            dsf AS (SELECT ds.* FROM ds JOIN rare USING (shingle)),
+            cnt AS (SELECT doc_id, count(*) AS n_sh FROM dsf GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM dsf a JOIN dsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT id_a, id_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,

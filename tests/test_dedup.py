@@ -117,3 +117,41 @@ def test_simhash_near_dups_are_close(docs_df):
     ham_near = bin(got[0] ^ got[1]).count("1")
     ham_far = bin(got[0] ^ got[2]).count("1")
     assert ham_near < ham_far
+
+
+def test_jaccard_max_df_bounds_zipf_posting_lists(spark):
+    """A Zipf-head (boilerplate) shingle shared by every doc must not blow
+    up the inverted-index join: max_df drops it, collapsing the candidate
+    pair count from O(n_docs²) to the planted near-dups, which are still
+    found with jaccard intact."""
+    import pyspark.sql.functions as F
+
+    n = 120
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique document number {i} body text") for i in range(n)]
+    rows.append((n, rows[0][1]))  # planted exact near-dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def candidate_pairs(max_df):
+        ds = DD.doc_shingles(docs)
+        if max_df is not None:
+            rare = (
+                ds.groupBy("shingle").count()
+                .filter(F.col("count") <= max_df).select("shingle")
+            )
+            ds = ds.join(rare, "shingle")
+        a = ds.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = ds.select(F.col("doc_id").alias("id_b"), "shingle")
+        return (
+            a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct().count()
+        )
+
+    uncapped = candidate_pairs(None)
+    capped = candidate_pairs(10)
+    assert uncapped > n * (n - 1) / 2  # the head shingle pairs everyone
+    assert capped <= 5                  # only the planted dup survives
+
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, n)}
+    assert pairs[0].jaccard_u == 1_000_000  # identical on the rare universe

@@ -113,3 +113,46 @@ def test_config_manager_parity(tmp_path):
 
     with __import__("pytest").raises(FileNotFoundError):
         cm.load_config("nope.json")
+
+
+def test_results_layout_and_markdown_tree(spark, tmp_path):
+    """K3: (host_bucket, round)-partitioned parquet layout with the
+    reference's s3 key scheme + object-metadata columns; literal markdown
+    tree for debug exports (webcrawleranalyzer.py:462-491)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from distributed_crawl_spark.sinks.layout import (
+        export_markdown_tree,
+        export_results_layout,
+    )
+
+    drv = _run(spark, tmp_path)
+    ts = "20260816_120000"
+    out = tmp_path / "layout"
+    export_results_layout(drv.results(), str(out), ts)
+
+    # physical partition dirs exist → storage-level pruning works
+    assert list(out.glob("host_bucket=*/round=*"))
+    back = spark.read.parquet(str(out))
+    n = drv.results().count()
+    assert back.count() == n
+    assert {"host_bucket", "round", "s3_key", "original_url",
+            "md_hash", "page_slug", "crawled_at"} <= set(back.columns)
+    row = back.filter(F.col("md_hash").isNotNull()).collect()[0]
+    assert re.fullmatch(
+        rf"markdown/{re.escape(row.page_slug)}/"
+        rf"{re.escape(row.md_hash)}_{re.escape(row.page_slug)}_{ts}\.md",
+        row.s3_key,
+    )
+    # reading one partition prunes to that partition's rows
+    hb = row.host_bucket
+    pruned = spark.read.parquet(str(out)).filter(F.col("host_bucket") == hb)
+    assert 0 < pruned.count() <= n
+
+    tree = tmp_path / "tree"
+    n_files = export_markdown_tree(drv.results(), str(tree), ts)
+    files = list(tree.glob("markdown/*/*.md"))
+    assert len(files) == n_files > 0
+    assert (tree / row.s3_key).read_text() != ""

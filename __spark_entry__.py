@@ -497,6 +497,14 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat approximate top-5: 32 seeded coarse cells, 4 probed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=4
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-lexicon language ID + per-language scores."""
     docs = _t(spark, sf_dir, "documents")
@@ -602,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -970,6 +979,42 @@ def oracle_sql() -> dict[str, str]:
               JOIN v qv ON qv.vec_id = q.vec_id
               JOIN v cv ON cv.vec_id = c.vec_id
               WHERE q.vec_id < 10
+            )
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+                   CAST(floor(cos * 1000) AS BIGINT) AS cos_m
+            FROM scored
+            QUALIFY rank <= 5""",
+        "ann_ivf": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS cell_id, e AS ce FROM v
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32
+            ),
+            cand AS (
+              SELECT vec_id, e, cell_id FROM (
+                SELECT v.vec_id, v.e, c.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cell_id) AS rn
+                FROM v CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            qs AS (
+              SELECT vec_id AS query_id, e, cell_id FROM (
+                SELECT v.vec_id, v.e, c.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cell_id) AS rn
+                FROM v CROSS JOIN cent c WHERE v.vec_id < 10)
+              WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(q.e, c.e) AS cos
+              FROM cand c JOIN qs q USING (cell_id)
+              WHERE c.vec_id != q.query_id
             )
             SELECT query_id, vec_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,

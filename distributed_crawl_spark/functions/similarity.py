@@ -1,6 +1,6 @@
 """Embedding similarity search over array<float> columns.
 
-Two tiers, both pure DataFrame plans:
+Three tiers, all pure DataFrame plans:
 
 - **brute-force cosine top-k** — the correctness baseline. Query set joins
   the candidate set (broadcast when the query side is small, the usual
@@ -14,6 +14,12 @@ Two tiers, both pure DataFrame plans:
   sign-bit bucket; candidates are compared only within the query's bucket.
   At 10^10 vectors the bucket join replaces the full scan; recall is tuned
   by the number of planes (fewer planes → bigger buckets → higher recall).
+
+- **IVF-Flat (inverted file)** — the other classic scale path. Vectors are
+  assigned to the nearest of K coarse centroids (one cell each); queries
+  probe their nprobe nearest cells and rank exactly within them. The
+  codebook is any small (cell_id, centroid) table — trained offline at
+  scale, a deterministic md5-seeded sample here so the oracle reproduces.
 
 All arithmetic is double-precision and reproducible in ANSI SQL so the
 DuckDB oracle verifies values, not just shapes. Cosines are floor-scaled
@@ -182,6 +188,96 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.floor(F.col("cos") * scale).cast("long").alias("cos_m"))
+    )
+
+
+def seed_centroids(vectors: DataFrame, n_cells: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse-quantizer codebook for IVF: the ``n_cells``
+    vectors with the smallest md5(id) — a portable, stride-free random
+    sample (both engines order the same hex strings the same way).
+
+    On a real corpus you'd train the codebook offline with k-means and
+    hand it in as a table; every IVF plan below takes *any* (cell_id,
+    centroid) table. The seeded sample is the deterministic stand-in that
+    keeps the oracle reproducible. Returns (cell_id, centroid).
+    """
+    return (
+        vectors.select(
+            F.col(id_col).alias("cell_id"),
+            as_double(F.col(vec_col)).alias("centroid"),
+        )
+        .orderBy(F.md5(F.col("cell_id").cast("string").cast("binary")),
+                 F.col("cell_id"))
+        .limit(n_cells)
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               out_id: str = "vec_id", out_vec: str = "v") -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    The centroid table is broadcast (it's tiny by construction — K rows),
+    so the K-fan-out never shuffles the vector side; the argmin is a
+    window over the per-vector K-row expansion. Ties break on cell_id
+    ascending (deterministic). Returns (out_id, out_vec, cell_id).
+    """
+    from pyspark.sql.window import Window
+
+    v = vectors.select(
+        F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec)
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", cosine(F.col(out_vec), F.col("centroid"))
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select(out_id, out_vec, "cell_id")
+    )
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 32, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             scale: int = 1000,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-Flat approximate top-k: candidates live in exactly one inverted
+    cell; each query probes its ``nprobe`` nearest cells and ranks exactly
+    within them.
+
+    The scale shape: candidate assignment is a one-time broadcast fan-out
+    (at 10^10 vectors the cell column is materialized once, with the
+    table partitioned BY cell so a probe is a partition-pruned scan);
+    query-time cost is nprobe/n_cells of the corpus instead of all of it.
+    Recall rises monotonically with nprobe and hits exact at
+    nprobe = n_cells. A (query, candidate) pair is seen at most once —
+    candidates have one cell — so no dedup stage is needed.
+    Returns (query_id, vec_id, rank, cos_m).
+    """
+    from pyspark.sql.window import Window
+
+    cent = centroids if centroids is not None else seed_centroids(
+        vectors, n_cells, id_col, vec_col
+    )
+    c = ivf_assign(vectors, cent, nprobe=1, id_col=id_col, vec_col=vec_col,
+                   out_id="vec_id", out_vec="cv")
+    q = ivf_assign(queries, cent, nprobe=nprobe, id_col=id_col,
+                   vec_col=vec_col, out_id="query_id", out_vec="qv")
+    scored = (
+        c.join(F.broadcast(q), ["cell_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank",
+                F.floor(F.col("cos") * scale).cast("long").alias("cos_m"))
     )
 
 

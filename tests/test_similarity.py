@@ -142,3 +142,40 @@ def test_lsh_topk_multi_table_recall_monotone(spark, vec_df):
     r1, r8 = recall(1), recall(8)
     assert r1 <= r8
     assert r8 >= 0.6  # 8 tables x 2 planes: most neighbours recovered
+
+
+def test_seed_centroids_deterministic_and_sized(vec_df):
+    c1 = [(r.cell_id,) for r in SIM.seed_centroids(vec_df, 8).collect()]
+    c2 = [(r.cell_id,) for r in SIM.seed_centroids(vec_df, 8).collect()]
+    assert c1 == c2 and len(c1) == 8
+    assert len({c for (c,) in c1}) == 8
+
+
+def test_ivf_assign_one_cell_per_vector(vec_df):
+    cent = SIM.seed_centroids(vec_df, 8)
+    a = SIM.ivf_assign(vec_df, cent, nprobe=1)
+    rows = a.collect()
+    assert len(rows) == N  # exactly one cell per vector
+    cells = {r.cell_id for r in rows}
+    assert cells <= {r.cell_id for r in cent.collect()}
+
+
+def test_ivf_topk_recall_monotone_in_nprobe_and_exact_at_full_probe(vec_df):
+    """recall@5 rises with nprobe; probing every cell IS the exact search."""
+    v = _vectors()
+    truth = {q: set(np_topk(v, q, 5)) for q in range(5)}
+    queries = vec_df.filter(F.col("vec_id") < 5)
+
+    def recall(nprobe: int) -> float:
+        got: dict[int, set[int]] = {q: set() for q in range(5)}
+        rows = SIM.ivf_topk(
+            vec_df, queries, k=5, n_cells=8, nprobe=nprobe
+        ).collect()
+        for r in rows:
+            got[r.query_id].add(r.vec_id)
+        hit = sum(len(got[q] & truth[q]) for q in truth)
+        return hit / sum(len(t) for t in truth.values())
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # nprobe = n_cells → every candidate scanned → exact

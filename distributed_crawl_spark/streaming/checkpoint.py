@@ -82,6 +82,17 @@ class Staging:
         self.tables[name] = {"mode": "replace", "version": self.version}
         return df.sparkSession.read.parquet(path)
 
+    def write_rewrite(self, name: str, df: DataFrame) -> DataFrame:
+        """Rewrite an append table's FULL content as a single new delta —
+        the Iceberg rewrite-with-deletes analog (compaction that drops
+        rows). Used by maintenance flows (recrawl-TTL expiry) that must
+        remove rows from a log; regular rounds only ever append."""
+        path = self._write(name, df)
+        prior = self.tables.get(name, {"mode": "append", "versions": []})
+        assert prior["mode"] == "append", name
+        self.tables[name] = {"mode": "append", "versions": [self.version]}
+        return df.sparkSession.read.parquet(path)
+
     def write_append(self, name: str, df: DataFrame) -> DataFrame:
         path = self._write(name, df)
         entry = self.tables.get(name, {"mode": "append", "versions": []})

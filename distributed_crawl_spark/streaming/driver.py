@@ -425,6 +425,111 @@ class CrawlDriver:
         )
         return stats
 
+    # -- recrawl TTL ---------------------------------------------------------------
+
+    def expire(self, ttl_rounds: int, requeue: bool = False) -> int:
+        """Recrawl-TTL maintenance commit: URLs whose latest event is
+        ``completed`` more than ``ttl_rounds`` rounds ago become crawlable
+        again. Returns the number of expired URLs.
+
+        Two policies:
+
+        - ``requeue=True`` — *recrawl now*: expired URLs are re-injected
+          into the frontier (attempt reset, original FIFO ``seq`` kept so
+          recrawls keep their original ordering) with a fresh ``pending``
+          event. The seen filter is untouched — the URL stays
+          ever-enqueued, so organic link rediscovery still dedups against
+          it (it's already queued).
+        - ``requeue=False`` — *forget*: the URL's events are dropped from
+          the ``url_seen`` log (an Iceberg rewrite-with-deletes commit),
+          so the NEXT organic link to it re-enqueues naturally. With the
+          cuckoo seen filter the fingerprints are also deleted, restoring
+          the definite-new fast path; with bloom (non-deletable) the stale
+          bit only costs those URLs the exact-confirm join — correctness
+          always comes from the rewritten exact log. This asymmetry is
+          why the deletable filter exists (operators/cuckoo.py).
+
+        Content history in ``crawl_results`` is never touched; a recrawl
+        appends a newer row and ``current_status``/``results`` consumers
+        pick by round.
+        """
+        spark = self.spark
+        current = self._next_round()
+        url_seen = self.store.read(spark, "url_seen")
+        rank = F.when(F.col("status") == "pending", 0).otherwise(1)
+        latest = url_seen.groupBy("url").agg(
+            F.max_by(
+                F.struct("status", "level", "parent_url", "seq",
+                         "discovered_round"),
+                F.struct("discovered_round", F.col("attempt"),
+                         rank.alias("rank")),
+            ).alias("w")
+        )
+        due = latest.filter(
+            (F.col("w.status") == "completed")
+            & (F.col("w.discovered_round") + ttl_rounds < current)
+        ).select(
+            "url", "w.level", "w.parent_url", "w.seq", "w.discovered_round"
+        )
+
+        staging = self.store.begin()
+        obs = Observation()
+        due = staging.write_replace(
+            "_expire_due", due.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n_due = int(obs.get["n"] or 0)
+        if n_due == 0:
+            # nothing to do — abandon the staging dir (next begin() reuses
+            # and clears the same version number; pointer never moved)
+            return 0
+
+        if requeue:
+            from ..functions import url as U
+
+            requeued = due.select(
+                "url",
+                U.url_host(F.col("url")).alias("host"),
+                "level",
+                F.lit(0).alias("attempt"),
+                "parent_url",
+                F.lit(0).cast("long").alias("parent_seq"),
+                F.lit(0).alias("link_pos"),
+                F.col("seq").cast("long").alias("seq"),
+                F.lit(current).alias("discovered_round"),
+            )
+            frontier = self.store.read(spark, "frontier")
+            staging.write_replace(
+                "frontier",
+                frontier.select(*FRONTIER_COLS).unionByName(
+                    requeued.select(*FRONTIER_COLS)
+                ),
+            )
+            staging.write_append(
+                "url_seen", _seen_events(requeued, "pending", current)
+            )
+        else:
+            staging.write_rewrite(
+                "url_seen", url_seen.join(due, "url", "left_anti")
+            )
+            if self.bloom is not None and hasattr(self.bloom, "delete"):
+                state = self.store.read(spark, "bloom_state")
+                staging.write_replace(
+                    "bloom_state",
+                    self.bloom.delete(state, due.select("url")),
+                )
+
+        staging.finalize(
+            {
+                "last_expire": {
+                    "at_round": current,
+                    "ttl_rounds": ttl_rounds,
+                    "n_expired": n_due,
+                    "mode": "requeue" if requeue else "forget",
+                }
+            }
+        )
+        return n_due
+
     # -- views --------------------------------------------------------------------
 
     def seen_set(self) -> DataFrame:

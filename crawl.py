@@ -35,6 +35,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--retry-attempts", type=int, default=3)
     ap.add_argument("--max-links", type=int, default=10)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+                    help="cuckoo is deletable (required for --expire-ttl forget mode)")
+    ap.add_argument("--config", help="JSON config file (ConfigManager shape); "
+                    "CLI flags override file values")
+    ap.add_argument("--expire-ttl", type=int, metavar="ROUNDS",
+                    help="before crawling (or instead, with --rounds 0): expire "
+                    "completed URLs older than ROUNDS rounds")
+    ap.add_argument("--expire-mode", choices=["requeue", "forget"],
+                    default="requeue")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -53,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None
-    cfg = CrawlConfig(
+    cli_kw = dict(
         max_levels=args.max_levels,
         host_budget=args.host_budget,
         salt_threshold=args.salt_threshold,
@@ -61,8 +70,37 @@ def main(argv: list[str] | None = None) -> int:
         max_links=args.max_links,
         max_rounds=args.rounds,
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
     )
+    if args.config:
+        import os
+
+        from distributed_crawl_spark.config_files import (
+            ConfigManager,
+            to_crawl_config,
+        )
+
+        mgr = ConfigManager(os.path.dirname(args.config) or ".")
+        file_cfg = mgr.load_config(os.path.basename(args.config))
+        # only CLI flags the user actually set should override the file
+        defaults = {a.dest: a.default for a in ap._actions}
+        explicit = {
+            k: v for k, v in cli_kw.items()
+            if k in ("max_rounds", "use_bloom", "seen_filter")
+            or v != defaults.get({"max_rounds": "rounds"}.get(k, k))
+        }
+        cfg = to_crawl_config(file_cfg, **explicit)
+    else:
+        cfg = CrawlConfig(**cli_kw)
     driver = CrawlDriver(spark, pages, robots, cfg, args.checkpoint)
+
+    if args.expire_ttl is not None:
+        if not args.resume:
+            ap.error("--expire-ttl requires --resume (an existing checkpoint)")
+        n = driver.expire(args.expire_ttl, requeue=args.expire_mode == "requeue")
+        print(json.dumps({"expired": n, "mode": args.expire_mode}))
+        if args.rounds == 0:
+            return 0
 
     if args.resume:
         stats = driver.resume()

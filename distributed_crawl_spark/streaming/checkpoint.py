@@ -69,6 +69,7 @@ class Staging:
     def _write(self, name: str, df: DataFrame) -> str:
         path = str(self.vdir / name)
         t0 = time.monotonic()
+        self.store._schemas[name] = df.schema  # read() skips inference
         df.write.mode("overwrite").parquet(path)
         if _TIMING:
             print(
@@ -77,10 +78,17 @@ class Staging:
             )
         return path
 
+    def _read_back(self, df: DataFrame, path: str) -> DataFrame:
+        """Read the staged files back with the KNOWN schema — skipping
+        parquet footer inference saves one driver-side file-listing job
+        per staged write (a round stages ~8 tables; at 2 cores those jobs
+        were a measurable slice of the per-round serial floor)."""
+        return df.sparkSession.read.schema(df.schema).parquet(path)
+
     def write_replace(self, name: str, df: DataFrame) -> DataFrame:
         path = self._write(name, df)
         self.tables[name] = {"mode": "replace", "version": self.version}
-        return df.sparkSession.read.parquet(path)
+        return self._read_back(df, path)
 
     def write_rewrite(self, name: str, df: DataFrame) -> DataFrame:
         """Rewrite an append table's FULL content as a single new delta —
@@ -91,7 +99,7 @@ class Staging:
         prior = self.tables.get(name, {"mode": "append", "versions": []})
         assert prior["mode"] == "append", name
         self.tables[name] = {"mode": "append", "versions": [self.version]}
-        return df.sparkSession.read.parquet(path)
+        return self._read_back(df, path)
 
     def write_append(self, name: str, df: DataFrame) -> DataFrame:
         path = self._write(name, df)
@@ -99,7 +107,7 @@ class Staging:
         assert entry["mode"] == "append", name
         entry = {"mode": "append", "versions": entry["versions"] + [self.version]}
         self.tables[name] = entry
-        return df.sparkSession.read.parquet(path)
+        return self._read_back(df, path)
 
     def finalize(self, meta: dict | None = None) -> int:
         pointer = {
@@ -120,6 +128,14 @@ class CheckpointStore:
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # Driver-side plan/schema caches. A round calls read() several
+        # times (frontier, url_seen, bloom_state) and every staged write
+        # reads its files back — each uncached spark.read.parquet runs a
+        # file-listing + footer-inference driver job, a serial per-round
+        # cost that doesn't shrink with executor count. Keys carry the
+        # version signature, so a new commit naturally misses.
+        self._schemas: dict = {}
+        self._read_cache: dict = {}
 
     def latest_meta(self) -> dict | None:
         p = self.root / self.POINTER
@@ -149,9 +165,22 @@ class CheckpointStore:
             raise FileNotFoundError(f"table {name!r} not in snapshot at {self.root}")
         entry = meta["tables"][name]
         if entry["mode"] == "replace":
-            return spark.read.parquet(str(self._version_dir(entry["version"]) / name))
-        paths = [str(self._version_dir(v) / name) for v in entry["versions"]]
-        return spark.read.parquet(*paths)
+            paths = [str(self._version_dir(entry["version"]) / name)]
+        else:
+            paths = [str(self._version_dir(v) / name) for v in entry["versions"]]
+        key = (id(spark), name, tuple(paths))
+        hit = self._read_cache.get(key)
+        if hit is not None:
+            return hit
+        reader = spark.read
+        schema = self._schemas.get(name)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*paths)
+        if len(self._read_cache) > 256:  # bounded: old snapshots' keys
+            self._read_cache.clear()
+        self._read_cache[key] = df
+        return df
 
     def compact(self, spark: SparkSession, names: list[str] | None = None) -> None:
         """Fold append deltas into a single delta (new snapshot)."""

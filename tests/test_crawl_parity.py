@@ -166,3 +166,47 @@ def test_robots_gate(spark, tmp_path):
     errs = driver.store.read(spark, "errors").collect()
     assert any(e.url.endswith("/premium") and e.reason == "robots_denied" for e in errs)
     assert sum(m.robots_denied for m in driver.metrics().collect()) >= 1
+
+
+def test_parity_larger_zipf_graph(spark, tmp_path):
+    """The mock-7 parity invariants hold beyond the toy graph: seen set,
+    final statuses, attempt multiset, and byte-identical text/hash vs the
+    reference-loop oracle on a 300-page Zipf-host graph with dead links
+    (retries) and a geo-blocked host."""
+    n = 300
+    cdf = corpus._zipf_cdf(max(16, n // 200))
+    recs = [corpus._page_record(i, n, cdf) for i in range(n)]
+    pages, dedup = [], set()
+    for r in recs:  # first occurrence wins on (host, path) collisions
+        if r["url"] not in dedup:
+            dedup.add(r["url"])
+            pages.append(r)
+    seed_urls = [r["url"] for r in pages[:20]]
+    seeds = spark.createDataFrame(
+        [(u, i, None) for i, u in enumerate(seed_urls)], corpus.SEEDS_SCHEMA
+    )
+    cfg = CrawlConfig(max_levels=3, retry_attempts=3, use_bloom=True)
+    pages_df = spark.createDataFrame(pages, corpus.PAGES_SCHEMA)
+    driver = CrawlDriver(spark, pages_df, None, cfg, str(tmp_path / "big"))
+    driver.run(seeds)
+    oracle = reference_crawl(
+        {r["url"]: bytes(r["html"]) for r in pages}, seed_urls,
+        max_levels=3, retry_attempts=3,
+    )
+
+    assert {r.url for r in driver.seen_set().collect()} == oracle.seen
+    assert {
+        r.url: r.status for r in driver.current_status().collect()
+    } == {u: s.status for u, s in oracle.status.items()}
+    engine_attempts = sorted(
+        (r.url, r.attempt) for r in driver.fetch_log().collect()
+    )
+    assert engine_attempts == sorted((u, a) for u, _, a in oracle.order)
+    engine_text = {
+        r.url: (r.text, r.md_hash) for r in driver.results().collect()
+    }
+    assert engine_text == {
+        u: (s.text, s.md_hash)
+        for u, s in oracle.status.items()
+        if s.status == "completed"
+    }

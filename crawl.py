@@ -19,6 +19,24 @@ import argparse
 import json
 import sys
 
+# CLI kw → argparse dest where the names differ
+_DEST = {"max_rounds": "rounds", "use_bloom": "no_bloom"}
+
+
+def explicit_cli_overrides(cli_kw: dict, defaults: dict) -> dict:
+    """The subset of CLI-derived config kwargs the user actually set (value
+    differs from the parser default) — only these override config-file
+    values; untyped CLI defaults must not silently beat the file."""
+    out = {}
+    for k, v in cli_kw.items():
+        dest = _DEST.get(k, k)
+        default = defaults.get(dest)
+        if k == "use_bloom":
+            default = not default  # store_true no_bloom, inverted
+        if v != default:
+            out[k] = v
+    return out
+
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="PySpark URL-frontier crawl")
@@ -82,14 +100,11 @@ def main(argv: list[str] | None = None) -> int:
 
         mgr = ConfigManager(os.path.dirname(args.config) or ".")
         file_cfg = mgr.load_config(os.path.basename(args.config))
-        # only CLI flags the user actually set should override the file
         defaults = {a.dest: a.default for a in ap._actions}
-        explicit = {
-            k: v for k, v in cli_kw.items()
-            if k in ("max_rounds", "use_bloom", "seen_filter")
-            or v != defaults.get({"max_rounds": "rounds"}.get(k, k))
-        }
-        cfg = to_crawl_config(file_cfg, **explicit)
+        cfg = to_crawl_config(
+            file_cfg, defaults=cli_kw,
+            **explicit_cli_overrides(cli_kw, defaults),
+        )
     else:
         cfg = CrawlConfig(**cli_kw)
     driver = CrawlDriver(spark, pages, robots, cfg, args.checkpoint)

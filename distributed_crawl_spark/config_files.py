@@ -89,8 +89,13 @@ class ConfigManager:
         return errors
 
 
-def to_crawl_config(config: dict[str, Any], **overrides: Any) -> CrawlConfig:
+def to_crawl_config(config: dict[str, Any], defaults: dict[str, Any] | None = None,
+                    **overrides: Any) -> CrawlConfig:
     """Map a reference-shaped config dict to the engine's CrawlConfig.
+
+    Precedence (low → high): CrawlConfig dataclass defaults < ``defaults``
+    (e.g. a CLI's baseline values) < mapped config-file keys <
+    config["spark"] < explicit ``overrides``.
 
     Key mapping (reference → engine):
       max_levels            → max_levels
@@ -103,7 +108,7 @@ def to_crawl_config(config: dict[str, Any], **overrides: Any) -> CrawlConfig:
     Engine-only knobs may be set under config["spark"] = {...} and win over
     the mapped values; explicit **overrides win over everything.
     """
-    kw: dict[str, Any] = {}
+    kw: dict[str, Any] = dict(defaults or {})
     if "max_levels" in config:
         kw["max_levels"] = int(config["max_levels"])
     if "retry_attempts" in config:

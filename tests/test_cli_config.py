@@ -1,0 +1,62 @@
+"""CLI ↔ config-file precedence (no Spark needed): CrawlConfig defaults <
+CLI defaults < config file < explicitly-typed CLI flags."""
+
+from __future__ import annotations
+
+import crawl
+from distributed_crawl_spark.config_files import to_crawl_config
+
+
+def _defaults():
+    # mirrors argparse defaults for the flags that map into CrawlConfig
+    return {
+        "max_levels": 3, "rounds": 10, "host_budget": 64,
+        "salt_threshold": 100_000, "retry_attempts": 3, "max_links": 10,
+        "no_bloom": False, "seen_filter": "bloom",
+    }
+
+
+def _cli_kw(**over):
+    kw = dict(
+        max_levels=3, host_budget=64, salt_threshold=100_000,
+        retry_attempts=3, max_links=10, max_rounds=10, use_bloom=True,
+        seen_filter="bloom",
+    )
+    kw.update(over)
+    return kw
+
+
+def test_untyped_cli_defaults_do_not_override_file():
+    explicit = crawl.explicit_cli_overrides(_cli_kw(), _defaults())
+    assert explicit == {}
+    cfg = to_crawl_config(
+        {"max_levels": 2, "retry_attempts": 5}, defaults=_cli_kw(), **explicit
+    )
+    assert cfg.max_levels == 2 and cfg.retry_attempts == 5
+    # CLI defaults still beat dataclass defaults where the file is silent
+    assert cfg.max_rounds == 10 and cfg.host_budget == 64
+
+
+def test_typed_cli_flags_beat_file():
+    cli = _cli_kw(max_levels=5, max_rounds=20, use_bloom=False,
+                  seen_filter="cuckoo")
+    explicit = crawl.explicit_cli_overrides(cli, _defaults())
+    assert explicit == {
+        "max_levels": 5, "max_rounds": 20, "use_bloom": False,
+        "seen_filter": "cuckoo",
+    }
+    cfg = to_crawl_config({"max_levels": 2}, defaults=cli, **explicit)
+    assert cfg.max_levels == 5 and cfg.max_rounds == 20
+    assert cfg.use_bloom is False and cfg.seen_filter == "cuckoo"
+
+
+def test_spark_section_beats_mapped_keys_but_not_explicit_cli():
+    file_cfg = {"max_concurrency": 8, "spark": {"host_budget": 16}}
+    cfg = to_crawl_config(file_cfg, defaults=_cli_kw())
+    assert cfg.host_budget == 16  # spark section wins over mapped key
+    cli = _cli_kw(host_budget=99)
+    cfg = to_crawl_config(
+        file_cfg, defaults=cli,
+        **crawl.explicit_cli_overrides(cli, _defaults()),
+    )
+    assert cfg.host_budget == 99  # typed CLI flag wins over everything

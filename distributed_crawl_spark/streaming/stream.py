@@ -75,6 +75,69 @@ def stream_extract_pages(
     )
 
 
+def stream_dedup_urls(
+    spark: SparkSession,
+    pages_dir: str,
+    n_buckets: int = 32,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: first-occurrence URL dedup
+    ACROSS micro-batches via ``applyInPandasWithState`` — the streaming
+    twin of the batch seen-filter (operators/seen.py), with the same
+    sharding: state lives per ``pmod(xxhash64(url), n_buckets)`` bucket,
+    so the state store scales by adding buckets exactly like the batch
+    filter's bitmap partitions, and the dedup key is the RAW url string
+    (SURVEY.md §2.10 — never the canonical form).
+
+    Each group sees only its bucket's urls; membership checks are
+    vectorized (``Series.isin`` against the state set — no per-row
+    Python). Emits (bucket, url) for first occurrences only.
+
+    ``max_files_per_trigger=1`` turns a multi-file input dir into one
+    micro-batch per file, which is how the cross-batch state carry is
+    tested deterministically under ``Trigger.AvailableNow``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_dir)
+    tagged = pages.select(
+        "url",
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    out_schema = StructType(
+        [StructField("bucket", IntegerType()), StructField("url", StringType())]
+    )
+    state_schema = StructType([StructField("seen", ArrayType(StringType()))])
+
+    def dedup(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        fresh_all = []
+        for pdf in pdf_iter:
+            u = pdf["url"].drop_duplicates()  # in-batch first occurrence
+            fresh = u[~u.isin(seen)]
+            if len(fresh):
+                seen.update(fresh.tolist())
+                fresh_all.append(fresh)
+        out = pd.concat(fresh_all) if fresh_all else pd.Series([], dtype=object)
+        state.update((sorted(seen),))
+        yield pd.DataFrame({"bucket": [key[0]] * len(out), "url": out.to_numpy()})
+
+    return tagged.groupBy("bucket").applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "drain"
 ) -> None:

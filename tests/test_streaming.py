@@ -49,3 +49,36 @@ def test_stream_extract_pages(spark, tmp_path):
     rows = spark.table("extracted").collect()
     assert len(rows) == corpus.tiny_pages(spark).count()
     assert all(len(r.md_hash) == 16 for r in rows)
+
+
+def test_stream_dedup_urls_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-filter: urls repeated across files
+    (= separate micro-batches with maxFilesPerTrigger=1) are emitted
+    exactly once — the state set must survive the batch boundary."""
+    from distributed_crawl_spark.streaming.stream import stream_dedup_urls
+
+    pages_dir = tmp_path / "pages_waves"
+    pages_dir.mkdir()
+    wave1 = ["https://a.test/1", "https://a.test/2", "https://b.test/1"]
+    wave2 = ["https://a.test/2", "https://b.test/1", "https://b.test/2",
+             "https://c.test/1"]
+
+    def write_wave(urls, name):
+        df = spark.createDataFrame(
+            [(u, None, None, None, None) for u in urls], corpus.PAGES_SCHEMA
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import shutil
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, pages_dir / f"{name}.parquet")
+
+    write_wave(wave1, "w1")
+    write_wave(wave2, "w2")
+
+    stream = stream_dedup_urls(
+        spark, str(pages_dir), n_buckets=4, max_files_per_trigger=1
+    )
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck_dedup"), "deduped")
+    out = [r.url for r in spark.table("deduped").collect()]
+    assert sorted(out) == sorted(set(wave1) | set(wave2))  # each url once

@@ -564,6 +564,46 @@ def q_analyze_stub(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """§2.13 stateful streaming: applyInPandasWithState first-occurrence
+    URL dedup across micro-batches (one file = one batch). Synthetic urls
+    derived from doc_id mod 97 so waves repeat urls; the drained output is
+    exactly the distinct url set — SQL-oracle-checkable."""
+    import shutil
+    import tempfile
+
+    from distributed_crawl_spark.streaming.stream import (
+        run_available_now,
+        stream_dedup_urls,
+    )
+
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.test/"), (F.col("doc_id") % 97)).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    import glob
+    import os
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    # two waves → two micro-batches; duplicates span the batch boundary
+    for i, wave in enumerate((urls.filter(F.col("url") < "https://docs.test/5"),
+                              urls)):
+        wave.coalesce(1).write.mode("overwrite").parquet(f"{work}/stage{i}")
+        for f in glob.glob(f"{work}/stage{i}/*.parquet"):
+            shutil.copy(f, f"{in_dir}/wave{i}.parquet")
+    stream = stream_dedup_urls(
+        spark, in_dir, n_buckets=4, max_files_per_trigger=1
+    )
+    name = f"stream_dedup_{abs(hash(work)) % 10**8}"
+    run_available_now(stream, f"{work}/ck", name)
+    return spark.table(name).select("url")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -616,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "analyze_stub": q_analyze_stub,
+        "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -1081,6 +1122,9 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[1:least(n, 30)], ' ') AS summary,
                    CAST(n % 11 AS BIGINT) AS score_x10
             FROM x""",
+        "stream_dedup": """
+            SELECT DISTINCT 'https://docs.test/' || (doc_id % 97) AS url
+            FROM documents""",
         "multimodal_meta": """
             WITH m AS (
               SELECT doc_id AS media_id,

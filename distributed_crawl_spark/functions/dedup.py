@@ -158,30 +158,56 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, i, minhash): the k-row signature per document.
-
-    min() is algebraic → Spark computes partial minima map-side; the only
-    shuffle is keyed (doc_id, i), k× the doc count, uniform.
-    """
-    spark = docs.sparkSession
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PARAMS)], "i INT, a LONG, b LONG"
-    )
+def _minhash_cols(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): all k signature minima computed as k
+    aggregate COLUMNS of one ``groupBy(doc_id)`` — no k-way row expansion,
+    no parameter-table join, ONE uniform shuffle keyed by doc_id with
+    map-side partial minima for every column. This is the scale form; the
+    row-shaped views below are projections of it."""
     ds = doc_shingles(docs, id_col, text_col, n)
     x = md5_int48(F.col("shingle")) % F.lit(MERSENNE31)
-    return (
-        ds.withColumn("x", x)
-        .crossJoin(F.broadcast(params))
-        .groupBy(id_col, "i")
-        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % F.lit(MERSENNE31)).alias("minhash"))
+    ds = ds.withColumn("x", x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return ds.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, i, minhash): the k-row signature per document — a
+    zero-shuffle unpivot of the columnar signature (``_minhash_cols``)."""
+    cols = _minhash_cols(docs, id_col, text_col, n)
+    rows = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"mh{i}").alias("minhash"))
+            for i in range(MINHASH_K)
+        ]
+    )
+    return cols.select(id_col, F.explode(rows).alias("s")).select(
+        id_col, "s.i", "s.minhash"
+    )
+
+
+def _band_key(b: int) -> Column:
+    """md5 over the band's r minhash values joined in hash-function order —
+    identical to hashing the (i, minhash)-sorted row form."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * LSH_ROWS + r}").cast("string")
+                for r in range(LSH_ROWS)
+            ],
+        )
     )
 
 
 def lsh_bucket_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, band, band_key): one md5 bucket key per band, hashing the
-    band's r minhash values in hash-function order."""
+    """(doc_id, band, band_key) from row-shaped signatures (compat view;
+    the pair join below derives keys straight from the columnar form)."""
     in_band = (
         signatures.withColumn("band", (F.col("i") / F.lit(LSH_ROWS)).cast("int"))
         .groupBy(id_col, "band")
@@ -197,9 +223,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     The pair join happens per (band, band_key) — output-bound, never
     all-pairs. At 10^10 docs this is the only dedup plan that survives.
+    Band keys come straight off the columnar signature (one shuffle total
+    before the pair join; the band unpivot is a projection).
     Returns (id_a, id_b, n_shared_bands), id_a < id_b.
     """
-    buckets = lsh_bucket_keys(minhash_signatures(docs, id_col, text_col, n), id_col)
+    cols = _minhash_cols(docs, id_col, text_col, n)
+    keys = F.array(*[_band_key(b) for b in range(LSH_BANDS)])
+    buckets = cols.select(
+        id_col, F.posexplode(keys).alias("band", "band_key")
+    )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

@@ -564,6 +564,35 @@ def q_analyze_stub(spark, sf_dir):
     )
 
 
+def q_train_corpus_filter(spark, sf_dir):
+    """End-to-end training-corpus gate — the composition this engine
+    exists for: exact-dedup canonical docs ∩ lang_pred='en' ∩ word_count
+    ≥ 50 ∩ alpha ratio ≥ 0.6. One digest-keyed shuffle (the dedup agg) +
+    per-row closed-form scoring; every stage is a reused contract op."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    wc = TS.word_count(t)
+    cc = TS.char_count(t)
+    safe_cc = F.when(cc > 0, cc).otherwise(F.lit(1))
+    scored = docs.select(
+        "doc_id",
+        TS.lang_id(t).alias("lang_pred"),
+        wc.alias("word_count"),
+        _fl(TS.alpha_count(t) / safe_cc, 10000).alias("alpha_x1e4"),
+        F.md5(t).alias("digest"),
+    )
+    canon = scored.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(canon, ["digest", "doc_id"])
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("word_count") >= 50)
+            & (F.col("alpha_x1e4") >= 6000)
+        )
+        .select("doc_id", "lang_pred", "word_count", "alpha_x1e4")
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """§2.13 stateful streaming: applyInPandasWithState first-occurrence
     URL dedup across micro-batches (one file = one batch). Synthetic urls
@@ -656,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "analyze_stub": q_analyze_stub,
+        "train_corpus_filter": q_train_corpus_filter,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
     }
@@ -1122,6 +1152,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[1:least(n, 30)], ' ') AS summary,
                    CAST(n % 11 AS BIGINT) AS score_x10
             FROM x""",
+        "train_corpus_filter": f"""
+            WITH s AS (
+              SELECT doc_id, md5(text) AS digest,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS wc,
+                     length(text) AS cc,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+        {score_cols}
+              FROM documents
+            ),
+            canon AS (SELECT digest, min(doc_id) AS doc_id FROM s GROUP BY digest)
+            SELECT s.doc_id, {pred_case} AS lang_pred, wc AS word_count,
+                   CAST(floor(alpha / greatest(cc, 1) * 10000) AS BIGINT) AS alpha_x1e4
+            FROM s JOIN canon USING (digest, doc_id)
+            WHERE {pred_case} = 'en' AND wc >= 50
+              AND floor(alpha / greatest(cc, 1) * 10000) >= 6000""",
         "stream_dedup": """
             SELECT DISTINCT 'https://docs.test/' || (doc_id % 97) AS url
             FROM documents""",

@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
+    "train_corpus_filter",
     "multimodal_meta",
 ]
 

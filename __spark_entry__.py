@@ -472,6 +472,12 @@ def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-ball near-dup pairs via pigeonhole block join
+    (agree on ≥1 of 4 blocks ⇒ candidate; bit_count verifies ≤ 3)."""
+    return DD.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.4 (training-data pipeline)."""
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -965,6 +972,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY 1""",
+        "dedup_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf,
+                     {_MD5I48.format(x='tok')} % 4294967296 AS h
+              FROM toks GROUP BY 1, 2
+            ),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS w
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+              GROUP BY 1, 2
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1
+            ),
+            blk AS (
+              SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+              FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM blk a JOIN blk b ON a.b = b.b AND a.bv = b.bv
+                                    AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
         "dedup_embedding": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -287,3 +287,54 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     return docs.filter(F.size(toks) > 0).select(
         id_col, fingerprint.alias("simhash")
     )
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming,
+    via pigeonhole blocking (the Manku/WWW'07 web-dedup strategy): split
+    the fingerprint into ``max_hamming + 1`` equal blocks — a pair inside
+    the hamming ball must agree EXACTLY on at least one block — so
+    candidates equi-join per (block_idx, block_value) and only candidates
+    pay the bit_count verify. Never all-pairs.
+
+    Scale note: with 32-bit prints and 8-bit blocks a block bucket holds
+    ~N/256 docs; at 10^9+ docs move to 64-bit fingerprints (16-bit blocks
+    → N/65536) — the plan shape is unchanged. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+    """
+    blocks = max_hamming + 1
+    assert bits % blocks == 0, "bits must split into max_hamming+1 blocks"
+    width = bits // blocks
+    mask = F.lit((1 << width) - 1)
+    fp = simhash(docs, id_col, text_col, bits)
+    vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(mask)
+            for b in range(blocks)
+        ]
+    )
+    tagged = fp.select(
+        id_col, "simhash", F.posexplode(vals).alias("blk", "blk_val")
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "blk", "blk_val",
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "blk", "blk_val",
+    )
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can match on several blocks — count once
+        .groupBy("id_a", "id_b", "sh_a", "sh_b")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -155,3 +155,21 @@ def test_jaccard_max_df_bounds_zipf_posting_lists(spark):
     pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, n)}
     assert pairs[0].jaccard_u == 1_000_000  # identical on the rare universe
+
+
+def test_simhash_pairs_pigeonhole_complete_and_verified(docs_df):
+    """Blocked pair join finds EVERY pair within the hamming ball (the
+    pigeonhole guarantee) and emits nothing outside it."""
+    fp = {r.doc_id: r.simhash for r in DD.simhash(docs_df).collect()}
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp for b in fp if a < b
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in DD.simhash_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert got == want
+    # exact dup (0, 3) must be there at hamming 0
+    assert got.get((0, 3)) == 0

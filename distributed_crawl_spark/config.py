@@ -53,6 +53,14 @@ class CrawlConfig:
     # linearly with rounds — only for short crawls / debugging).
     compact_every: int | None = 16
 
+    # Honor robots Crawl-delay: hosts declaring a delay of D seconds get
+    # max(1, floor(crawl_delay_round_seconds / D)) slots per round (capped
+    # at host_budget) — the batch analog of inter-request spacing, with
+    # rounds modeling a wall-clock window of crawl_delay_round_seconds.
+    # Requires a robots table and a host_budget (the politeness window).
+    honor_crawl_delay: bool = False
+    crawl_delay_round_seconds: float = 60.0
+
     # loop bounds
     max_rounds: int = 100
 
@@ -80,3 +88,10 @@ class CrawlConfig:
             raise ValueError("seen_filter: bloom|cuckoo")
         if self.compact_every is not None and self.compact_every < 1:
             raise ValueError("compact_every >= 1 or None")
+        if self.honor_crawl_delay and self.host_budget is None:
+            raise ValueError(
+                "honor_crawl_delay requires a host_budget (the politeness "
+                "window is what enforces per-host slots)"
+            )
+        if self.crawl_delay_round_seconds <= 0:
+            raise ValueError("crawl_delay_round_seconds > 0")

@@ -34,11 +34,17 @@ def rank_frontier(
     host_budget: int,
     salt_threshold: int = 100_000,
     max_salts: int = 32,
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Frontier with window rank + per-lane budget attached — ONE window
     shuffle; callers split selected/deferred by filtering ``rn`` against
     ``lane_budget`` (the driver materializes this once per round so the
-    selected and deferred branches never recompute the window)."""
+    selected and deferred branches never recompute the window).
+
+    ``host_budgets`` (host, budget), e.g. from robots Crawl-delay
+    (operators/robots.py:crawl_delay_budgets), overrides the scalar
+    ``host_budget`` per host via a broadcast join — same single shuffle.
+    """
     heavy = (
         frontier.groupBy("host")
         .agg(F.count("*").alias("pending_count"))
@@ -60,16 +66,26 @@ def rank_frontier(
             F.pmod(F.xxhash64("url"), F.col("n_salts")).cast("int"),
         ).otherwise(F.lit(0)),
     )
+    if host_budgets is not None:
+        salted = salted.join(
+            F.broadcast(host_budgets.select("host", F.col("budget").alias("__hb"))),
+            "host",
+            "left",
+        )
+        eff_budget = F.coalesce(F.col("__hb"), F.lit(host_budget).cast("long"))
+    else:
+        eff_budget = F.lit(host_budget).cast("long")
 
     w = Window.partitionBy("host", "salt").orderBy("level", "attempt", "seq")
     lane_budget = F.when(
         F.col("n_salts").isNotNull(),
-        F.ceil(F.lit(host_budget) / F.col("n_salts")),
-    ).otherwise(F.lit(host_budget))
+        F.ceil(eff_budget / F.col("n_salts")),
+    ).otherwise(eff_budget)
 
-    return salted.withColumn("rn", F.row_number().over(w)).withColumn(
+    out = salted.withColumn("rn", F.row_number().over(w)).withColumn(
         "lane_budget", lane_budget.cast("long")
     )
+    return out.drop("__hb") if host_budgets is not None else out
 
 
 def split_ranked(ranked: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, DoubleType
 
 USER_AGENT = "*"
 
@@ -42,6 +42,51 @@ def robots_allowed_udf(url: pd.Series, robots_txt: pd.Series) -> pd.Series:
     return pd.Series(
         [allowed(u, t) for u, t in zip(url, robots_txt)], dtype=bool
     )
+
+
+@pandas_udf(DoubleType())
+def robots_crawl_delay_udf(robots_txt: pd.Series) -> pd.Series:
+    """Crawl-delay seconds for USER_AGENT, NaN when unspecified — one
+    parsed RobotFileParser per distinct robots_txt per Arrow batch."""
+    cache: dict[str, float | None] = {}
+
+    def delay(txt) -> float | None:
+        if txt is None or not str(txt).strip():
+            return None
+        txt = str(txt)
+        if txt not in cache:
+            rp = robotparser.RobotFileParser()
+            rp.parse(txt.splitlines())
+            d = rp.crawl_delay(USER_AGENT)
+            cache[txt] = float(d) if d is not None else None
+        return cache[txt]
+
+    return pd.Series([delay(t) for t in robots_txt], dtype="float64")
+
+
+def crawl_delay_budgets(
+    robots: DataFrame, round_seconds: float, default_budget: int | None = None
+) -> DataFrame:
+    """(host, budget): per-host politeness budget honoring robots
+    Crawl-delay. A host demanding one request per D seconds gets
+    ``max(1, floor(round_seconds / D))`` slots per round — the batch
+    analog of inter-request spacing (rounds model a wall-clock window of
+    ``round_seconds``; the reference has no robots support at all, and a
+    real-time sleep is meaningless in set-at-a-time execution). Hosts
+    without a Crawl-delay are omitted — the default budget applies via
+    coalesce in the politeness window. Tiny output (≤ #hosts in the
+    robots table): always broadcastable.
+    """
+    d = robots.select(
+        "host", robots_crawl_delay_udf(F.col("robots_txt")).alias("delay_s")
+    ).filter(F.col("delay_s").isNotNull() & (F.col("delay_s") > 0))
+    budget = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(float(round_seconds)) / F.col("delay_s")).cast("long"),
+    )
+    if default_budget is not None:  # never exceed the global cap
+        budget = F.least(budget, F.lit(default_budget).cast("long"))
+    return d.select("host", budget.alias("budget"))
 
 
 def apply_robots_gate(

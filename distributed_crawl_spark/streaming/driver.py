@@ -205,11 +205,20 @@ class CrawlDriver:
             selected, deferred, n_deferred = allowed, allowed.limit(0), 0
             n_selected = None  # unbounded slice — auto must not broadcast
         else:
+            budgets = None
+            if cfg.honor_crawl_delay and self.robots is not None:
+                from ..operators.robots import crawl_delay_budgets
+
+                budgets = crawl_delay_budgets(
+                    self.robots, cfg.crawl_delay_round_seconds,
+                    default_budget=cfg.host_budget,
+                )
             obs_rank = Observation()
             ranked = staging.write_replace(
                 "_round_ranked",
                 rank_frontier(
-                    allowed, cfg.host_budget, cfg.salt_threshold, cfg.max_salts
+                    allowed, cfg.host_budget, cfg.salt_threshold,
+                    cfg.max_salts, host_budgets=budgets,
                 ).observe(
                     obs_rank,
                     F.sum(

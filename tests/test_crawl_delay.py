@@ -1,0 +1,84 @@
+"""Robots Crawl-delay → per-host politeness budgets: parse, cap, window
+override, and the driver's multi-round throttling behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark import corpus
+from distributed_crawl_spark.config import CrawlConfig
+from distributed_crawl_spark.operators.politeness import rank_frontier, split_ranked
+from distributed_crawl_spark.operators.robots import crawl_delay_budgets
+from distributed_crawl_spark.streaming.driver import CrawlDriver
+
+
+def test_crawl_delay_budgets_parse_and_cap(spark):
+    robots = corpus.tiny_robots(spark)
+    got = {r.host: r.budget for r in crawl_delay_budgets(robots, 60).collect()}
+    # only the Crawl-delay host appears; 60 s window / 5 s delay = 12
+    assert got == {"slow.test": 12}
+    capped = {
+        r.host: r.budget
+        for r in crawl_delay_budgets(robots, 60, default_budget=8).collect()
+    }
+    assert capped == {"slow.test": 8}
+    # a brutal delay still gets 1 slot (progress guaranteed)
+    floor1 = {
+        r.host: r.budget
+        for r in crawl_delay_budgets(robots, 1).collect()
+    }
+    assert floor1 == {"slow.test": 1}
+
+
+def test_rank_frontier_per_host_budget_override(spark):
+    rows = [
+        (f"https://{h}/p{i}", h, 0, 0, None, 0, 0, i, 0)
+        for h in ("slow.test", "fast.test")
+        for i in range(20)
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "url STRING, host STRING, level INT, attempt INT, parent_url STRING,"
+        "parent_seq LONG, link_pos INT, seq LONG, discovered_round INT",
+    )
+    budgets = spark.createDataFrame([("slow.test", 2)], "host STRING, budget LONG")
+    selected, deferred = split_ranked(
+        rank_frontier(frontier, host_budget=10, host_budgets=budgets)
+    )
+    per_host = {
+        r.host: r.n
+        for r in selected.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host == {"slow.test": 2, "fast.test": 10}
+    assert deferred.count() == 18 + 10
+
+
+def test_driver_throttles_crawl_delay_host(spark, tmp_path):
+    """4 seeds on a Crawl-delay:5 host with a 5 s round window → budget 1
+    per round → the crawl stretches over 4 rounds, rest deferred."""
+    urls = [f"https://slow.test/p{i}" for i in range(4)]
+    html = "<html><body><p>hello world</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [(u, None, html, None, "en") for u in urls], corpus.PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        [(u, i, None) for i, u in enumerate(urls)], corpus.SEEDS_SCHEMA
+    )
+    cfg = CrawlConfig(
+        max_levels=1, host_budget=10, honor_crawl_delay=True,
+        crawl_delay_round_seconds=5.0, max_rounds=10,
+    )
+    drv = CrawlDriver(
+        spark, pages, corpus.tiny_robots(spark), cfg, str(tmp_path / "ck")
+    )
+    stats = drv.run(seeds)
+    assert len(stats) == 4
+    assert [s.fetched for s in stats] == [1, 1, 1, 1]
+    assert [s.deferred_by_politeness for s in stats] == [3, 2, 1, 0]
+
+
+def test_config_rejects_crawl_delay_without_budget():
+    import pytest
+
+    with pytest.raises(ValueError):
+        CrawlConfig(honor_crawl_delay=True, host_budget=None).validate()

@@ -472,10 +472,18 @@ def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash64(spark, sf_dir):
+    """64-bit SimHash fingerprints as two 32-bit halves (sh_hi, sh_lo),
+    computed in one closed-form aggregate — the 10^9+-doc print width."""
+    return DD.simhash64(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash hamming-ball near-dup pairs via pigeonhole block join
-    (agree on ≥1 of 4 blocks ⇒ candidate; bit_count verifies ≤ 3)."""
-    return DD.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash hamming-ball near-dup pairs via pigeonhole block join over
+    64-bit two-half fingerprints: agree on ≥1 of 4 SIXTEEN-bit blocks ⇒
+    candidate (65,536 buckets per block position — the scale form);
+    bit_count over both halves verifies hamming ≤ 3."""
+    return DD.simhash_pairs64(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -681,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
@@ -972,39 +981,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY 1""",
+        "dedup_simhash64": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf,
+                     CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hlo,
+                     CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hhi
+              FROM toks GROUP BY 1, 2
+            ),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN ((CASE WHEN j >= 32 THEN hhi ELSE hlo END)
+                                    >> (j % 32)) & 1 = 1
+                         THEN tf ELSE -tf END) AS w
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN w > 0 AND j >= 32
+                            THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS sh_hi,
+                   CAST(sum(CASE WHEN w > 0 AND j < 32
+                            THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh_lo
+            FROM bits GROUP BY 1""",
         "dedup_simhash_pairs": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
             ),
             tf AS (
               SELECT doc_id, tok, count(*) AS tf,
-                     {_MD5I48.format(x='tok')} % 4294967296 AS h
+                     CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hlo,
+                     CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hhi
               FROM toks GROUP BY 1, 2
             ),
             bits AS (
               SELECT doc_id, j,
-                     sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS w
-              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+                     sum(CASE WHEN ((CASE WHEN j >= 32 THEN hhi ELSE hlo END)
+                                    >> (j % 32)) & 1 = 1
+                         THEN tf ELSE -tf END) AS w
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
               GROUP BY 1, 2
             ),
             fp AS (
               SELECT doc_id,
-                     CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+                     CAST(sum(CASE WHEN w > 0 AND j >= 32
+                              THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS sh_hi,
+                     CAST(sum(CASE WHEN w > 0 AND j < 32
+                              THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh_lo
               FROM bits GROUP BY 1
             ),
             blk AS (
-              SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+              SELECT doc_id, sh_hi, sh_lo, b,
+                     ((CASE WHEN b >= 2 THEN sh_hi ELSE sh_lo END)
+                      >> ((b % 2) * 16)) & 65535 AS bv
               FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.simhash AS sh_a, b.simhash AS sh_b
+                     a.sh_hi AS ha, a.sh_lo AS la, b.sh_hi AS hb, b.sh_lo AS lb
               FROM blk a JOIN blk b ON a.b = b.b AND a.bv = b.bv
                                     AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
-                   CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""",
+                   CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""",
         "dedup_embedding": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -289,6 +289,141 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint as TWO 32-bit halves, CLOSED FORM.
+
+    Signed-64 arithmetic cannot hold an unsigned 64-bit fingerprint
+    (``1 << 63`` overflows — the reason :func:`simhash` caps at 32 bits),
+    so the fingerprint is represented as ``(sh_hi, sh_lo)``: bits 32..63
+    and 0..31, each a non-negative 32-bit value in a BIGINT. Both halves
+    come out of the SAME single ``aggregate`` pass over the row's token
+    array (a 64-slot bit-sum accumulator; the per-bit mask table also
+    carries which half-hash the bit tests), so the cost profile is
+    identical to the 32-bit form: per-row projection, no explode, no
+    shuffle, linear in corpus bytes.
+
+    Token half-hashes are the first and second 8 hex chars of md5 —
+    portable (DuckDB: ``CAST('0x' || substr(md5(t), 1|9, 8) AS BIGINT)``).
+    Docs with zero tokens are dropped (parity with :func:`simhash`).
+    Returns (doc_id, sh_hi, sh_lo).
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
+        ),
+    )
+    # 64 mask slots: (p = bit weight within the half, h = which half)
+    masks = F.array(
+        *[
+            F.struct(
+                F.lit(1 << (j % 32)).cast("long").alias("p"),
+                F.lit(1 if j >= 32 else 0).alias("h"),
+            )
+            for j in range(64)
+        ]
+    )
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(
+                F.when(m["h"] == 1, h["hi"])
+                .otherwise(h["lo"])
+                .bitwiseAND(m["p"])
+                != 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    pow2_32 = F.array(*[F.lit(1 << j) for j in range(32)]).cast("array<long>")
+
+    def half(sums: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sums,
+                pow2_32,
+                lambda w, p: F.when(w > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+
+    return docs.filter(F.size(toks) > 0).select(
+        id_col,
+        half(F.slice(bit_sums, 33, 32)).alias("sh_hi"),
+        half(F.slice(bit_sums, 1, 32)).alias("sh_lo"),
+    )
+
+
+def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash hamming-ball pair dedup — the 10^9+-doc scale form.
+
+    Same pigeonhole plan as :func:`simhash_pairs` (agree exactly on ≥1 of
+    ``max_hamming + 1`` equal blocks ⇒ candidate; equi-join per
+    (block_idx, block_value); bit_count verifies), but over the 64-bit
+    two-half fingerprint, so with max_hamming=3 the blocks are 16-bit →
+    65,536 buckets per block position (vs 256 for 32-bit prints): expected
+    candidate-verify cost drops from O(N²/256) to O(N²/65536) on a
+    random corpus, which is the difference between quadratic blowup and
+    output-bound at 10^9+ documents. max_hamming=7 (8-bit blocks) also
+    divides evenly.
+
+    Blocks must not straddle the 32-bit half boundary (width must divide
+    32), which holds for every max_hamming where blocks divide 64 evenly
+    except the degenerate 64-wide single block.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    blocks = max_hamming + 1
+    assert 64 % blocks == 0, "64 bits must split into max_hamming+1 blocks"
+    width = 64 // blocks
+    assert 32 % width == 0, "blocks must not straddle the half boundary"
+    mask = F.lit((1 << width) - 1)
+    fp = simhash64(docs, id_col, text_col)
+    per_half = 32 // width
+    vals = F.array(
+        *[
+            F.shiftrightunsigned(
+                F.col("sh_hi") if b >= per_half else F.col("sh_lo"),
+                (b % per_half) * width,
+            ).bitwiseAND(mask)
+            for b in range(blocks)
+        ]
+    )
+    tagged = fp.select(
+        id_col, "sh_hi", "sh_lo", F.posexplode(vals).alias("blk", "blk_val")
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("sh_hi").alias("hi_a"),
+        F.col("sh_lo").alias("lo_a"), "blk", "blk_val",
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("sh_hi").alias("hi_b"),
+        F.col("sh_lo").alias("lo_b"), "blk", "blk_val",
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can match on several blocks — count once
+        .groupBy("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = 32,
                   max_hamming: int = 3) -> DataFrame:
@@ -300,8 +435,8 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     pay the bit_count verify. Never all-pairs.
 
     Scale note: with 32-bit prints and 8-bit blocks a block bucket holds
-    ~N/256 docs; at 10^9+ docs move to 64-bit fingerprints (16-bit blocks
-    → N/65536) — the plan shape is unchanged. Returns
+    ~N/256 docs; at 10^9+ docs use :func:`simhash_pairs64` (16-bit blocks
+    → N/65536, same plan shape over the two-half fingerprint). Returns
     (id_a, id_b, hamming), id_a < id_b.
     """
     blocks = max_hamming + 1

@@ -173,3 +173,57 @@ def test_simhash_pairs_pigeonhole_complete_and_verified(docs_df):
     assert got == want
     # exact dup (0, 3) must be there at hamming 0
     assert got.get((0, 3)) == 0
+
+
+def py_simhash64(text: str) -> tuple[int, int]:
+    """Two-half 64-bit simhash: half-hashes are md5 hex[0:8] / hex[8:16]."""
+    w = [0] * 64
+    tf: dict[str, int] = {}
+    for tok in text.split():
+        tf[tok] = tf.get(tok, 0) + 1
+    for tok, n in tf.items():
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        lo, hi = int(hx[:8], 16), int(hx[8:16], 16)
+        for j in range(64):
+            bit = (hi >> (j - 32)) & 1 if j >= 32 else (lo >> j) & 1
+            w[j] += n if bit else -n
+    sh_lo = sum(1 << j for j in range(32) if w[j] > 0)
+    sh_hi = sum(1 << (j - 32) for j in range(32, 64) if w[j] > 0)
+    return sh_hi, sh_lo
+
+
+def test_simhash64_matches_python(docs_df):
+    got = {r.doc_id: (r.sh_hi, r.sh_lo)
+           for r in DD.simhash64(docs_df.filter("doc_id < 4")).collect()}
+    for doc_id in range(4):
+        assert got[doc_id] == py_simhash64(DOCS[doc_id][1]), doc_id
+    assert got[0] == got[3]
+    for hi, lo in got.values():  # halves stay inside 32 unsigned bits
+        assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+
+
+def test_simhash_pairs64_pigeonhole_complete_and_verified(docs_df):
+    """64-bit blocked pair join (16-bit blocks) finds EVERY pair within
+    the hamming ball and nothing outside it — same guarantee as the
+    32-bit form, 256x more block buckets."""
+    fp = {r.doc_id: (r.sh_hi, r.sh_lo)
+          for r in DD.simhash64(docs_df).collect()}
+
+    def ham(a, b):
+        (ha, la), (hb, lb) = fp[a], fp[b]
+        return bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+
+    want = {(a, b): ham(a, b) for a in fp for b in fp
+            if a < b and ham(a, b) <= 3}
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in DD.simhash_pairs64(docs_df, max_hamming=3).collect()}
+    assert got == want
+    assert got.get((0, 3)) == 0  # exact dup at hamming 0
+
+
+def test_simhash_pairs64_eight_bit_blocks(docs_df):
+    """max_hamming=7 → 8 blocks of 8 bits — the other even split."""
+    out = DD.simhash_pairs64(docs_df, max_hamming=7).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert got.get((0, 3)) == 0
+    assert all(h <= 7 for h in got.values())

@@ -219,16 +219,62 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
                out_id: str = "vec_id", out_vec: str = "v") -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine.
 
-    The centroid table is broadcast (it's tiny by construction — K rows),
-    so the K-fan-out never shuffles the vector side; the argmin is a
-    window over the per-vector K-row expansion. Ties break on cell_id
-    ascending (deterministic). Returns (out_id, out_vec, cell_id).
-    """
-    from pyspark.sql.window import Window
+    Two physical strategies, same semantics (ties break on cell_id
+    ascending, deterministic):
 
+    - ``nprobe == 1`` (the big candidate side): CLOSED FORM. The codebook
+      is K rows by construction, so it is collected once and inlined as a
+      literal array of (cell_id, centroid) structs; the argmax is a
+      linear ``aggregate`` scan over the K per-row cosines — a pure
+      projection, whole-stage codegen'd, with NO per-vector window and
+      NO N×K-row shuffle. This is the only shape that survives 10^10
+      vectors (the previous crossJoin + row_number form pushed the K-fan
+      -out through a vec_id-keyed window exchange).
+    - ``nprobe > 1`` (the tiny query side): the K-fan-out crossJoin with
+      a row_number window — fine because |Q| is small.
+
+    Returns (out_id, out_vec, cell_id).
+    """
     v = vectors.select(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec)
     )
+    if nprobe == 1:
+        rows = sorted(
+            centroids.select("cell_id", "centroid").collect(),
+            key=lambda r: r.cell_id,
+        )
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(r.cell_id).cast("long").alias("cell_id"),
+                    F.array(*[F.lit(float(x)) for x in r.centroid])
+                    .cast("array<double>")
+                    .alias("centroid"),
+                )
+                for r in rows
+            ]
+        )
+        scored = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine(F.col(out_vec), c["centroid"]).alias("ccos"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        # strict > keeps the earliest (smallest cell_id) among cos ties —
+        # identical to row_number() ORDER BY ccos DESC, cell_id ASC
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("-inf")).alias("ccos"),
+                F.lit(-1).cast("long").alias("cell_id"),
+            ),
+            lambda acc, x: F.when(x["ccos"] > acc["ccos"], x).otherwise(acc),
+        )
+        return v.select(out_id, out_vec, best["cell_id"].alias("cell_id"))
+
+    from pyspark.sql.window import Window
+
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
         "ccos", cosine(F.col(out_vec), F.col("centroid"))
     )

@@ -117,7 +117,8 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        materializer=None) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
     Plan: inverted index (doc, shingle) → self-join on shingle →
@@ -125,22 +126,78 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``max_df`` drops shingles appearing in more than max_df docs before the
     pair join — at corpus scale this bounds posting-list length (join skew)
     and barely moves Jaccard for near-dup pairs.
+
+    Physical shape (round 3 rewrite): POSTING LISTS, not a self-join.
+    The index is grouped once by shingle into a sorted doc-id array;
+    candidate pairs are enumerated from each posting list as a pure
+    array projection (``flatten(transform(...))``) — so the (doc,
+    shingle) rows shuffle by shingle ONCE (the census exchange is
+    reused for the rare-filter join) instead of feeding four separate
+    re-derived subtrees (census + counts + both self-join sides, the
+    44-exchange plan this replaces). With ``max_df`` the posting
+    arrays are bounded (≤ max_df ids ⇒ ≤ max_df² pairs per shingle)
+    BEFORE collect_list runs, so the Zipf-head shingle never
+    materializes an unbounded reducer-side array. Without ``max_df``
+    the head list is unbounded — always set it at corpus scale.
+
+    ``materializer`` (``(df, name) -> df``) controls reuse of the
+    posting-list table between its two consumers (per-doc counts and
+    pair enumeration). Default ``None``: the pure plan — Spark's
+    exchange reuse already computes the shingle shuffle once, and a
+    measured interleaved A/B at sf0.1 showed persist a wash-to-slower
+    (5.7s plain vs 6.4s persisted median) because only the final
+    collect_list merge is duplicated. ``"persist"`` caches the posting
+    table (MEMORY_AND_DISK) when that merge is the bottleneck; a
+    callable plugs in the driver's staged-write pattern
+    (``operators/seen.py``) to spill to parquet when the index exceeds
+    cluster memory.
+
     Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b.
     """
-    ds = doc_shingles(docs, id_col, text_col, n).alias("ds")
+    if materializer == "persist":
+        from pyspark import StorageLevel
+
+        def materializer(df: DataFrame, name: str) -> DataFrame:
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+    elif materializer is None or materializer is False:
+        def materializer(df: DataFrame, name: str) -> DataFrame:
+            return df
+
+    ds = doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
+        # census first (count-only partial agg — safe on the Zipf head),
+        # then filter the index; both sides shuffle by shingle and the
+        # census exchange is reused for the join side.
         rare = (
             ds.groupBy("shingle").count()
             .filter(F.col("count") <= max_df)
             .select("shingle")
         )
         ds = ds.join(rare, "shingle")
-    counts = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ds.select(F.col(id_col).alias("id_a"), "shingle")
-    b = ds.select(F.col(id_col).alias("id_b"), "shingle")
+    posts = materializer(
+        ds.groupBy("shingle").agg(
+            F.array_sort(F.collect_list(id_col)).alias("docs")
+        ),
+        "jaccard_postings",
+    )
+    counts = (
+        posts.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # pairs (docs[i], docs[j]) for i < j — ascending list ⇒ id_a < id_b
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

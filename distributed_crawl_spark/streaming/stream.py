@@ -90,18 +90,38 @@ def stream_dedup_urls(
     (SURVEY.md §2.10 — never the canonical form).
 
     Each group sees only its bucket's urls; membership checks are
-    vectorized (``Series.isin`` against the state set — no per-row
+    vectorized (``np.isin`` against the state array — no per-row
     Python). Emits (bucket, url) for first occurrences only.
+
+    State is BOUNDED FIXED-WIDTH: 8-byte fingerprints of the raw url
+    (``pd.util.hash_array`` — siphash over a fixed key, deterministic
+    across processes for the lifetime of a checkpoint), never the raw
+    strings, so per-url state cost is 8 bytes regardless of url length
+    — the streaming analog of the batch cuckoo filter
+    (``operators/cuckoo.py``). And the state is rewritten ONLY on
+    batches that actually add urls: an all-repeat micro-batch pays an
+    O(|state|) read but zero serialization (``numRowsUpdated == 0`` in
+    the progress metrics — asserted in tests).
+
+    Approximation contract (same as any fingerprint filter): two
+    distinct urls colliding in 64 bits drop the later one — expected
+    collisions ≈ n²/2⁶⁵ per bucket (≪1 below ~10⁸ urls/bucket; add
+    buckets to scale). Where exactness is required, run the emitted
+    stream through the batch seen-filter's exact-confirm join against
+    the committed url_seen table (``operators/seen.py``) — the same
+    two-tier design the batch path uses for its cuckoo pre-filter.
 
     ``max_files_per_trigger=1`` turns a multi-file input dir into one
     micro-batch per file, which is how the cross-batch state carry is
     tested deterministically under ``Trigger.AvailableNow``.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
+        LongType,
         StringType,
         StructField,
         StructType,
@@ -118,19 +138,26 @@ def stream_dedup_urls(
     out_schema = StructType(
         [StructField("bucket", IntegerType()), StructField("url", StringType())]
     )
-    state_schema = StructType([StructField("seen", ArrayType(StringType()))])
+    state_schema = StructType([StructField("seen_fp", ArrayType(LongType()))])
 
     def dedup(key, pdf_iter, state):
-        seen = set(state.get[0]) if state.exists else set()
+        seen = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
         fresh_all = []
+        fps = [seen]
         for pdf in pdf_iter:
             u = pdf["url"].drop_duplicates()  # in-batch first occurrence
-            fresh = u[~u.isin(seen)]
-            if len(fresh):
-                seen.update(fresh.tolist())
-                fresh_all.append(fresh)
+            fp = pd.util.hash_array(u.to_numpy(dtype=object)).view("int64")
+            mask = ~np.isin(fp, np.concatenate(fps))
+            if mask.any():
+                fresh_all.append(u[mask])
+                fps.append(np.unique(fp[mask]))
+        if len(fps) > 1:  # fresh urls → one state rewrite; else skip
+            state.update((np.unique(np.concatenate(fps)).tolist(),))
         out = pd.concat(fresh_all) if fresh_all else pd.Series([], dtype=object)
-        state.update((sorted(seen),))
         yield pd.DataFrame({"bucket": [key[0]] * len(out), "url": out.to_numpy()})
 
     return tagged.groupBy("bucket").applyInPandasWithState(

@@ -82,3 +82,53 @@ def test_stream_dedup_urls_state_carries_across_batches(spark, tmp_path):
     run_available_now(stream, str(tmp_path / "ck_dedup"), "deduped")
     out = [r.url for r in spark.table("deduped").collect()]
     assert sorted(out) == sorted(set(wave1) | set(wave2))  # each url once
+
+
+def test_stream_dedup_state_is_fingerprints_and_skips_noop_rewrites(spark, tmp_path):
+    """Round-3 state bound: (a) an all-repeat micro-batch must NOT rewrite
+    state (numRowsUpdated == 0 — the O(total-seen) per-batch
+    re-serialization the 32-bit form paid is gone); (b) batches with fresh
+    urls update exactly the touched buckets."""
+    from distributed_crawl_spark.streaming.stream import stream_dedup_urls
+
+    pages_dir = tmp_path / "pages_waves"
+    pages_dir.mkdir()
+    wave1 = [f"https://a.test/{i}" for i in range(20)]
+    wave2 = wave1[:10] + ["https://b.test/new"]
+    wave3 = list(wave1)  # pure repeats — must be a zero-update batch
+
+    import shutil
+
+    for name, urls in [("w1", wave1), ("w2", wave2), ("w3", wave3)]:
+        df = spark.createDataFrame(
+            [(u, None, None, None, None) for u in urls], corpus.PAGES_SCHEMA
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, pages_dir / f"{name}.parquet")
+
+    stream = stream_dedup_urls(
+        spark, str(pages_dir), n_buckets=4, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_fp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = [r.url for r in spark.table("dedup_fp").collect()]
+    assert sorted(out) == sorted(set(wave1) | set(wave2))
+
+    updates = [
+        (p["batchId"], p["stateOperators"][0]["numRowsUpdated"])
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators") and p["numInputRows"] > 0
+    ]
+    by_batch = dict(updates)
+    assert by_batch, "no progress captured"
+    last_batch = max(by_batch)
+    assert by_batch[last_batch] == 0, f"repeat batch rewrote state: {by_batch}"
+    assert any(v > 0 for v in by_batch.values())  # fresh batches did update

@@ -214,6 +214,64 @@ def seed_centroids(vectors: DataFrame, n_cells: int,
     )
 
 
+def kmeans_codebook(vectors: DataFrame, n_cells: int = 32, n_iters: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64,
+                    sample_fraction: float | None = None) -> DataFrame:
+    """Train a real IVF coarse quantizer with DataFrame-native Lloyd's
+    iterations (replaces the :func:`seed_centroids` sample stand-in when
+    recall matters).
+
+    Each iteration is two distributed steps:
+
+    - **assign**: the closed-form literal-codebook argmax from
+      :func:`ivf_assign` (nprobe=1) — a pure projection, no N×K shuffle;
+    - **update**: per-cell centroid mean as ``dim`` AVG AGGREGATE COLUMNS
+      of one ``groupBy(cell_id)`` (the columnar-minhash trick) — one
+      K-row-output shuffle with map-side partial sums, never a
+      per-component explode.
+
+    The K-row codebook round-trips through the driver between iterations
+    (the standard iterative-algorithm shape; K is tiny by construction).
+    Cells that lose every member keep their previous centroid. At corpus
+    scale pass ``sample_fraction`` — k-means needs only a representative
+    sample (seeded, deterministic split), while assignment of the full
+    corpus stays a projection in :func:`ivf_topk`.
+
+    Float caveat: AVG over doubles is order-dependent at the ulp level,
+    so trained centroids are not bit-reproducible across cluster layouts
+    — this trainer feeds the recall path (tools/ann_recall.py), not the
+    value-hashed oracle contract (which keeps the seeded codebook).
+    Returns (cell_id, centroid) with cell_id = 0..n_cells-1.
+    """
+    v = vectors.select(as_double(F.col(vec_col)).alias("v"))
+    if sample_fraction is not None:
+        v = v.sample(fraction=sample_fraction, seed=42)
+    spark = vectors.sparkSession
+    seeds = seed_centroids(vectors, n_cells, id_col, vec_col).collect()
+    cent = {i: list(r.centroid) for i, r in enumerate(seeds)}
+
+    def to_df(c: dict[int, list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(c.items())],
+            "cell_id long, centroid array<double>",
+        )
+
+    for _ in range(n_iters):
+        assigned = ivf_assign(
+            v.selectExpr("monotonically_increasing_id() AS _id", "v"),
+            to_df(cent), nprobe=1, id_col="_id", vec_col="v",
+            out_id="_id", out_vec="v",
+        )
+        stats = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(F.col("v")[d]).alias(f"c{d}") for d in range(dim)],
+        ).collect()
+        for r in stats:  # empty cells keep their previous centroid
+            cent[r.cell_id] = [r[f"c{d}"] for d in range(dim)]
+    return to_df(cent)
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding",
                out_id: str = "vec_id", out_vec: str = "v") -> DataFrame:

@@ -179,3 +179,39 @@ def test_ivf_topk_recall_monotone_in_nprobe_and_exact_at_full_probe(vec_df):
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8
     assert r8 == 1.0  # nprobe = n_cells → every candidate scanned → exact
+
+
+def test_kmeans_codebook_recovers_planted_clusters(spark):
+    """Lloyd's trainer: on 3 planted clusters the trained codebook (k=3)
+    assigns each cluster to one cell and beats the seeded-sample codebook
+    on mean cosine-to-centroid (the k-means objective)."""
+    import random
+
+    from distributed_crawl_spark.functions import similarity as SIM
+
+    rng = random.Random(7)
+    base = [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]]
+    rows = []
+    for i in range(60):
+        c = base[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    trained = SIM.kmeans_codebook(vecs, n_cells=3, n_iters=4, dim=4)
+    seeded = SIM.seed_centroids(vecs, 3)
+
+    def mean_best_cos(cb):
+        a = SIM.ivf_assign(vecs, cb, nprobe=1)
+        joined = a.join(cb, "cell_id").select(
+            SIM.cosine(F.col("v"), F.col("centroid")).alias("c"))
+        return joined.agg(F.avg("c")).first()[0]
+
+    assert trained.count() == 3
+    # every cluster lands in exactly one trained cell
+    assigned = SIM.ivf_assign(vecs, trained, nprobe=1).collect()
+    cells_by_cluster = {}
+    for r in assigned:
+        cells_by_cluster.setdefault(r.vec_id % 3, set()).add(r.cell_id)
+    assert all(len(s) == 1 for s in cells_by_cluster.values()), cells_by_cluster
+    assert len(set.union(*cells_by_cluster.values())) == 3
+    assert mean_best_cos(trained) >= mean_best_cos(seeded)

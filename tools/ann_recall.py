@@ -52,6 +52,23 @@ def main() -> int:
                 f"planes={n_planes} tables={n_tables} "
                 f"recall@{k}={hit / denom:.3f} returned={n_cand}"
             )
+
+    # IVF: seeded-sample codebook vs k-means-trained, equal nprobe
+    trained = SIM.kmeans_codebook(emb, n_cells=32, n_iters=5)
+    seeded = SIM.seed_centroids(emb, 32)
+    for cb_name, cb in (("seeded", seeded), ("kmeans", trained)):
+        for nprobe in (1, 2, 4, 8):
+            got = {q: set() for q in exact}
+            rows = SIM.ivf_topk(
+                emb, queries, k=k, n_cells=32, nprobe=nprobe, centroids=cb
+            ).collect()
+            for r in rows:
+                got[r.query_id].add(r.vec_id)
+            hit = sum(len(got[q] & exact[q]) for q in exact)
+            print(
+                f"ivf codebook={cb_name} nprobe={nprobe} "
+                f"recall@{k}={hit / denom:.3f}"
+            )
     spark.stop()
     return 0
 

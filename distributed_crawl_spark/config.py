@@ -61,6 +61,12 @@ class CrawlConfig:
     honor_crawl_delay: bool = False
     crawl_delay_round_seconds: float = 60.0
 
+    # Round-local scratch tables (_round_ranked/_round_hits/...) land under
+    # <checkpoint>/_scratch by default; point this at a tmpfs mount (e.g.
+    # "/dev/shm") to take the per-round staged-write hot path off disk.
+    # Scratch is never part of a commit and is cleared at every begin().
+    scratch_dir: str | None = None
+
     # loop bounds
     max_rounds: int = 100
 

@@ -43,6 +43,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 _TIMING = bool(os.environ.get("CRAWL_TIMING"))
 
+# Structured CRAWL_TIMING rows ({kind, name, sec}) — the serial-floor
+# profiler (tools/serial_floor.py) aggregates these per round to split a
+# round's wall time into Spark-job work (staged writes), pointer IO, and
+# driver-side residue (plan build / job submit / checkpoint reads).
+TIMINGS: list[dict] = []
+
+
+def record_timing(kind: str, name: str, sec: float) -> None:
+    if _TIMING:
+        TIMINGS.append({"kind": kind, "name": name, "sec": sec})
+        print(f"  [{kind} {name}: {sec:.2f}s]", file=sys.stderr)
+
 
 class Staging:
     """One in-progress snapshot. Nothing is visible until finalize()."""
@@ -71,11 +83,7 @@ class Staging:
         t0 = time.monotonic()
         self.store._schemas[name] = df.schema  # read() skips inference
         df.write.mode("overwrite").parquet(path)
-        if _TIMING:
-            print(
-                f"  [write v{self.version} {name}: {time.monotonic() - t0:.2f}s]",
-                file=sys.stderr,
-            )
+        record_timing("write", name, time.monotonic() - t0)
         return path
 
     def _read_back(self, df: DataFrame, path: str) -> DataFrame:
@@ -88,6 +96,23 @@ class Staging:
     def write_replace(self, name: str, df: DataFrame) -> DataFrame:
         path = self._write(name, df)
         self.tables[name] = {"mode": "replace", "version": self.version}
+        return self._read_back(df, path)
+
+    def write_scratch(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize a ROUND-LOCAL scratch table: written like any staged
+        table (and read back schema-pinned) but never registered in the
+        commit pointer — scratch lives only for the staging's lifetime and
+        the next ``begin()`` clears it, so it can't pin version dirs from
+        ``gc()``. When the store has a ``scratch_dir`` (e.g. /dev/shm),
+        scratch bytes land there instead of the checkpoint volume — the
+        per-round staged writes are the round's hot IO path and never need
+        durability (a crashed round replays wholesale)."""
+        sdir = self.store._scratch_dir(self.version)
+        sdir.mkdir(parents=True, exist_ok=True)
+        path = str(sdir / name)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(path)
+        record_timing("write", name, time.monotonic() - t0)
         return self._read_back(df, path)
 
     def write_rewrite(self, name: str, df: DataFrame) -> DataFrame:
@@ -109,7 +134,14 @@ class Staging:
         self.tables[name] = entry
         return self._read_back(df, path)
 
+    def abandon(self) -> None:
+        """Discard an unfinalized staging: version dir + its scratch.
+        The pointer never moved, so this is always safe."""
+        shutil.rmtree(self.vdir, ignore_errors=True)
+        shutil.rmtree(self.store._scratch_dir(self.version), ignore_errors=True)
+
     def finalize(self, meta: dict | None = None) -> int:
+        t0 = time.monotonic()
         pointer = {
             **self.prior_extra,
             "version": self.version,
@@ -119,15 +151,24 @@ class Staging:
         tmp = self.store.root / f".{CheckpointStore.POINTER}.tmp"
         tmp.write_text(json.dumps(pointer, sort_keys=True))
         os.replace(tmp, self.store.root / CheckpointStore.POINTER)
+        record_timing("pointer", "finalize", time.monotonic() - t0)
         return self.version
 
 
 class CheckpointStore:
     POINTER = "_LATEST"
 
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, scratch_dir: str | Path | None = None):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # Round-local scratch (never in the pointer). Default: a _scratch
+        # subtree of the checkpoint volume; point it at tmpfs (/dev/shm)
+        # via CrawlConfig.scratch_dir to take the per-round staged-write
+        # hot path off disk. Namespaced under the store's directory name
+        # so two stores sharing one tmpfs don't collide.
+        self.scratch_root = (
+            Path(scratch_dir) / self.root.name if scratch_dir else self.root / "_scratch"
+        )
         # Driver-side plan/schema caches. A round calls read() several
         # times (frontier, url_seen, bloom_state) and every staged write
         # reads its files back — each uncached spark.read.parquet runs a
@@ -150,9 +191,16 @@ class CheckpointStore:
     def _version_dir(self, version: int) -> Path:
         return self.root / f"v{version:06d}"
 
+    def _scratch_dir(self, version: int) -> Path:
+        return self.scratch_root / f"v{version}"
+
     def begin(self) -> Staging:
         meta = self.latest_meta()
         version = 0 if meta is None else meta["version"] + 1
+        # scratch from prior rounds (or an abandoned staging) is dead the
+        # moment a new staging starts — clear it here so scratch never
+        # outlives a round or survives an early-return abandon
+        shutil.rmtree(self.scratch_root, ignore_errors=True)
         tables = dict(meta["tables"]) if meta else {}
         extra = {
             k: v for k, v in (meta or {}).items() if k not in ("version", "tables")

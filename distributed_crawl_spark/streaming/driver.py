@@ -80,7 +80,7 @@ class CrawlDriver:
         self.pages = pages
         self.robots = robots
         self.cfg = cfg
-        self.store = CheckpointStore(checkpoint_dir)
+        self.store = CheckpointStore(checkpoint_dir, scratch_dir=cfg.scratch_dir)
         if not cfg.use_bloom:
             self.bloom = None
         elif cfg.seen_filter == "cuckoo":
@@ -190,7 +190,7 @@ class CrawlDriver:
         if self.robots is not None:
             allowed, denied = apply_robots_gate(frontier, self.robots)
             obs_denied = Observation()
-            denied = staging.write_replace(
+            denied = staging.write_scratch(
                 "_round_denied",
                 denied.observe(obs_denied, F.count(F.lit(1)).alias("n")),
             )
@@ -214,7 +214,7 @@ class CrawlDriver:
                     default_budget=cfg.host_budget,
                 )
             obs_rank = Observation()
-            ranked = staging.write_replace(
+            ranked = staging.write_scratch(
                 "_round_ranked",
                 rank_frontier(
                     allowed, cfg.host_budget, cfg.salt_threshold,
@@ -267,7 +267,7 @@ class CrawlDriver:
         # extraction still runs exactly once). Under 'keep' (default) the
         # single direct append stands.
         if cfg.geo_block_policy == "skip":
-            attempted = staging.write_replace("_round_hits", hits)
+            attempted = staging.write_scratch("_round_hits", hits)
             m_fetch = obs_fetch.get
             n_ok = int(m_fetch["n_ok"] or 0)
             n_geo = int(m_fetch["n_geo"] or 0)
@@ -315,7 +315,7 @@ class CrawlDriver:
             url_seen,
             self.bloom,
             bloom_state,
-            materialize=staging.write_replace,
+            materialize=staging.write_scratch,
         )
 
         # 6. next frontier = deferred ∪ retries ∪ new children — staged;
@@ -432,6 +432,9 @@ class CrawlDriver:
                 "metrics_history": history + [stats.__dict__],
             }
         )
+        from .checkpoint import record_timing
+
+        record_timing("round", str(round_no), stats.seconds)
         return stats
 
     # -- recrawl TTL ---------------------------------------------------------------
@@ -483,13 +486,14 @@ class CrawlDriver:
 
         staging = self.store.begin()
         obs = Observation()
-        due = staging.write_replace(
+        due = staging.write_scratch(
             "_expire_due", due.observe(obs, F.count(F.lit(1)).alias("n"))
         )
         n_due = int(obs.get["n"] or 0)
         if n_due == 0:
-            # nothing to do — abandon the staging dir (next begin() reuses
-            # and clears the same version number; pointer never moved)
+            # nothing to do — drop the staging + its scratch now (pointer
+            # never moved; next begin() would clear them anyway)
+            staging.abandon()
             return 0
 
         if requeue:

@@ -65,25 +65,48 @@ def robots_crawl_delay_udf(robots_txt: pd.Series) -> pd.Series:
 
 
 def crawl_delay_budgets(
-    robots: DataFrame, round_seconds: float, default_budget: int | None = None
+    robots: DataFrame, round_seconds: float,
+    default_budget: int | None = None,
+    round_no: int | None = None,
 ) -> DataFrame:
     """(host, budget): per-host politeness budget honoring robots
     Crawl-delay. A host demanding one request per D seconds gets
-    ``max(1, floor(round_seconds / D))`` slots per round — the batch
-    analog of inter-request spacing (rounds model a wall-clock window of
+    ``floor(round_seconds / D)`` slots per round — the batch analog of
+    inter-request spacing (rounds model a wall-clock window of
     ``round_seconds``; the reference has no robots support at all, and a
-    real-time sleep is meaningless in set-at-a-time execution). Hosts
-    without a Crawl-delay are omitted — the default budget applies via
-    coalesce in the politeness window. Tiny output (≤ #hosts in the
+    real-time sleep is meaningless in set-at-a-time execution).
+
+    Delays LONGER than the round window are spread ACROSS rounds when
+    ``round_no`` is given (the driver passes it): such a host gets one
+    slot every ``ceil(D / round_seconds)`` rounds — budget 0 on its
+    off-rounds — with a per-host hash phase so long-delay hosts don't all
+    fire on the same round. Without ``round_no`` (window-only callers)
+    the budget floors at 1/round, which OVERSHOOTS robots by up to
+    D/round_seconds for those hosts — the documented politeness lower
+    bound of the stateless form, not the driver behavior.
+
+    Hosts without a Crawl-delay are omitted — the default budget applies
+    via coalesce in the politeness window. Tiny output (≤ #hosts in the
     robots table): always broadcastable.
     """
     d = robots.select(
         "host", robots_crawl_delay_udf(F.col("robots_txt")).alias("delay_s")
     ).filter(F.col("delay_s").isNotNull() & (F.col("delay_s") > 0))
-    budget = F.greatest(
-        F.lit(1).cast("long"),
-        F.floor(F.lit(float(round_seconds)) / F.col("delay_s")).cast("long"),
-    )
+    within = F.floor(
+        F.lit(float(round_seconds)) / F.col("delay_s")
+    ).cast("long")
+    if round_no is None:
+        budget = F.greatest(F.lit(1).cast("long"), within)
+    else:
+        period = F.ceil(F.col("delay_s") / F.lit(float(round_seconds))).cast("long")
+        phase = F.pmod(F.xxhash64("host"), period)
+        on_round = F.pmod(F.lit(round_no) + phase, period) == 0
+        budget = F.when(
+            F.col("delay_s") <= F.lit(float(round_seconds)),
+            F.greatest(F.lit(1).cast("long"), within),
+        ).otherwise(
+            F.when(on_round, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
     if default_budget is not None:  # never exceed the global cap
         budget = F.least(budget, F.lit(default_budget).cast("long"))
     return d.select("host", budget.alias("budget"))

@@ -216,7 +216,10 @@ class CheckpointStore:
             paths = [str(self._version_dir(entry["version"]) / name)]
         else:
             paths = [str(self._version_dir(v) / name) for v in entry["versions"]]
-        key = (id(spark), name, tuple(paths))
+        # session identity: applicationId, not id(spark) — a stopped
+        # session's object id can be reused by a new one, which would
+        # resurrect DataFrames bound to the dead JVM-side session
+        key = (spark.sparkContext.applicationId, name, tuple(paths))
         hit = self._read_cache.get(key)
         if hit is not None:
             return hit

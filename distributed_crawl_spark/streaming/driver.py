@@ -212,6 +212,7 @@ class CrawlDriver:
                 budgets = crawl_delay_budgets(
                     self.robots, cfg.crawl_delay_round_seconds,
                     default_budget=cfg.host_budget,
+                    round_no=round_no,  # spreads delays > window across rounds
                 )
             obs_rank = Observation()
             ranked = staging.write_scratch(
@@ -531,16 +532,20 @@ class CrawlDriver:
                     self.bloom.delete(state, due.select("url")),
                 )
 
-        staging.finalize(
-            {
-                "last_expire": {
-                    "at_round": current,
-                    "ttl_rounds": ttl_rounds,
-                    "n_expired": n_due,
-                    "mode": "requeue" if requeue else "forget",
-                }
+        meta: dict = {
+            "last_expire": {
+                "at_round": current,
+                "ttl_rounds": ttl_rounds,
+                "n_expired": n_due,
+                "mode": "requeue" if requeue else "forget",
             }
-        )
+        }
+        if requeue:
+            # cumulative requeue count — progress() adds it to the work
+            # denominator so re-fetches don't push pct past 100
+            prior = (self.store.latest_meta() or {}).get("n_requeued_total", 0)
+            meta["n_requeued_total"] = prior + n_due
+        staging.finalize(meta)
         return n_due
 
     # -- views --------------------------------------------------------------------
@@ -627,7 +632,14 @@ class CrawlDriver:
             + h.get("geo_blocked_skipped", 0)
             for h in hist
         )
-        total = meta.get("n_seeds", 0) + sum(h.get("urls_seen", 0) for h in hist)
+        # requeued recrawls (expire(requeue=True)) hit the terminal counters
+        # a second time — they must also count in the denominator or pct
+        # can pass 100 and the ETA clamps to 0
+        total = (
+            meta.get("n_seeds", 0)
+            + sum(h.get("urls_seen", 0) for h in hist)
+            + meta.get("n_requeued_total", 0)
+        )
         elapsed = sum(h.get("seconds", 0.0) for h in hist)
         rate = terminal / elapsed if elapsed > 0 else 0.0
         remaining = max(total - terminal, 0)

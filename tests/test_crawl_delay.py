@@ -82,3 +82,47 @@ def test_config_rejects_crawl_delay_without_budget():
 
     with pytest.raises(ValueError):
         CrawlConfig(honor_crawl_delay=True, host_budget=None).validate()
+
+
+def test_crawl_delay_longer_than_window_spreads_across_rounds(spark):
+    """Delay > round window: exactly one in-budget round per period
+    (ceil(D/window)), budget 0 on off-rounds — the fix for the
+    once-per-round floor overshooting robots by D/window."""
+    robots = corpus.tiny_robots(spark)  # slow.test: Crawl-delay 5
+
+    def budget_at(round_no):
+        rows = crawl_delay_budgets(robots, 1.0, round_no=round_no).collect()
+        return {r.host: r.budget for r in rows}["slow.test"]
+
+    period = 5  # ceil(5 / 1.0)
+    seq = [budget_at(r) for r in range(2 * period)]
+    assert sum(seq) == 2                      # one slot per period
+    assert set(seq) == {0, 1}
+    on = [i for i, b in enumerate(seq) if b == 1]
+    assert on[1] - on[0] == period            # evenly spaced
+
+
+def test_driver_spreads_long_crawl_delay(spark, tmp_path):
+    """Driver end-to-end: Crawl-delay 5 with a 2.5 s window → period 2 →
+    the host is fetched at most every other round."""
+    urls = [f"https://slow.test/p{i}" for i in range(3)]
+    html = "<html><body><p>hello world</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [(u, None, html, None, "en") for u in urls], corpus.PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        [(u, i, None) for i, u in enumerate(urls)], corpus.SEEDS_SCHEMA
+    )
+    cfg = CrawlConfig(
+        max_levels=1, host_budget=10, honor_crawl_delay=True,
+        crawl_delay_round_seconds=2.5, max_rounds=12,
+    )
+    drv = CrawlDriver(
+        spark, pages, corpus.tiny_robots(spark), cfg, str(tmp_path / "ck")
+    )
+    stats = drv.run(seeds)
+    fetched = [s.fetched for s in stats]
+    assert sum(fetched) == 3
+    on = [i for i, n in enumerate(fetched) if n > 0]
+    assert all(n in (0, 1) for n in fetched)
+    assert all(b - a >= 2 for a, b in zip(on, on[1:])), fetched

@@ -81,6 +81,33 @@ _URL_SQL = (
 # portable 48-bit md5-prefix integer (see dedup.md5_int48) in DuckDB form
 _MD5I48 = "CAST('0x' || substr(md5({x}), 1, 12) AS BIGINT)"
 
+# Multi-table hyperplane LSH buckets (the 'balanced' preset) in DuckDB
+# form: bucket(vec_id, t, bucket) from a `comp` CTE of (vec_id, val, d).
+# Table 0 uses the legacy 'j_d' plane seed; tables t>0 use 't{t}_j_d' —
+# exactly similarity.plane_component.
+_BAL = SIM.LSH_PRESETS["balanced"]
+_LSH_MT_BUCKETS_CTE = f"""
+            planes AS (
+              SELECT t, j, d,
+                     (CAST('0x' || substr(md5(
+                        CASE WHEN t = 0
+                             THEN j::VARCHAR || '_' || d::VARCHAR
+                             ELSE 't' || t::VARCHAR || '_' || j::VARCHAR || '_' || d::VARCHAR
+                        END), 1, 8) AS BIGINT) % 2001 - 1000)::DOUBLE AS w
+              FROM (SELECT unnest(generate_series(0, {_BAL['n_tables'] - 1})) AS t),
+                   (SELECT unnest(generate_series(0, {_BAL['n_planes'] - 1})) AS j),
+                   (SELECT unnest(generate_series(0, 63)) AS d)
+            ),
+            proj AS (
+              SELECT vec_id, t, j, sum(val * w) AS s
+              FROM comp JOIN planes USING (d) GROUP BY 1, 2, 3
+            ),
+            bucket AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+              FROM proj GROUP BY 1, 2
+            )"""
+
 # DuckDB shingle-array builder over whitespace tokens (3-grams)
 _TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 _SHINGLES_CTE = f"""
@@ -493,9 +520,12 @@ def q_dedup_embedding(spark, sf_dir):
 
 def q_dedup_embedding_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs ≥ 0.4 — the scale path: the
-    self-join is an equi-join on the hyperplane bucket, never all-pairs."""
+    self-join is an equi-join on (table, hyperplane bucket), never
+    all-pairs. Uses the 'balanced' preset (6 planes × 4 tables), picked
+    from the measured recall study in BENCH.md — the single-table
+    8-plane default was the study's worst case on diffuse corpora."""
     return SIM.embedding_near_dup_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, preset="balanced"
     )
 
 
@@ -506,9 +536,13 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-5 (random hyperplanes)."""
+    """LSH-bucketed approximate top-5 (random hyperplanes), 'balanced'
+    preset (6 planes × 4 independent tables — recall-tuned from the
+    BENCH.md study; candidates found by several tables score once)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return SIM.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, preset="balanced"
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1064,27 +1098,18 @@ def oracle_sql() -> dict[str, str]:
             comp AS (
               SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) - 1 AS d FROM v
             ),
-            planes AS (
-              SELECT j, d,
-                     (CAST('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8) AS BIGINT)
-                      % 2001 - 1000)::DOUBLE AS w
-              FROM (SELECT unnest(generate_series(0, {SIM.N_PLANES - 1})) AS j),
-                   (SELECT unnest(generate_series(0, 63)) AS d)
-            ),
-            proj AS (
-              SELECT vec_id, j, sum(val * w) AS s
-              FROM comp JOIN planes USING (d) GROUP BY 1, 2
-            ),
-            bucket AS (
-              SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
-              FROM proj GROUP BY 1
+            {_LSH_MT_BUCKETS_CTE}
+            , pair AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bucket a
+              JOIN bucket b ON a.t = b.t AND a.bucket = b.bucket
+                            AND a.vec_id < b.vec_id
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT id_a, id_b,
                    CAST(floor(list_cosine_similarity(va.e, vb.e) * 1000) AS BIGINT) AS cos_m
-            FROM bucket a
-            JOIN bucket b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            JOIN v va ON va.vec_id = a.vec_id
-            JOIN v vb ON vb.vec_id = b.vec_id
+            FROM pair
+            JOIN v va ON va.vec_id = id_a
+            JOIN v vb ON vb.vec_id = id_b
             WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""",
         "ann_topk": """
             WITH v AS (
@@ -1109,29 +1134,20 @@ def oracle_sql() -> dict[str, str]:
             comp AS (
               SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) - 1 AS d FROM v
             ),
-            planes AS (
-              SELECT j, d,
-                     (CAST('0x' || substr(md5(j::VARCHAR || '_' || d::VARCHAR), 1, 8) AS BIGINT)
-                      % 2001 - 1000)::DOUBLE AS w
-              FROM (SELECT unnest(generate_series(0, {SIM.N_PLANES - 1})) AS j),
-                   (SELECT unnest(generate_series(0, 63)) AS d)
-            ),
-            proj AS (
-              SELECT vec_id, j, sum(val * w) AS s
-              FROM comp JOIN planes USING (d) GROUP BY 1, 2
-            ),
-            bucket AS (
-              SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
-              FROM proj GROUP BY 1
+            {_LSH_MT_BUCKETS_CTE}
+            , cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+              FROM bucket q
+              JOIN bucket c ON q.t = c.t AND q.bucket = c.bucket
+                            AND c.vec_id != q.vec_id
+              WHERE q.vec_id < 10
             ),
             scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+              SELECT query_id, cand.vec_id,
                      list_cosine_similarity(qv.e, cv.e) AS cos
-              FROM bucket q
-              JOIN bucket c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
-              JOIN v qv ON qv.vec_id = q.vec_id
-              JOIN v cv ON cv.vec_id = c.vec_id
-              WHERE q.vec_id < 10
+              FROM cand
+              JOIN v qv ON qv.vec_id = query_id
+              JOIN v cv ON cv.vec_id = cand.vec_id
             )
             SELECT query_id, vec_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,

@@ -38,6 +38,29 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8  # LSH hyperplanes → 256 buckets
 
+# Named (planes, tables) operating points, chosen from the measured
+# recall@5 study in BENCH.md (i.i.d. gaussian corpus — the WORST case for
+# hyperplane LSH; clustered real corpora recall higher at every point).
+# Probe cost per query ~ tables * N / 2^planes candidates.
+LSH_PRESETS: dict[str, dict[str, int]] = {
+    # cheapest probe (N/256 per query); right for tightly clustered
+    # corpora — measured worst case 0.016 recall@5 on a diffuse one
+    "fast": {"n_planes": 8, "n_tables": 1},
+    # default: 4 independent 64-bucket tables — measured 0.220 recall@5
+    # on the diffuse corpus at ~N/16 probe cost
+    "balanced": {"n_planes": 6, "n_tables": 4},
+    # measured 0.692 recall@5; ~N/2 probe cost on a diffuse corpus (its
+    # value is on clustered corpora, where buckets stay selective)
+    "accurate": {"n_planes": 4, "n_tables": 8},
+}
+
+
+def _lsh_params(preset: str | None, n_planes: int, n_tables: int) -> tuple[int, int]:
+    if preset is None:
+        return n_planes, n_tables
+    p = LSH_PRESETS[preset]
+    return p["n_planes"], p["n_tables"]
+
 
 def as_double(vec: Column) -> Column:
     """Cast array<float> → array<double> so all math is f64 (matches the
@@ -155,7 +178,8 @@ def _bucket_tagged(df: DataFrame, id_alias: str, vec_alias: str,
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = N_PLANES, scale: int = 1000,
-             dim: int = 64, n_tables: int = 1) -> DataFrame:
+             dim: int = 64, n_tables: int = 1,
+             preset: str | None = None) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
     hyperplane bucket(s). The bucket equi-join is the scale move —
     candidate work per query drops from N to ~T·N/2^planes on average.
@@ -163,11 +187,13 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     ``n_tables`` > 1 unions candidates from T independent hyperplane sets
     (classic multi-table LSH): recall rises toward exact at T× the probe
     cost. A candidate found by several tables is scored once (max over
-    identical cosines).
+    identical cosines). ``preset`` ("fast" | "balanced" | "accurate")
+    picks a measured (planes, tables) point from :data:`LSH_PRESETS`.
     Returns (query_id, vec_id, rank, cos).
     """
     from pyspark.sql.window import Window
 
+    n_planes, n_tables = _lsh_params(preset, n_planes, n_tables)
     q = _bucket_tagged(
         queries, "query_id", "qv", id_col, vec_col, dim, n_planes, n_tables
     )
@@ -410,7 +436,8 @@ def embedding_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.4,
                                  vec_col: str = "embedding",
                                  n_planes: int = N_PLANES, dim: int = 64,
                                  n_tables: int = 1,
-                                 scale: int = 1000) -> DataFrame:
+                                 scale: int = 1000,
+                                 preset: str | None = None) -> DataFrame:
     """Near-dup pairs restricted to shared hyperplane buckets — the scale
     path for threshold-pair dedup.
 
@@ -419,9 +446,11 @@ def embedding_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.4,
     minhash_lsh_pairs. Recall vs the exact form is governed by planes (a
     pair at cosine θ collides in one table with prob (1 - acos(θ)/π)^planes)
     and multiplied back up by ``n_tables`` independent tables; a pair found
-    by several tables is emitted once. Returns (id_a, id_b, cos_m),
-    id_a < id_b.
+    by several tables is emitted once. ``preset`` picks a measured
+    (planes, tables) point from :data:`LSH_PRESETS`. Returns
+    (id_a, id_b, cos_m), id_a < id_b.
     """
+    n_planes, n_tables = _lsh_params(preset, n_planes, n_tables)
     a = _bucket_tagged(vectors, "id_a", "va", id_col, vec_col, dim,
                        n_planes, n_tables)
     b = _bucket_tagged(vectors, "id_b", "vb", id_col, vec_col, dim,

@@ -105,6 +105,9 @@ ROUND_METRICS_SCHEMA = StructType(
         StructField("geo_blocked_skipped", LongType(), False),
         StructField("new_frontier", LongType(), False),
         StructField("seconds", DoubleType(), False),  # round wall time (A6)
+        # next-frontier size from the same Observations (drain check runs
+        # no count job); 0 in histories written before round 3
+        StructField("frontier_size", LongType(), False),
     ]
 )
 

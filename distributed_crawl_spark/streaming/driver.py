@@ -64,6 +64,10 @@ class RoundStats:
     geo_blocked_skipped: int
     new_frontier: int
     seconds: float = 0.0  # round wall time — feeds rate/ETA (A6)
+    # deferred + retries + new — derived from the same Observations, so
+    # the drain check needs NO standalone frontier count job (the between-
+    # rounds limit(1).count() was part of the measured serial floor)
+    frontier_size: int = 0
 
 
 class CrawlDriver:
@@ -133,7 +137,7 @@ class CrawlDriver:
             if k is not None and (round_no + 1) % k == 0:
                 self.store.compact(self.spark)
                 self.store.gc()
-            if stats.new_frontier == 0 and self._frontier_empty():
+            if stats.frontier_size == 0:  # drained — no count job needed
                 break
             round_no += 1
         return self.stats
@@ -296,7 +300,9 @@ class CrawlDriver:
             ).alias("n_failed"),
         )
         misses = staging.write_append("miss_log", misses)
-        n_failed = int(obs_miss.get["n_failed"] or 0)
+        m_miss = obs_miss.get
+        n_failed = int(m_miss["n_failed"] or 0)
+        n_miss = int(m_miss["n_miss"] or 0)
 
         bumped = misses.withColumn("attempt", F.col("attempt") + 1)
         retry = bumped.filter(F.col("attempt") < cfg.retry_attempts).select(
@@ -424,6 +430,7 @@ class CrawlDriver:
             geo_blocked_skipped=n_geo_skipped,
             new_frontier=n_new,
             seconds=round(_time.monotonic() - t0, 3),
+            frontier_size=n_deferred + n_new + (n_miss - n_failed),
         )
         history = (self.store.latest_meta() or {}).get("metrics_history", [])
         staging.finalize(

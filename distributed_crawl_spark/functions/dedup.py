@@ -56,6 +56,29 @@ LSH_BANDS = 4                     # 4 bands × 4 rows
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
+def _resolve_materializer(materializer, default: str | None):
+    """Shared reuse hook: ``(df, name) -> df``. ``None`` → the family's
+    measured default ('persist' or pure plan); ``False`` → pure plan;
+    ``'persist'`` → MEMORY_AND_DISK; a callable is used as-is (e.g. the
+    driver's staged-write pattern, operators/seen.py)."""
+    if materializer is None:
+        materializer = default
+    if callable(materializer):
+        return materializer
+    if materializer == "persist":
+        from pyspark import StorageLevel
+
+        def persist(df: DataFrame, name: str) -> DataFrame:
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+        return persist
+
+    def identity(df: DataFrame, name: str) -> DataFrame:
+        return df
+
+    return identity
+
+
 def md5_int48(col: Column) -> Column:
     """Portable 48-bit integer hash: first 12 hex chars of md5.
 
@@ -154,15 +177,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b.
     """
-    if materializer == "persist":
-        from pyspark import StorageLevel
-
-        def materializer(df: DataFrame, name: str) -> DataFrame:
-            return df.persist(StorageLevel.MEMORY_AND_DISK)
-    elif materializer is None or materializer is False:
-        def materializer(df: DataFrame, name: str) -> DataFrame:
-            return df
-
+    materializer = _resolve_materializer(materializer, default=None)
     ds = doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
         # census first (count-only partial agg — safe on the Zipf head),
@@ -366,40 +381,41 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     Returns (doc_id, sh_hi, sh_lo).
     """
     toks = tokens(F.col(text_col))
+    # md5 once per token; the two 32-bit halves are cheap substring/conv
+    # projections of the one hex string
     hashes = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("lo"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("hi"),
-        ),
-    )
-    # 64 mask slots: (p = bit weight within the half, h = which half)
-    masks = F.array(
-        *[
-            F.struct(
-                F.lit(1 << (j % 32)).cast("long").alias("p"),
-                F.lit(1 if j >= 32 else 0).alias("h"),
-            )
-            for j in range(64)
-        ]
-    )
-    bit_sums = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda a, m: a
-            + F.when(
-                F.when(m["h"] == 1, h["hi"])
-                .otherwise(h["lo"])
-                .bitwiseAND(m["p"])
-                != 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+        F.transform(toks, lambda t: F.md5(t)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hi"),
         ),
     )
     pow2_32 = F.array(*[F.lit(1 << j) for j in range(32)]).cast("array<long>")
+    # accumulator = struct of two 32-slot bit-sum arrays — each half is
+    # EXACTLY the 32-bit form's inner loop (plain power-of-two masks, no
+    # per-slot half-pick conditional; a 64-slot struct-mask variant
+    # measured ~7× slower at sf0.1)
+    init = F.struct(
+        F.array_repeat(F.lit(0).cast("long"), 32).alias("lo"),
+        F.array_repeat(F.lit(0).cast("long"), 32).alias("hi"),
+    )
+
+    def step_half(acc_half: Column, h_half: Column) -> Column:
+        return F.zip_with(
+            acc_half,
+            pow2_32,
+            lambda a, p: a
+            + F.when(h_half.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    bit_sums = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.struct(
+            step_half(acc["lo"], h["lo"]).alias("lo"),
+            step_half(acc["hi"], h["hi"]).alias("hi"),
+        ),
+    )
 
     def half(sums: Column) -> Column:
         return F.aggregate(
@@ -414,14 +430,15 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
     return docs.filter(F.size(toks) > 0).select(
         id_col,
-        half(F.slice(bit_sums, 33, 32)).alias("sh_hi"),
-        half(F.slice(bit_sums, 1, 32)).alias("sh_lo"),
+        half(bit_sums["hi"]).alias("sh_hi"),
+        half(bit_sums["lo"]).alias("sh_lo"),
     )
 
 
 def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    max_hamming: int = 3) -> DataFrame:
+                    max_hamming: int = 3,
+                    materializer=None) -> DataFrame:
     """64-bit SimHash hamming-ball pair dedup — the 10^9+-doc scale form.
 
     Same pigeonhole plan as :func:`simhash_pairs` (agree exactly on ≥1 of
@@ -437,6 +454,12 @@ def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
     Blocks must not straddle the 32-bit half boundary (width must divide
     32), which holds for every max_hamming where blocks divide 64 evenly
     except the degenerate 64-wide single block.
+
+    The fingerprint table (N × 3 longs — tiny relative to the corpus) is
+    MATERIALIZED before the self-join (default: persist): both join
+    sides otherwise re-derive the full closed-form fingerprint pass from
+    the raw text, measured 14s lazy vs 2.7s materialized at sf0.1.
+    ``materializer``: see :func:`_resolve_materializer`.
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
     blocks = max_hamming + 1
@@ -444,7 +467,8 @@ def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
     width = 64 // blocks
     assert 32 % width == 0, "blocks must not straddle the half boundary"
     mask = F.lit((1 << width) - 1)
-    fp = simhash64(docs, id_col, text_col)
+    materializer = _resolve_materializer(materializer, default="persist")
+    fp = materializer(simhash64(docs, id_col, text_col), "simhash64_fp")
     per_half = 32 // width
     vals = F.array(
         *[
@@ -483,7 +507,8 @@ def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = 32,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  materializer=None) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming,
     via pigeonhole blocking (the Manku/WWW'07 web-dedup strategy): split
     the fingerprint into ``max_hamming + 1`` equal blocks — a pair inside
@@ -500,7 +525,10 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     assert bits % blocks == 0, "bits must split into max_hamming+1 blocks"
     width = bits // blocks
     mask = F.lit((1 << width) - 1)
-    fp = simhash(docs, id_col, text_col, bits)
+    # materialized for the same reason as simhash_pairs64: both join
+    # sides otherwise recompute the fingerprint pass from raw text
+    materializer = _resolve_materializer(materializer, default="persist")
+    fp = materializer(simhash(docs, id_col, text_col, bits), "simhash_fp")
     vals = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(mask)

@@ -290,16 +290,23 @@ def lsh_bucket_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3) -> DataFrame:
+                      text_col: str = "text", n: int = 3,
+                      materializer=None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
     The pair join happens per (band, band_key) — output-bound, never
     all-pairs. At 10^10 docs this is the only dedup plan that survives.
     Band keys come straight off the columnar signature (one shuffle total
-    before the pair join; the band unpivot is a projection).
+    before the pair join; the band unpivot is a projection). The
+    signature table (N × k longs) is materialized before the self-join
+    (default persist — same reason as :func:`simhash_pairs64`: both join
+    sides otherwise re-run the shingle explode + signature shuffle).
     Returns (id_a, id_b, n_shared_bands), id_a < id_b.
     """
-    cols = _minhash_cols(docs, id_col, text_col, n)
+    materializer = _resolve_materializer(materializer, default="persist")
+    cols = materializer(
+        _minhash_cols(docs, id_col, text_col, n), "minhash_signature"
+    )
     keys = F.array(*[_band_key(b) for b in range(LSH_BANDS)])
     buckets = cols.select(
         id_col, F.posexplode(keys).alias("band", "band_key")

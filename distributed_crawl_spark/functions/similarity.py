@@ -306,14 +306,16 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
     Two physical strategies, same semantics (ties break on cell_id
     ascending, deterministic):
 
-    - ``nprobe == 1`` (the big candidate side): CLOSED FORM. The codebook
-      is K rows by construction, so it is collected once and inlined as a
-      literal array of (cell_id, centroid) structs; the argmax is a
-      linear ``aggregate`` scan over the K per-row cosines — a pure
-      projection, whole-stage codegen'd, with NO per-vector window and
-      NO N×K-row shuffle. This is the only shape that survives 10^10
-      vectors (the previous crossJoin + row_number form pushed the K-fan
-      -out through a vec_id-keyed window exchange).
+    - ``nprobe == 1`` (the big candidate side): broadcast crossJoin
+      fan-out + ``max_by`` ARGMAX AGGREGATION. The K-per-vector rows are
+      collapsed by partial (map-side) aggregation before any exchange,
+      so the one shuffle carries N rows — never the N×K that the
+      row_number window pushed through a vec_id-keyed exchange — and the
+      per-pair cosine stays in codegen. Measured at sf0.1: 0.4-1.0s vs
+      1.5-4.4s for the window form and 2.6-3.7s for a zero-shuffle
+      literal-codebook projection (K nested higher-order lambdas per row
+      drop to interpreted evaluation — "no shuffle" lost to a 10×
+      per-row CPU constant; tried and rejected).
     - ``nprobe > 1`` (the tiny query side): the K-fan-out crossJoin with
       a row_number window — fine because |Q| is small.
 
@@ -322,46 +324,26 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
     v = vectors.select(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec)
     )
-    if nprobe == 1:
-        rows = sorted(
-            centroids.select("cell_id", "centroid").collect(),
-            key=lambda r: r.cell_id,
-        )
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(r.cell_id).cast("long").alias("cell_id"),
-                    F.array(*[F.lit(float(x)) for x in r.centroid])
-                    .cast("array<double>")
-                    .alias("centroid"),
-                )
-                for r in rows
-            ]
-        )
-        scored = F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                cosine(F.col(out_vec), c["centroid"]).alias("ccos"),
-                c["cell_id"].alias("cell_id"),
-            ),
-        )
-        # strict > keeps the earliest (smallest cell_id) among cos ties —
-        # identical to row_number() ORDER BY ccos DESC, cell_id ASC
-        best = F.aggregate(
-            scored,
-            F.struct(
-                F.lit(float("-inf")).alias("ccos"),
-                F.lit(-1).cast("long").alias("cell_id"),
-            ),
-            lambda acc, x: F.when(x["ccos"] > acc["ccos"], x).otherwise(acc),
-        )
-        return v.select(out_id, out_vec, best["cell_id"].alias("cell_id"))
-
-    from pyspark.sql.window import Window
-
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
         "ccos", cosine(F.col(out_vec), F.col("centroid"))
     )
+    if nprobe == 1:
+        # ordering key (ccos, -cell_id): max cosine, then MIN cell_id —
+        # identical to row_number() ORDER BY ccos DESC, cell_id ASC
+        best = scored.groupBy(out_id).agg(
+            F.max_by(
+                F.struct("cell_id", out_vec),
+                F.struct(F.col("ccos").alias("c"),
+                         (-F.col("cell_id")).alias("negid")),
+            ).alias("b")
+        )
+        return best.select(
+            out_id, F.col(f"b.{out_vec}").alias(out_vec),
+            F.col("b.cell_id").alias("cell_id"),
+        )
+
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))

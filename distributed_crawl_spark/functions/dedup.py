@@ -181,8 +181,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     ds = doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
         # census first (count-only partial agg — safe on the Zipf head),
-        # then filter the index; both sides shuffle by shingle and the
-        # census exchange is reused for the join side.
+        # then filter the index via the rare-shingle join; both sides
+        # shuffle by shingle and AQE reuses the census exchange. (An
+        # anti-join against the tiny HEAVY set — Zipf head only — was
+        # tried for a map-side filter and measured consistently SLOWER
+        # at sf0.1: the anti-join's own exchange isn't census-reusable.)
         rare = (
             ds.groupBy("shingle").count()
             .filter(F.col("count") <= max_df)

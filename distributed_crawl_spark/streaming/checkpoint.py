@@ -148,8 +148,15 @@ class Staging:
             "tables": self.tables,
             **(meta or {}),
         }
+        body = json.dumps(pointer, sort_keys=True)
+        # per-snapshot copy of the pointer (Iceberg metadata-file analog):
+        # enables time travel (read_at / meta_at) for any snapshot whose
+        # version dirs gc() hasn't dropped yet. Written BEFORE the atomic
+        # _LATEST flip — a crash between the two leaves a dangling
+        # snapshot file that the next begin() of this version overwrites.
+        (self.vdir / CheckpointStore.SNAP_META).write_text(body)
         tmp = self.store.root / f".{CheckpointStore.POINTER}.tmp"
-        tmp.write_text(json.dumps(pointer, sort_keys=True))
+        tmp.write_text(body)
         os.replace(tmp, self.store.root / CheckpointStore.POINTER)
         record_timing("pointer", "finalize", time.monotonic() - t0)
         return self.version
@@ -157,6 +164,7 @@ class Staging:
 
 class CheckpointStore:
     POINTER = "_LATEST"
+    SNAP_META = "_META.json"  # per-version pointer copy (time travel)
 
     def __init__(self, root: str | Path, scratch_dir: str | Path | None = None):
         self.root = Path(root)
@@ -207,8 +215,42 @@ class CheckpointStore:
         }
         return Staging(self, version, tables, prior_extra=extra)
 
+    def meta_at(self, version: int) -> dict | None:
+        """Pointer metadata as of snapshot ``version`` (None if that
+        snapshot never finalized or predates this feature)."""
+        p = self._version_dir(version) / self.SNAP_META
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def snapshots(self) -> list[int]:
+        """Time-travelable snapshot versions still on disk (ascending).
+        ``gc()`` bounds this list — history older than ``keep_last``
+        commits (and unreferenced by the live pointer) is dropped."""
+        return sorted(
+            int(d.name[1:])
+            for d in self.root.glob("v*")
+            if (d / self.SNAP_META).exists()
+        )
+
+    def read_at(self, spark: SparkSession, name: str, version: int) -> DataFrame:
+        """Time travel: read ``name`` exactly as snapshot ``version`` saw
+        it (the Iceberg ``VERSION AS OF`` analog). Raises if the snapshot
+        or its data files have been gc'd."""
+        meta = self.meta_at(version)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no snapshot metadata for v{version} at {self.root} "
+                "(never finalized, or gc'd)"
+            )
+        return self._read_meta(spark, meta, name)
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         meta = self.latest_meta()
+        return self._read_meta(spark, meta, name)
+
+    def _read_meta(self, spark: SparkSession, meta: dict | None,
+                   name: str) -> DataFrame:
         if meta is None or name not in meta["tables"]:
             raise FileNotFoundError(f"table {name!r} not in snapshot at {self.root}")
         entry = meta["tables"][name]

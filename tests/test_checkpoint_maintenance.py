@@ -140,3 +140,47 @@ def test_seen_filter_rebuild_on_format_change(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    """Iceberg VERSION-AS-OF analog: every finalized snapshot carries a
+    per-version pointer copy, so read_at() reproduces any still-on-disk
+    snapshot's view — url_seen grows monotonically across versions, and
+    the frontier at an old version is the OLD frontier, not the latest."""
+    drv = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=3, max_rounds=8, host_budget=2, compact_every=None),
+        str(tmp_path / "ck"),
+    )
+    drv.run(corpus.tiny_seeds(spark))
+    store = drv.store
+    snaps = store.snapshots()
+    assert len(snaps) >= 3
+    assert snaps[-1] == store.latest_version()
+
+    seen_counts = [
+        store.read_at(spark, "url_seen", v).count() for v in snaps
+    ]
+    assert seen_counts == sorted(seen_counts)       # append-only log grows
+    assert seen_counts[0] < seen_counts[-1]
+    # latest-version time travel == the live read
+    assert seen_counts[-1] == store.read(spark, "url_seen").count()
+
+    # the frontier at the first snapshot is the seed set, not the (empty
+    # or advanced) latest frontier
+    f0 = store.read_at(spark, "frontier", snaps[0]).count()
+    assert f0 == corpus.tiny_seeds(spark).count()
+
+    # a never-finalized version raises
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        store.read_at(spark, "url_seen", snaps[-1] + 100)
+
+    # gc() bounds history: old unreferenced snapshots stop being listed
+    store.compact(spark)
+    store.gc(keep_last=0)
+    assert set(store.snapshots()).issubset(set(snaps) | {snaps[-1] + 1, snaps[-1] + 2})
+    assert store.latest_version() in store.snapshots()

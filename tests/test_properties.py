@@ -1,0 +1,143 @@
+"""Property-based invariants (hypothesis) for the hashing / dedup /
+politeness kernels. Each example batch becomes ONE DataFrame so a
+property run costs a handful of small Spark jobs, not one per example.
+
+Reference invariants exercised (SURVEY.md §5 model): URL normalization
+idempotence (P2), fingerprint parity vs the pure-Python oracles, and the
+politeness window's budget/partition contract (W1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark.functions import dedup as DD
+from distributed_crawl_spark.functions import url as U
+from distributed_crawl_spark.operators.politeness import rank_frontier, split_ranked
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish text without NULs (Spark strings are UTF-8, no NUL)
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=80,
+)
+
+
+def py_tokens(text: str) -> list[str]:
+    """EXACT mirror of the engine's tokens() contract (verified against
+    Spark): trim strips SPACES only; split is ASCII \\s+ (Java/DuckDB
+    semantics — \\x1c-\\x1f and unicode spaces are NOT separators, unlike
+    Python str.split()); leading/trailing separators yield '' tokens."""
+    import re
+
+    t = text.strip(" ")
+    if t == "":
+        return []
+    return re.split(r"\s+", t, flags=re.ASCII)
+
+
+def py_simhash64(text: str) -> tuple[int, int]:
+    w = [0] * 64
+    tf: dict[str, int] = {}
+    for tok in py_tokens(text):
+        tf[tok] = tf.get(tok, 0) + 1
+    for tok, n in tf.items():
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        lo, hi = int(hx[:8], 16), int(hx[8:16], 16)
+        for j in range(64):
+            bit = (hi >> (j - 32)) & 1 if j >= 32 else (lo >> j) & 1
+            w[j] += n if bit else -n
+    return (
+        sum(1 << (j - 32) for j in range(32, 64) if w[j] > 0),
+        sum(1 << j for j in range(32) if w[j] > 0),
+    )
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=16))
+def test_simhash64_matches_python_oracle(spark, docs):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.sh_hi, r.sh_lo) for r in DD.simhash64(df).collect()}
+    for i, t in rows:
+        if py_tokens(t):
+            assert got[i] == py_simhash64(t), repr(t)
+        else:
+            assert i not in got  # zero-token docs are dropped
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=16))
+def test_exact_dedup_partitions_the_corpus(spark, docs):
+    """Digest groups form a partition: counts sum to n, one canonical id
+    per group, canonical id is the group minimum."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = DD.exact_duplicates(df).collect()
+    assert sum(r.n_copies for r in out) == len(rows)
+    by_digest: dict[str, list[int]] = {}
+    for i, t in rows:
+        by_digest.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(i)
+    for r in out:
+        assert r.canonical_id == min(by_digest[r.digest])
+        assert r.n_copies == len(by_digest[r.digest])
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.integers(0, 999)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(1, 4),
+)
+def test_politeness_budget_contract(spark, items, budget):
+    """W1: selected ∪ deferred partitions the frontier; every host gets at
+    most `budget` selected rows; a host with ≥ budget pending gets exactly
+    budget (work-conserving)."""
+    rows = [
+        (f"https://{h}.test/p{i}", f"{h}.test", 0, 0, None, 0, 0, i, 0)
+        for h, i in items
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "url STRING, host STRING, level INT, attempt INT, parent_url STRING,"
+        "parent_seq LONG, link_pos INT, seq LONG, discovered_round INT",
+    )
+    selected, deferred = split_ranked(rank_frontier(frontier, host_budget=budget))
+    sel = [(r.host, r.url) for r in selected.collect()]
+    def_ = [(r.host, r.url) for r in deferred.collect()]
+    assert len(sel) + len(def_) == len(rows)
+    assert set(u for _, u in sel).isdisjoint(u for _, u in def_)
+    from collections import Counter
+
+    per_host_sel = Counter(h for h, _ in sel)
+    per_host_all = Counter(f"{h}.test" for h, _ in items)
+    for host, n_all in per_host_all.items():
+        assert per_host_sel[host] == min(budget, n_all), host
+
+
+@SLOW
+@given(st.lists(texts, min_size=1, max_size=12))
+def test_minhash_signature_is_permutation_invariant(spark, docs):
+    """Shuffling document ROW ORDER never changes any signature (the
+    min-aggregation is order-free) — the property that makes signatures
+    stable across partitionings/cluster layouts."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df1 = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    df2 = spark.createDataFrame(rows[::-1], "doc_id LONG, text STRING").repartition(5)
+    sig = lambda df: {
+        (r.doc_id, r.i): r.minhash for r in DD.minhash_signatures(df).collect()
+    }
+    assert sig(df1) == sig(df2)

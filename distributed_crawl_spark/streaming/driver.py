@@ -557,13 +557,21 @@ class CrawlDriver:
 
     # -- views --------------------------------------------------------------------
 
-    def seen_set(self) -> DataFrame:
-        """Distinct ever-enqueued URLs (the reference's crawl_status keys)."""
-        return self.store.read(self.spark, "url_seen").select("url").distinct()
+    def _table(self, name: str, version: int | None) -> DataFrame:
+        """Live read, or time travel when ``version`` is given (any
+        snapshot ``store.snapshots()`` still holds — Iceberg
+        VERSION-AS-OF analog)."""
+        if version is None:
+            return self.store.read(self.spark, name)
+        return self.store.read_at(self.spark, name, version)
 
-    def current_status(self) -> DataFrame:
+    def seen_set(self, version: int | None = None) -> DataFrame:
+        """Distinct ever-enqueued URLs (the reference's crawl_status keys)."""
+        return self._table("url_seen", version).select("url").distinct()
+
+    def current_status(self, version: int | None = None) -> DataFrame:
         """Latest status per URL from the append-only event log."""
-        seen = self.store.read(self.spark, "url_seen")
+        seen = self._table("url_seen", version)
         # terminal events (completed/failed/robots_denied) outrank pending
         # within the same round; later rounds outrank earlier ones.
         rank = F.when(F.col("status") == "pending", 0).otherwise(1)
@@ -578,10 +586,10 @@ class CrawlDriver:
             .select("url", "w.status", "w.level", "w.attempt", "w.parent_url", "w.seq")
         )
 
-    def results(self) -> DataFrame:
+    def results(self, version: int | None = None) -> DataFrame:
         """Completed pages in the reference's results-store shape (K1/K2:
         text + metadata columns, one row per fetched URL)."""
-        return self.store.read(self.spark, "crawl_results").select(
+        return self._table("crawl_results", version).select(
             "url", "seq", "level", "round", "text", "md_hash", "page_slug",
             "filename", "method", "status_code", "content_length",
             "last_modified", "extracted_links",

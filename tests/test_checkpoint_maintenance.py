@@ -184,3 +184,22 @@ def test_time_travel_read_at(spark, tmp_path):
     store.gc(keep_last=0)
     assert set(store.snapshots()).issubset(set(snaps) | {snaps[-1] + 1, snaps[-1] + 2})
     assert store.latest_version() in store.snapshots()
+
+
+def test_driver_views_time_travel(spark, tmp_path):
+    """results()/seen_set() accept a snapshot version — an old snapshot
+    shows strictly less crawl progress than the live view."""
+    drv = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=3, max_rounds=8, host_budget=2, compact_every=None),
+        str(tmp_path / "ck"),
+    )
+    drv.run(corpus.tiny_seeds(spark))
+    v0 = drv.store.snapshots()[0]   # the seed bootstrap commit
+    assert drv.results(version=drv.store.latest_version()).count() == drv.results().count()
+    assert drv.seen_set(version=v0).count() <= drv.seen_set().count()
+    # at the bootstrap snapshot nothing is completed yet; live view has all
+    assert drv.current_status(version=v0).filter("status = 'completed'").count() == 0
+    assert drv.current_status().filter("status = 'completed'").count() > 0

@@ -62,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
                     "completed URLs older than ROUNDS rounds")
     ap.add_argument("--expire-mode", choices=["requeue", "forget"],
                     default="requeue")
+    ap.add_argument("--scratch-dir", help="round-local scratch root (e.g. "
+                    "/dev/shm for tmpfs staging; default: under --checkpoint)")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -89,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         max_rounds=args.rounds,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
+        scratch_dir=args.scratch_dir,
     )
     if args.config:
         import os

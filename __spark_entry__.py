@@ -85,6 +85,48 @@ _MD5I48 = "CAST('0x' || substr(md5({x}), 1, 12) AS BIGINT)"
 # form: bucket(vec_id, t, bucket) from a `comp` CTE of (vec_id, val, d).
 # Table 0 uses the legacy 'j_d' plane seed; tables t>0 use 't{t}_j_d' —
 # exactly similarity.plane_component.
+# 64-bit two-half SimHash fingerprint → 16-bit pigeonhole blocks →
+# candidate pairs (DuckDB CTE chain shared by dedup_simhash_pairs and
+# dedup_components; ends at `cand`)
+_SH64_PAIRS_CTES = """toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf,
+                     CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hlo,
+                     CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hhi
+              FROM toks GROUP BY 1, 2
+            ),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN ((CASE WHEN j >= 32 THEN hhi ELSE hlo END)
+                                    >> (j % 32)) & 1 = 1
+                         THEN tf ELSE -tf END) AS w
+              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+              GROUP BY 1, 2
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN w > 0 AND j >= 32
+                              THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS sh_hi,
+                     CAST(sum(CASE WHEN w > 0 AND j < 32
+                              THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh_lo
+              FROM bits GROUP BY 1
+            ),
+            blk AS (
+              SELECT doc_id, sh_hi, sh_lo, b,
+                     ((CASE WHEN b >= 2 THEN sh_hi ELSE sh_lo END)
+                      >> ((b % 2) * 16)) & 65535 AS bv
+              FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.sh_hi AS ha, a.sh_lo AS la, b.sh_hi AS hb, b.sh_lo AS lb
+              FROM blk a JOIN blk b ON a.b = b.b AND a.bv = b.bv
+                                    AND a.doc_id < b.doc_id
+            )"""
+
 _BAL = SIM.LSH_PRESETS["balanced"]
 _LSH_MT_BUCKETS_CTE = f"""
             planes AS (
@@ -513,6 +555,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return DD.simhash_pairs64(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup connected components: 64-bit SimHash hamming-ball pairs
+    → transitive closure → (doc_id, component_id = min id in cluster) —
+    the canonical-pick step of a dedup pipeline. Iterative min-label
+    propagation (Pregel-style CC as DataFrame joins; DuckDB oracle is a
+    recursive CTE over the same pair set)."""
+    return DD.near_dup_components(
+        DD.simhash_pairs64(_t(spark, sf_dir, "documents"), max_hamming=3)
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.4 (training-data pipeline)."""
     return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -730,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1040,47 +1094,28 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh_lo
             FROM bits GROUP BY 1""",
         "dedup_simhash_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-            ),
-            tf AS (
-              SELECT doc_id, tok, count(*) AS tf,
-                     CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hlo,
-                     CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hhi
-              FROM toks GROUP BY 1, 2
-            ),
-            bits AS (
-              SELECT doc_id, j,
-                     sum(CASE WHEN ((CASE WHEN j >= 32 THEN hhi ELSE hlo END)
-                                    >> (j % 32)) & 1 = 1
-                         THEN tf ELSE -tf END) AS w
-              FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-              GROUP BY 1, 2
-            ),
-            fp AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN w > 0 AND j >= 32
-                              THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS sh_hi,
-                     CAST(sum(CASE WHEN w > 0 AND j < 32
-                              THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh_lo
-              FROM bits GROUP BY 1
-            ),
-            blk AS (
-              SELECT doc_id, sh_hi, sh_lo, b,
-                     ((CASE WHEN b >= 2 THEN sh_hi ELSE sh_lo END)
-                      >> ((b % 2) * 16)) & 65535 AS bv
-              FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.sh_hi AS ha, a.sh_lo AS la, b.sh_hi AS hb, b.sh_lo AS lb
-              FROM blk a JOIN blk b ON a.b = b.b AND a.bv = b.bv
-                                    AND a.doc_id < b.doc_id
-            )
+            WITH {_SH64_PAIRS_CTES}
             SELECT id_a, id_b,
                    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
             FROM cand
             WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""",
+        "dedup_components": f"""
+            WITH RECURSIVE {_SH64_PAIRS_CTES},
+            p AS (
+              SELECT id_a, id_b FROM cand
+              WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+            ),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM e
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+            )
+            SELECT id AS doc_id, min(r) AS component_id
+            FROM reach GROUP BY 1""",
         "dedup_embedding": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -128,7 +128,7 @@ HEADLINE = [
     "seen_anti_join", "level_stats", "seed_join", "pricing_summary",
     "hourly_events", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
-    "dedup_simhash_pairs", "dedup_embedding_lsh",
+    "dedup_simhash_pairs", "dedup_components", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "train_corpus_filter",

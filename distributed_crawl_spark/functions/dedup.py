@@ -324,6 +324,77 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
+                        id_b: str = "id_b",
+                        max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list: every document in
+    a transitively-connected duplicate cluster gets the cluster's MINIMUM
+    doc id as its ``component_id`` — the canonical-pick step that turns
+    pair output (simhash/minhash/Jaccard/embedding) into a keep/drop
+    decision per document.
+
+    Algorithm: iterative min-label propagation (each node takes the min
+    of its own and its neighbors' labels) until a fixed point — the
+    classic Pregel-style CC, expressed as DataFrame joins. Convergence
+    needs at most ``diameter`` rounds; near-dup clusters are shallow
+    (dozens of hops at the extreme), so the default cap is generous.
+    Each iteration materializes the label table via ``localCheckpoint``
+    — REQUIRED for iterative DataFrame algorithms: without it the plan
+    doubles per iteration and Catalyst analysis goes exponential. The
+    converged check is one count per iteration (an iterative algorithm
+    is the sanctioned exception to the no-standalone-counts rule).
+
+    At 10^10 docs: edges is output-bound (the pair list, not the
+    corpus); each iteration is two shuffles keyed by doc id (neighbor-min
+    aggregate + label join) over |V(pairs)| rows — docs in no pair never
+    enter the computation. Returns (doc_id, component_id) for every doc
+    appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("component_id").alias("src_label"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("component_id")),
+                ).alias("component_id"),
+                (F.col("nbr_label") < F.col("component_id")).alias("_chg"),
+            )
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.filter(F.col("_chg")).limit(1).count()
+        labels = stepped.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per document, CLOSED FORM.

@@ -227,3 +227,44 @@ def test_simhash_pairs64_eight_bit_blocks(docs_df):
     got = {(r.id_a, r.id_b): r.hamming for r in out}
     assert got.get((0, 3)) == 0
     assert all(h <= 7 for h in got.values())
+
+
+def test_near_dup_components_matches_union_find(spark):
+    """Min-label propagation equals a Python union-find on a random-ish
+    pair graph with chains, a star, singleton-free isolation, and a
+    cycle (transitive closure beyond direct pairs)."""
+    import random
+
+    rng = random.Random(11)
+    pairs = set()
+    # chain 0-1-2-3-4, star 10-(11,12,13), cycle 20-21-22-20, plus noise
+    for a, b in [(0,1),(1,2),(2,3),(3,4),(10,11),(10,12),(10,13),
+                 (20,21),(21,22),(20,22)]:
+        pairs.add((a, b))
+    for _ in range(40):
+        a, b = rng.randrange(30, 60), rng.randrange(30, 60)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(sorted(pairs), "id_a LONG, id_b LONG")
+    got = {r.doc_id: r.component_id
+           for r in DD.near_dup_components(df).collect()}
+    assert got == want
+    # canonical = min id of each component
+    for doc, comp in got.items():
+        assert comp <= doc

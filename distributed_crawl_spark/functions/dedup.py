@@ -387,8 +387,12 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                 (F.col("nbr_label") < F.col("component_id")).alias("_chg"),
             )
         )
-        stepped = stepped.localCheckpoint()
-        changed = stepped.filter(F.col("_chg")).limit(1).count()
+        # lazy checkpoint + full count fuse materialization and the
+        # convergence check into ONE job per iteration (the filter is
+        # per-partition, so the count computes — and checkpoints — every
+        # partition of `stepped`)
+        stepped = stepped.localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("_chg")).count()
         labels = stepped.drop("_chg")
         if changed == 0:
             break

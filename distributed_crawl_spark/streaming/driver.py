@@ -108,13 +108,17 @@ class CrawlDriver:
                 self.bloom.empty_state(self.spark), frontier.select("url")
             )
             staging.write_replace("bloom_state", state)
+        # bootstrap-only aggregate; progress() needs the denominator and
+        # add_seeds() needs the FIFO seq watermark — one job for both
+        boot = frontier.agg(
+            F.count(F.lit(1)).alias("n"), F.max("seq").alias("m")
+        ).first()
         staging.finalize(
             {
                 "round": -1,
                 "seen_filter_format": self.bloom.format if self.bloom else None,
-                # bootstrap-only parquet count; progress() needs the
-                # denominator and round metrics never re-count seeds
-                "n_seeds": frontier.count(),
+                "n_seeds": int(boot["n"]),
+                "seq_watermark": int(boot["m"]) + 1 if boot["m"] is not None else 0,
             }
         )
 
@@ -145,6 +149,67 @@ class CrawlDriver:
     def resume(self) -> list[RoundStats]:
         """Continue from the latest committed snapshot."""
         return self.run(seeds=None)
+
+    def add_seeds(self, seeds: DataFrame) -> int:
+        """Mid-crawl seed injection — the streaming-ingestion commit
+        (``stream_crawl`` calls this per micro-batch). New, never-enqueued
+        seed URLs join the frontier at level 0; their FIFO ``seq``
+        continues after the committed watermark so ordering stays total
+        across batches; already-seen URLs are dropped by the same
+        raw-string contract as organic links (§2.10). Returns the number
+        of newly enqueued URLs. On an empty checkpoint this is exactly
+        ``start()``.
+        """
+        meta = self.store.latest_meta()
+        if meta is None:
+            self.start(seeds)
+            return int(self.store.latest_meta()["n_seeds"])
+        spark = self.spark
+        offset = int(meta.get("seq_watermark", meta.get("n_seeds", 0)))
+        nr = self._next_round()
+        frontier_add = seeds_to_frontier(
+            seeds.select("url", (F.col("seq") + offset).alias("seq"))
+        ).withColumn("discovered_round", F.lit(nr))
+        url_seen = self.store.read(spark, "url_seen")
+        fresh = frontier_add.join(
+            url_seen.select("url").distinct(), "url", "left_anti"
+        )
+        staging = self.store.begin()
+        obs = Observation()
+        fresh = staging.write_scratch(
+            "_seed_add",
+            fresh.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.max("seq").alias("max_seq"),
+            ),
+        )
+        n_new = int(obs.get["n"] or 0)
+        if n_new == 0:
+            staging.abandon()
+            return 0
+        watermark = max(offset, int(obs.get["max_seq"]) + 1)
+        frontier = self.store.read(spark, "frontier")
+        staging.write_replace(
+            "frontier",
+            frontier.select(*FRONTIER_COLS).unionByName(
+                fresh.select(*FRONTIER_COLS)
+            ),
+        )
+        staging.write_append("url_seen", _seen_events(fresh, "pending", nr))
+        if self.bloom:
+            state = self.store.read(spark, "bloom_state")
+            staging.write_replace(
+                "bloom_state", self.bloom.insert(state, fresh.select("url"))
+            )
+        staging.finalize(
+            {
+                # progress() denominator grows with injected seeds
+                "n_seeds": int(meta.get("n_seeds", 0)) + n_new,
+                "seq_watermark": watermark,
+            }
+        )
+        return n_new
 
     def _check_seen_filter(self) -> None:
         """Persisted seen-filter bitmaps are valid only for the exact hash

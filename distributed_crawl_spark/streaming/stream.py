@@ -165,6 +165,71 @@ def stream_dedup_urls(
     )
 
 
+def stream_crawl(
+    spark: SparkSession,
+    seeds_dir: str,
+    pages: DataFrame,
+    robots: DataFrame | None,
+    cfg,
+    checkpoint_dir: str,
+    stream_checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """CONTINUOUS CRAWL INGESTION: a seed-file stream (one URL per line,
+    files landing in ``seeds_dir``) drives the batch round driver through
+    ``foreachBatch`` — the proof of the driver docstring's claim that a
+    round is a ``foreachBatch`` body. Per micro-batch:
+
+    1. the batch's lines become (url, seq) with seq ordered by
+       (file, url) — deterministic within a batch; cross-batch FIFO
+       order is total because :meth:`CrawlDriver.add_seeds` continues
+       seq after the committed watermark;
+    2. ``add_seeds`` commits the never-seen URLs into the frontier
+       (seen-filter + bloom + pending events, one atomic snapshot);
+    3. ``resume()`` runs rounds until the frontier drains (or
+       cfg.max_rounds).
+
+    Exactly-once across restarts: the streaming checkpoint
+    (``stream_checkpoint_dir``) replays an unacknowledged batch, and
+    both ``add_seeds`` (anti-join on url_seen) and the rounds
+    (idempotent commits) absorb the replay. Returns the started
+    StreamingQuery (``Trigger.AvailableNow`` — drains what's present,
+    then stops; await it for the batch-parity mode).
+    """
+    from ..plans.round import FRONTIER_COLS  # noqa: F401  (doc anchor)
+    from .driver import CrawlDriver
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(seeds_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        urls = (
+            batch_df.select(
+                F.trim("value").alias("url"),
+                F.input_file_name().alias("_f"),
+            )
+            .filter(F.length("url") > 0)
+        )
+        w = Window.orderBy("_f", "url")
+        seeds = urls.select(
+            "url", (F.row_number().over(w) - 1).cast("long").alias("seq")
+        )
+        driver = CrawlDriver(spark, pages, robots, cfg, checkpoint_dir)
+        driver.add_seeds(seeds)
+        driver.resume()
+
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint_dir: str, query_name: str = "drain"
 ) -> None:

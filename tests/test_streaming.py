@@ -132,3 +132,41 @@ def test_stream_dedup_state_is_fingerprints_and_skips_noop_rewrites(spark, tmp_p
     last_batch = max(by_batch)
     assert by_batch[last_batch] == 0, f"repeat batch rewrote state: {by_batch}"
     assert any(v > 0 for v in by_batch.values())  # fresh batches did update
+
+
+def test_stream_crawl_matches_batch_crawl(spark, tmp_path):
+    """foreachBatch crawl ingestion: seed files arriving as two separate
+    micro-batches produce the SAME final (url, status) set as one batch
+    crawl over the union of seeds — and replayed/duplicate seeds across
+    batches are absorbed by the seen contract."""
+    from distributed_crawl_spark.config import CrawlConfig
+    from distributed_crawl_spark.streaming.driver import CrawlDriver
+    from distributed_crawl_spark.streaming.stream import stream_crawl
+
+    pages = corpus.tiny_pages(spark)
+    all_urls = sorted(r.url for r in pages.select("url").collect())
+    seeds_dir = tmp_path / "seed_files"
+    seeds_dir.mkdir()
+    (seeds_dir / "w1.txt").write_text(all_urls[0] + "\n")
+    # second wave repeats wave 1's seed (must not re-enqueue) + a new one
+    (seeds_dir / "w2.txt").write_text(all_urls[0] + "\n" + all_urls[1] + "\n")
+
+    cfg = CrawlConfig(max_levels=3, max_rounds=20, host_budget=4)
+    q = stream_crawl(
+        spark, str(seeds_dir), pages, None, cfg,
+        str(tmp_path / "crawl_ck"), str(tmp_path / "stream_ck"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    streamed = CrawlDriver(spark, pages, None, cfg, str(tmp_path / "crawl_ck"))
+    got = {(r.url, r.status) for r in streamed.current_status().collect()}
+
+    batch = CrawlDriver(spark, pages, None, cfg, str(tmp_path / "batch_ck"))
+    batch.run(spark.createDataFrame(
+        [(all_urls[0], 0, None), (all_urls[1], 1, None)], corpus.SEEDS_SCHEMA
+    ))
+    want = {(r.url, r.status) for r in batch.current_status().collect()}
+    assert got == want
+    # the injected seed count landed in the progress denominator
+    assert streamed.progress()["total_urls"] == batch.progress()["total_urls"]

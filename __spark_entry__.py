@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from distributed_crawl_spark.functions import curation as CU
 from distributed_crawl_spark.functions import dedup as DD
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
@@ -734,6 +735,20 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name).select("url")
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic hash train/val/test split (90/5/5): a document's
+    assignment depends only on md5(doc_id), so it survives repartitioning
+    and corpus growth — the only correct split for an evolving corpus."""
+    return CU.corpus_split(_t(spark, sf_dir, "documents"))
+
+
+def q_source_rollup(spark, sf_dir):
+    """Per-source corpus health: doc/token/char volume + how many of the
+    source's documents exactly duplicate ANY corpus document — the
+    crawl-prioritization signal (digest census ⋈ docs → source rollup)."""
+    return CU.source_rollup(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -792,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_filter": q_train_corpus_filter,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "corpus_split": q_corpus_split,
+        "source_rollup": q_source_rollup,
     }
 
 
@@ -1314,4 +1331,36 @@ def oracle_sql() -> dict[str, str]:
                    16 + (n // 7) % 240 AS height,
                    1 + n % 3 AS channels
             FROM m""",
+        "corpus_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                       % 10000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   bucket
+            FROM b""",
+        "source_rollup": f"""
+            WITH census AS (
+              SELECT md5(text) AS digest, count(*) AS n_copies
+              FROM documents GROUP BY 1
+            ),
+            t AS (
+              SELECT source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len({_TOKS_SQL}) END AS wc,
+                     len(text) AS cc,
+                     md5(text) AS digest
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(wc) AS BIGINT) AS sum_tokens,
+                   CAST(sum(cc) AS BIGINT) AS sum_chars,
+                   CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+            FROM t JOIN census USING (digest)
+            GROUP BY 1""",
     }

@@ -131,7 +131,7 @@ HEADLINE = [
     "dedup_simhash_pairs", "dedup_components", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "train_corpus_filter",
+    "train_corpus_filter", "corpus_split", "source_rollup",
     "multimodal_meta",
 ]
 

@@ -735,6 +735,29 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name).select("url")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IPV4>, phones → <PHONE>)
+    + per-family counts on the original text — closed-form regex chain,
+    dialect-portable patterns (no lookarounds/backrefs, so Java regex and
+    DuckDB's RE2 agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TS.redact_pii(t).alias("redacted"),
+        TS.pii_count(t, "email").alias("n_email"),
+        TS.pii_count(t, "ipv4").alias("n_ipv4"),
+        TS.pii_count(t, "phone").alias("n_phone"),
+    )
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition profile: duplicate-line fraction (closed
+    form over the line array) + top word-2-gram share (one shuffle keyed
+    by (doc, gram) with map-side partial counts)."""
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic hash train/val/test split (90/5/5): a document's
     assignment depends only on md5(doc_id), so it survives repartitioning
@@ -809,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "corpus_split": q_corpus_split,
         "source_rollup": q_source_rollup,
+        "pii_redact": q_pii_redact,
+        "quality_repetition": q_quality_repetition,
     }
 
 
@@ -1363,4 +1388,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
             FROM t JOIN census USING (digest)
             GROUP BY 1""",
+        "pii_redact": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '{TS.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                       '{TS.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+                     '{TS.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(text, '{TS.PII_PATTERNS["email"]}')) AS n_email,
+                   len(regexp_extract_all(text, '{TS.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '{TS.PII_PATTERNS["phone"]}')) AS n_phone
+            FROM documents""",
+        "quality_repetition": f"""
+            WITH l AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(lines) AS n_lines,
+                     CASE WHEN len(lines) > 0
+                          THEN CAST(floor((len(lines) - len(list_distinct(lines)))
+                                          * 10000 / len(lines)) AS BIGINT)
+                          ELSE 0 END AS dup_line_frac_x1e4
+              FROM l
+            ),
+            toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> array_to_string(t[i:i+1], ' '))) AS gram
+              FROM toks
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top_c
+              FROM pg GROUP BY 1
+            )
+            SELECT b.doc_id, n_lines, dup_line_frac_x1e4,
+                   COALESCE(n_grams, 0) AS n_grams,
+                   CAST(COALESCE(floor(top_c * 10000 / n_grams), 0) AS BIGINT)
+                     AS top_gram_share_x1e4
+            FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id""",
     }

@@ -159,3 +159,94 @@ def doc_fingerprint(text: Column) -> Column:
         lambda st: st["acc"],
     )
     return result
+
+
+# ---- PII redaction (training-data preprocessing) ---------------------------
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no lookarounds,
+# no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # international-ish phone: +? then 9-14 digits with optional -/space
+    # separators, digit-bounded so it won't eat years or small numbers
+    "phone": r"\+?[0-9][0-9 -]{7,13}[0-9]",
+}
+PII_ORDER = ["email", "ipv4", "phone"]  # emails first (contain digits)
+
+
+def redact_pii(text: Column) -> Column:
+    """Redacted text: each PII family replaced by its <TAG> marker, applied
+    in PII_ORDER (emails before phones so an address's digits can't be
+    half-eaten as a phone number). Pure regexp_replace chain — closed
+    form, codegen, linear in corpus bytes."""
+    out = text
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrence count of one PII family (on the ORIGINAL text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+# ---- Repetition quality (Gopher-style filters) -----------------------------
+
+def line_stats(text: Column) -> dict[str, Column]:
+    """Closed-form duplicate-line statistics: (n_lines,
+    dup_line_frac_x1e4) where the fraction counts lines whose content
+    appears more than once — the Gopher "repeated lines" signal. Array
+    ops only: no explode, no shuffle."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    frac = F.when(
+        n > 0, F.floor((n - n_uniq) * 10000 / n).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return {"n_lines": n, "dup_line_frac_x1e4": frac}
+
+
+def repetition_stats(docs, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2):
+    """Gopher-style repetition profile per document: duplicate-line
+    fraction (closed form) + top word-n-gram share (the "most common
+    2-gram > X% of text" filter).
+
+    The n-gram mode needs a per-(doc, gram) count → one shuffle keyed by
+    (doc, gram) with map-side partial counts, then a doc-keyed max/sum —
+    both uniform keys (doc_id dominates the key), so the plan scales with
+    corpus tokens. Docs with no n-grams report share 0.
+    Returns (doc_id, n_lines, dup_line_frac_x1e4, n_grams,
+    top_gram_share_x1e4).
+    """
+    from .dedup import shingles
+
+    grams = docs.select(
+        id_col, F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_c")
+    )
+    ls = line_stats(F.col(text_col))
+    base = docs.select(
+        id_col,
+        ls["n_lines"].alias("n_lines"),
+        ls["dup_line_frac_x1e4"].alias("dup_line_frac_x1e4"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac_x1e4",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(
+                F.floor(F.col("top_c") * 10000 / F.col("n_grams")),
+                F.lit(0),
+            ).cast("long").alias("top_gram_share_x1e4"),
+        )
+    )

@@ -116,3 +116,54 @@ def test_frame_sample_plan(spark):
     assert ids == {0}                      # images filtered out
     frames = sorted(r.frame_index for r in rows)
     assert frames == [0, 2, 4]             # 5000//1024+1 = 5 frames, step 2
+
+
+def test_pii_redaction_families(spark):
+    from distributed_crawl_spark.functions import textstats as TS
+
+    rows = [
+        (0, "contact me at jane.doe+spam@example.co.uk thanks"),
+        (1, "server 192.168.001.1 responded; backup at 10.0.0.255"),
+        (2, "call +1 555-123-4567 or 089 1234 5678 today"),
+        (3, "year 2024 and room 42 stay untouched"),
+        (4, "mixed: a@b.io on 8.8.8.8 dial 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    t = F.col("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TS.redact_pii(t).alias("red"),
+            TS.pii_count(t, "email").alias("e"),
+            TS.pii_count(t, "ipv4").alias("i"),
+            TS.pii_count(t, "phone").alias("p"),
+        ).collect()
+    }
+    assert got[0].red == "contact me at <EMAIL> thanks"
+    assert (got[0].e, got[0].i, got[0].p) == (1, 0, 0)
+    assert got[1].red == "server <IPV4> responded; backup at <IPV4>"
+    assert got[2].red == "call <PHONE> or <PHONE> today"
+    assert got[3].red == rows[3][1]          # years/small numbers untouched
+    assert (got[3].e, got[3].i, got[3].p) == (0, 0, 0)
+    assert got[4].red == "mixed: <EMAIL> on <IPV4> dial <PHONE>"
+
+
+def test_repetition_stats(spark):
+    from distributed_crawl_spark.functions import textstats as TS
+
+    rows = [
+        (0, "a b\na b\nc d"),            # one duplicated line of 3
+        (1, "x y x y x y"),              # dominant bigram "x y"
+        (2, "one"),                      # no bigrams
+        (3, ""),                         # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in TS.repetition_stats(df).collect()}
+    assert got[0].n_lines == 3
+    assert got[0].dup_line_frac_x1e4 == 3333   # floor(1/3 * 1e4)
+    # "x y x y x y": grams = xy yx xy yx xy -> top "x y" 3 of 5
+    assert got[1].n_grams == 5
+    assert got[1].top_gram_share_x1e4 == 6000
+    assert got[2].n_grams == 0 and got[2].top_gram_share_x1e4 == 0
+    assert got[3].n_lines == 1 and got[3].dup_line_frac_x1e4 == 0

@@ -170,3 +170,36 @@ def test_stream_crawl_matches_batch_crawl(spark, tmp_path):
     assert got == want
     # the injected seed count landed in the progress denominator
     assert streamed.progress()["total_urls"] == batch.progress()["total_urls"]
+
+
+def test_add_seeds_dedup_watermark_and_noop(spark, tmp_path):
+    """add_seeds: (a) already-seen urls never re-enqueue; (b) injected
+    seqs continue after the committed watermark so FIFO order stays
+    total; (c) an all-duplicate batch commits nothing (pointer version
+    unchanged, staging abandoned)."""
+    from distributed_crawl_spark.config import CrawlConfig
+    from distributed_crawl_spark.streaming.driver import CrawlDriver
+
+    pages = corpus.tiny_pages(spark)
+    urls = sorted(r.url for r in pages.select("url").collect())
+    cfg = CrawlConfig(max_levels=1, max_rounds=1, host_budget=1)
+    drv = CrawlDriver(spark, pages, None, cfg, str(tmp_path / "ck"))
+    drv.start(spark.createDataFrame(
+        [(urls[0], 0, None)], corpus.SEEDS_SCHEMA))
+    wm0 = drv.store.latest_meta()["seq_watermark"]
+    assert wm0 == 1
+
+    n = drv.add_seeds(spark.createDataFrame(
+        [(urls[0], 0), (urls[1], 1)], "url STRING, seq LONG"))
+    assert n == 1                              # urls[0] already enqueued
+    meta = drv.store.latest_meta()
+    assert meta["n_seeds"] == 2
+    assert meta["seq_watermark"] == wm0 + 2    # offset + batch seq 1 + 1
+    seqs = {r.url: r.seq
+            for r in drv.store.read(spark, "frontier").collect()}
+    assert seqs[urls[1]] == wm0 + 1            # continued after watermark
+
+    v = drv.store.latest_version()
+    assert drv.add_seeds(spark.createDataFrame(
+        [(urls[0], 0), (urls[1], 1)], "url STRING, seq LONG")) == 0
+    assert drv.store.latest_version() == v     # no commit for a noop batch

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from distributed_crawl_spark.operators.politeness import select_round
+from distributed_crawl_spark.operators.politeness import (
+    rank_frontier,
+    select_round,
+    split_ranked,
+)
 
 
 def _frontier(spark, rows):
@@ -76,3 +80,52 @@ def test_heavy_host_salting_spreads_and_overshoots_bounded(spark):
     assert len(lanes) == n_salts
     counts = [r["count"] for r in lanes]
     assert max(counts) == 25  # ceil(100/4) per lane
+
+
+def test_budgets_derived_from_source_rollup(spark):
+    """End-to-end curation → scheduling composition: the per-source
+    rollup's duplicate share derives per-host politeness budgets
+    (dup-heavy sources get 1 slot, clean sources the full budget), and
+    the ranking window honors them — the recrawl-budget loop the
+    source_rollup docstring promises."""
+    from distributed_crawl_spark.functions.curation import source_rollup
+
+    # dupsite: 3 docs, 2 of them exact copies; cleansite: 3 unique docs
+    docs = spark.createDataFrame(
+        [
+            (0, "copy me", "dup.test"), (1, "copy me", "dup.test"),
+            (2, "fresh text one", "dup.test"),
+            (3, "alpha beta", "clean.test"), (4, "gamma delta", "clean.test"),
+            (5, "epsilon zeta", "clean.test"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    rollup = source_rollup(docs)
+    budgets = rollup.select(
+        F.col("source").alias("host"),
+        F.when(
+            F.col("n_dup_docs") * 2 > F.col("n_docs"), F.lit(1)
+        ).otherwise(F.lit(3)).cast("long").alias("budget"),
+    )
+    got = {r.host: r.budget for r in budgets.collect()}
+    assert got == {"dup.test": 1, "clean.test": 3}
+
+    rows = [
+        (f"https://{h}/p{i}", h, 0, 0, None, 0, 0, i, 0)
+        for h in ("dup.test", "clean.test")
+        for i in range(5)
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "url STRING, host STRING, level INT, attempt INT, parent_url STRING,"
+        "parent_seq LONG, link_pos INT, seq LONG, discovered_round INT",
+    )
+    selected, deferred = split_ranked(
+        rank_frontier(frontier, host_budget=5, host_budgets=budgets)
+    )
+    per_host = {
+        r.host: r.n
+        for r in selected.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host == {"dup.test": 1, "clean.test": 3}
+    assert deferred.count() == 4 + 2

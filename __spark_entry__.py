@@ -735,6 +735,41 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name).select("url")
 
 
+def q_train_corpus_neardup(spark, sf_dir):
+    """The FULL modern corpus gate: near-dup canonical (64-bit SimHash
+    pairs → connected components → keep only each cluster's min-id doc)
+    ∩ lang_pred='en' ∩ word_count ≥ 50 ∩ alpha ratio ≥ 0.6 — the
+    composition that subsumes the exact-dedup gate (identical docs share
+    a fingerprint, so exact dups are hamming-0 near-dups)."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = DD.near_dup_components(
+        DD.simhash_pairs64(docs, max_hamming=3)
+    )
+    t = F.col("text")
+    wc = TS.word_count(t)
+    cc = TS.char_count(t)
+    safe_cc = F.when(cc > 0, cc).otherwise(F.lit(1))
+    scored = docs.select(
+        "doc_id",
+        TS.lang_id(t).alias("lang_pred"),
+        wc.alias("word_count"),
+        _fl(TS.alpha_count(t) / safe_cc, 10000).alias("alpha_x1e4"),
+    )
+    return (
+        scored.join(comp, "doc_id", "left")
+        .filter(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("word_count") >= 50)
+            & (F.col("alpha_x1e4") >= 6000)
+        )
+        .select("doc_id", "lang_pred", "word_count", "alpha_x1e4")
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction (emails → <EMAIL>, IPv4 → <IPV4>, phones → <PHONE>)
     + per-family counts on the original text — closed-form regex chain,
@@ -834,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
+        "train_corpus_neardup": q_train_corpus_neardup,
     }
 
 
@@ -1341,6 +1377,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(alpha / greatest(cc, 1) * 10000) AS BIGINT) AS alpha_x1e4
             FROM s JOIN canon USING (digest, doc_id)
             WHERE {pred_case} = 'en' AND wc >= 50
+              AND floor(alpha / greatest(cc, 1) * 10000) >= 6000""",
+        "train_corpus_neardup": f"""
+            WITH RECURSIVE {_SH64_PAIRS_CTES},
+            p AS (
+              SELECT id_a, id_b FROM cand
+              WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+            ),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM e
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+            ),
+            comp AS (SELECT id AS doc_id, min(r) AS component_id
+                     FROM reach GROUP BY 1),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS wc,
+                     length(text) AS cc,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+        {score_cols}
+              FROM documents
+            )
+            SELECT s.doc_id, {pred_case} AS lang_pred, wc AS word_count,
+                   CAST(floor(alpha / greatest(cc, 1) * 10000) AS BIGINT) AS alpha_x1e4
+            FROM s LEFT JOIN comp ON s.doc_id = comp.doc_id
+            WHERE (comp.doc_id IS NULL OR comp.component_id = s.doc_id)
+              AND {pred_case} = 'en' AND wc >= 50
               AND floor(alpha / greatest(cc, 1) * 10000) >= 6000""",
         "stream_dedup": """
             SELECT DISTINCT 'https://docs.test/' || (doc_id % 97) AS url

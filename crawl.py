@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
                     default="requeue")
     ap.add_argument("--scratch-dir", help="round-local scratch root (e.g. "
                     "/dev/shm for tmpfs staging; default: under --checkpoint)")
+    ap.add_argument("--stream-seeds", metavar="DIR",
+                    help="continuous-ingestion mode: consume seed FILES "
+                    "(one URL per line) landing in DIR as a stream — each "
+                    "micro-batch injects its new URLs and crawls to drain "
+                    "(Trigger.AvailableNow; checkpointed under "
+                    "<checkpoint>/_seed_stream)")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -119,6 +125,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"expired": n, "mode": args.expire_mode}))
         if args.rounds == 0:
             return 0
+
+    if args.stream_seeds:
+        from distributed_crawl_spark.streaming.stream import stream_crawl
+
+        q = stream_crawl(
+            spark, args.stream_seeds, pages, robots, cfg, args.checkpoint,
+            f"{args.checkpoint}/_seed_stream",
+        )
+        q.awaitTermination()
+        print(json.dumps(driver.progress()))
+        return 0
 
     if args.resume:
         stats = driver.resume()

@@ -203,3 +203,44 @@ def test_driver_views_time_travel(spark, tmp_path):
     # at the bootstrap snapshot nothing is completed yet; live view has all
     assert drv.current_status(version=v0).filter("status = 'completed'").count() == 0
     assert drv.current_status().filter("status = 'completed'").count() > 0
+
+
+def test_unfinalized_staging_is_invisible(spark, tmp_path):
+    """Crash atomicity: a staging that wrote tables but never finalized
+    (mid-round crash) must be invisible — the pointer still serves the
+    previous snapshot, snapshots() excludes the orphan, and the next
+    begin() reuses and clears the version."""
+    drv = CrawlDriver(
+        spark,
+        corpus.tiny_pages(spark),
+        None,
+        CrawlConfig(max_levels=2, max_rounds=2, host_budget=2),
+        str(tmp_path / "ck"),
+    )
+    drv.run(corpus.tiny_seeds(spark))
+    store = drv.store
+    v_committed = store.latest_version()
+    seen_before = store.read(spark, "url_seen").count()
+
+    # simulate a crash: stage a write, never finalize
+    staging = store.begin()
+    staging.write_append(
+        "url_seen",
+        store.read(spark, "url_seen").limit(1),
+    )
+    orphan_v = staging.version
+    assert store._version_dir(orphan_v).exists()
+
+    # a fresh store (new process) sees only the committed state
+    fresh = CheckpointStore(str(tmp_path / "ck"))
+    assert fresh.latest_version() == v_committed
+    assert fresh.read(spark, "url_seen").count() == seen_before
+    assert orphan_v not in fresh.snapshots()
+
+    # the next commit reuses the orphan version number cleanly
+    s2 = fresh.begin()
+    assert s2.version == orphan_v
+    s2.write_append("url_seen", fresh.read(spark, "url_seen").limit(1))
+    s2.finalize({})
+    assert fresh.latest_version() == orphan_v
+    assert fresh.read(spark, "url_seen").count() == seen_before + 1

@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                     default="requeue")
     ap.add_argument("--scratch-dir", help="round-local scratch root (e.g. "
                     "/dev/shm for tmpfs staging; default: under --checkpoint)")
+    ap.add_argument("--export-dir", metavar="DIR",
+                    help="after the crawl: write summary.json (K5), "
+                    "status.csv (K6), and the partitioned results layout "
+                    "(K3, parquet by (host_bucket, round)) under DIR")
     ap.add_argument("--stream-seeds", metavar="DIR",
                     help="continuous-ingestion mode: consume seed FILES "
                     "(one URL per line) landing in DIR as a stream — each "
@@ -135,6 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         q.awaitTermination()
         print(json.dumps(driver.progress()))
+        if args.export_dir:
+            _export(driver, args.export_dir)
         return 0
 
     if args.resume:
@@ -150,7 +156,30 @@ def main(argv: list[str] | None = None) -> int:
 
     for s in stats:
         print(json.dumps(s.__dict__))
+    if args.export_dir:
+        _export(driver, args.export_dir)
     return 0
+
+
+def _export(driver, out_dir: str) -> None:
+    """K5/K6/K3 post-crawl exports in one place (also used after
+    --stream-seeds)."""
+    import datetime
+    import os
+
+    from distributed_crawl_spark.sinks.export import (
+        export_status_csv,
+        session_summary,
+    )
+    from distributed_crawl_spark.sinks.layout import export_results_layout
+
+    os.makedirs(out_dir, exist_ok=True)
+    session_summary(driver, path=os.path.join(out_dir, "summary.json"))
+    export_status_csv(driver.current_status(), os.path.join(out_dir, "status.csv"))
+    ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d_%H%M%S")
+    export_results_layout(
+        driver.results(), os.path.join(out_dir, "results"), ts
+    )
 
 
 if __name__ == "__main__":

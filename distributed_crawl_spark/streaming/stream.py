@@ -207,6 +207,15 @@ def stream_crawl(
     def process(batch_df, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        # Distributed seq numbering, the seed-loader pattern at file
+        # granularity (streaming batches expose input_file_name but not
+        # _metadata chunk columns): the only GLOBAL window runs over one
+        # row per FILE — metadata-sized — and the per-row rank window is
+        # partitioned by file, so seed rows never funnel through a
+        # single-task sort. Within a file the order is lexicographic
+        # (line order is unrecoverable on a streaming batch); across
+        # files, file-name order; across batches, arrival order via the
+        # committed watermark.
         urls = (
             batch_df.select(
                 F.trim("value").alias("url"),
@@ -214,9 +223,22 @@ def stream_crawl(
             )
             .filter(F.length("url") > 0)
         )
-        w = Window.orderBy("_f", "url")
-        seeds = urls.select(
-            "url", (F.row_number().over(w) - 1).cast("long").alias("seq")
+        per_file = urls.groupBy("_f").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = Window.orderBy("_f").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = per_file.withColumn(
+            "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        ).drop("_n")
+        w_rn = Window.partitionBy("_f").orderBy("url")
+        seeds = (
+            urls.join(F.broadcast(offsets), "_f")
+            .select(
+                "url",
+                (F.col("_off") + F.row_number().over(w_rn) - 1)
+                .cast("long")
+                .alias("seq"),
+            )
         )
         driver = CrawlDriver(spark, pages, robots, cfg, checkpoint_dir)
         driver.add_seeds(seeds)

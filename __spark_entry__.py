@@ -770,6 +770,13 @@ def q_train_corpus_neardup(spark, sf_dir):
     )
 
 
+def q_source_cap(spark, sf_dir):
+    """C4-style per-domain cap: keep at most 10 docs per source, best
+    integer-composite quality first (one window shuffle keyed by source;
+    deterministic (quality DESC, doc_id) ranking)."""
+    return CU.per_source_cap(_t(spark, sf_dir, "documents"), k=10)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction (emails → <EMAIL>, IPv4 → <IPV4>, phones → <PHONE>)
     + per-family counts on the original text — closed-form regex chain,
@@ -870,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
         "train_corpus_neardup": q_train_corpus_neardup,
+        "source_cap": q_source_cap,
     }
 
 
@@ -1455,6 +1463,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
             FROM t JOIN census USING (digest)
             GROUP BY 1""",
+        "source_cap": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS wc,
+                     length(text) AS cc,
+                     len(regexp_extract_all(lower(text), '{all_stop}')) AS stop,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CAST(5 * floor(alpha / greatest(cc, 1) * 10000)
+                        + 3 * least(floor(stop / greatest(wc, 1) * 10000) * 5, 10000)
+                        + 2 * least(wc * 100, 10000) AS BIGINT) AS quality
+              FROM b
+            )
+            SELECT doc_id, source, quality,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id)
+                     AS rank_in_source
+            FROM q
+            QUALIFY rank_in_source <= 10""",
         "pii_redact": f"""
             SELECT doc_id,
                    regexp_replace(

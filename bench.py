@@ -132,7 +132,7 @@ HEADLINE = [
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "train_corpus_filter", "corpus_split", "source_rollup",
-    "pii_redact", "quality_repetition", "train_corpus_neardup",
+    "pii_redact", "quality_repetition", "train_corpus_neardup", "source_cap",
     "multimodal_meta",
 ]
 

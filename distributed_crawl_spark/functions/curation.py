@@ -54,6 +54,38 @@ def corpus_split(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, expr.alias("split"), b.alias("bucket"))
 
 
+def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Corpus balancing: keep at most ``k`` documents per source, best
+    quality first (the C4-style per-domain cap that stops one mega-site
+    from dominating a training mix). Ranking = (quality_score_int DESC,
+    doc_id ASC) — deterministic and engine-portable (integer composite);
+    one window shuffle keyed by source.
+    At corpus scale a Zipf-head source funnels through one window
+    partition — acceptable because the window emits at most k rows per
+    source and the rank never materializes beyond the partition scan;
+    for extreme heads pre-filter with ``corpus_split`` buckets.
+    Returns (doc_id, source, quality, rank_in_source).
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import quality_score_int
+
+    scored = docs.select(
+        id_col, source_col,
+        quality_score_int(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= k)
+        .select(id_col, source_col, "quality", "rank_in_source")
+    )
+
+
 def source_rollup(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   source_col: str = "source") -> DataFrame:

@@ -161,6 +161,29 @@ def doc_fingerprint(text: Column) -> Column:
     return result
 
 
+def quality_score_int(text: Column) -> Column:
+    """Hash-stable INTEGER composite quality in [0, 100000] (≈ score ×
+    1000): built ONLY from floor-scaled integer ratios — unlike
+    :func:`quality_score` (which uses round(), whose halfway behavior
+    differs across engines), every step here is bit-identical in Spark
+    and the SQL oracle, so it can key oracle-checked rankings.
+
+    q = 5·alpha_x1e4 + 3·min(stop_x1e4·5, 10000) + 2·min(wc·100, 10000)
+    """
+    wc = word_count(text)
+    cc = char_count(text)
+    safe_wc = F.when(wc > 0, wc).otherwise(F.lit(1))
+    safe_cc = F.when(cc > 0, cc).otherwise(F.lit(1))
+    alpha_x = F.floor(alpha_count(text) / safe_cc * 10000)
+    stop_x = F.floor(stopword_count(text) / safe_wc * 10000)
+    prior_x = F.least(wc.cast("long") * 100, F.lit(10000).cast("long"))
+    return (
+        F.lit(5) * alpha_x
+        + F.lit(3) * F.least(stop_x * 5, F.lit(10000).cast("long"))
+        + F.lit(2) * prior_x
+    ).cast("long")
+
+
 # ---- PII redaction (training-data preprocessing) ---------------------------
 # Patterns chosen to mean the same thing in Java regex (Spark) and RE2
 # (DuckDB): character classes, bounded repetition, \b — no lookarounds,

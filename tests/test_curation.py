@@ -52,3 +52,24 @@ def test_source_rollup_counts_cross_source_dups(spark):
     assert got["s1"].n_dup_docs == 1 and got["s2"].n_dup_docs == 1
     assert got["s1"].sum_tokens == 2 + 3    # "same text" + "unique one here"
     assert got["s2"].sum_tokens == 2 + 0    # empty doc -> 0 tokens
+
+
+def test_per_source_cap_keeps_best_k(spark):
+    from distributed_crawl_spark.functions import curation as CU
+
+    rows = (
+        # s1: 4 docs, quality ordered by construction (longer, wordier =
+        # higher integer composite); s2: 1 doc
+        [(i, "the and is of to in that it " * (i + 1), "s1") for i in range(4)]
+        + [(10, "the quick brown fox", "s2")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = CU.per_source_cap(docs, k=2).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source["s1"]) == 2           # capped
+    assert len(by_source["s2"]) == 1           # under the cap
+    s1 = sorted(by_source["s1"], key=lambda r: r.rank_in_source)
+    assert s1[0].quality >= s1[1].quality      # best first
+    assert [r.rank_in_source for r in s1] == [1, 2]

@@ -56,17 +56,38 @@ def corpus_split(docs: DataFrame, id_col: str = "doc_id",
 
 def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
                    text_col: str = "text",
-                   source_col: str = "source") -> DataFrame:
+                   source_col: str = "source",
+                   lane_threshold: int = 500_000,
+                   max_lanes: int = 32) -> DataFrame:
     """Corpus balancing: keep at most ``k`` documents per source, best
     quality first (the C4-style per-domain cap that stops one mega-site
     from dominating a training mix). Ranking = (quality_score_int DESC,
-    doc_id ASC) — deterministic and engine-portable (integer composite);
-    one window shuffle keyed by source.
-    At corpus scale a Zipf-head source funnels through one window
-    partition — acceptable because the window emits at most k rows per
-    source and the rank never materializes beyond the partition scan;
-    for extreme heads pre-filter with ``corpus_split`` buckets.
+    doc_id ASC) — deterministic and engine-portable (integer composite).
+
+    Adaptive two-stage top-k so a Zipf-head source never funnels through
+    a single window sort task (the same salt-lane pattern as
+    operators/politeness.rank_frontier). A cheap census (groupBy-count on
+    the pruned source column — head counts combine map-side, so the
+    census itself can't skew) finds sources above ``lane_threshold``
+    docs; their documents hash into ``ceil(count/threshold)`` lanes
+    (capped at ``max_lanes``) and stage 1 keeps the top ``k`` per
+    (source, lane) — a 10^8-doc head source sorts as parallel lane tasks
+    instead of one straggler. Light sources keep a single lane, so stage
+    2's per-source re-rank runs over ≤ k rows for them and ≤ k·lanes for
+    heads — bounded regardless of corpus skew. The composition is exact
+    (any global top-k row is top-k within its own lane), so the output —
+    and the oracle hash — is identical to the single-window plan; the
+    lane hash only routes rows and never reaches the output.
     Returns (doc_id, source, quality, rank_in_source).
+
+    Plan note (measured, see BENCH.md): Catalyst's InferWindowGroupLimit
+    (Spark 3.5+) already rewrites ``row_number() <= k`` into a map-side
+    ``WindowGroupLimit(Partial)`` BEFORE the exchange, so even the
+    single-window plan shuffles at most k rows per source per map task —
+    the head source's reduce partition is bounded by k·n_map_tasks, not
+    by its document count. The lane stage is therefore cheap insurance
+    for extreme map-task counts (10^5 maps × k=100 → 10^7-row reduce
+    task without lanes), not the difference between broken and working.
     """
     from pyspark.sql.window import Window
 
@@ -76,11 +97,36 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
         id_col, source_col,
         quality_score_int(F.col(text_col)).alias("quality"),
     )
-    w = Window.partitionBy(source_col).orderBy(
-        F.desc("quality"), F.asc(id_col)
+    order = [F.desc("quality"), F.asc(id_col)]
+    heavy = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > lane_threshold)
+        .select(
+            source_col,
+            F.least(
+                F.lit(max_lanes),
+                F.ceil(F.col("__n") / lane_threshold).cast("int"),
+            ).alias("__n_lanes"),
+        )
     )
+    w_lane = Window.partitionBy(source_col, "__lane").orderBy(*order)
+    pre = (
+        scored.join(F.broadcast(heavy), source_col, "left")
+        .withColumn(
+            "__lane",
+            F.when(
+                F.col("__n_lanes").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("__n_lanes")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__lane_rn", F.row_number().over(w_lane))
+        .filter(F.col("__lane_rn") <= k)
+        .drop("__lane", "__lane_rn", "__n_lanes")
+    )
+    w = Window.partitionBy(source_col).orderBy(*order)
     return (
-        scored.withColumn("rank_in_source", F.row_number().over(w))
+        pre.withColumn("rank_in_source", F.row_number().over(w))
         .filter(F.col("rank_in_source") <= k)
         .select(id_col, source_col, "quality", "rank_in_source")
     )

@@ -735,6 +735,32 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name).select("url")
 
 
+def _corpus_gate(docs, pairs):
+    """Shared near-dup corpus gate: canonical pick over ANY pair list
+    (functions.dedup.canonical_docs — pair-source agnostic, the property
+    that lets one pipeline swap dedup engines) ∩ lang_pred='en'
+    ∩ word_count ≥ 50 ∩ alpha ratio ≥ 0.6. Canonicalization runs FIRST
+    so language/quality scoring never touches dropped duplicates."""
+    kept = DD.canonical_docs(docs, pairs)
+    t = F.col("text")
+    wc = TS.word_count(t)
+    cc = TS.char_count(t)
+    safe_cc = F.when(cc > 0, cc).otherwise(F.lit(1))
+    return (
+        kept.select(
+            "doc_id",
+            TS.lang_id(t).alias("lang_pred"),
+            wc.alias("word_count"),
+            _fl(TS.alpha_count(t) / safe_cc, 10000).alias("alpha_x1e4"),
+        )
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("word_count") >= 50)
+            & (F.col("alpha_x1e4") >= 6000)
+        )
+    )
+
+
 def q_train_corpus_neardup(spark, sf_dir):
     """The FULL modern corpus gate: near-dup canonical (64-bit SimHash
     pairs → connected components → keep only each cluster's min-id doc)
@@ -742,32 +768,19 @@ def q_train_corpus_neardup(spark, sf_dir):
     composition that subsumes the exact-dedup gate (identical docs share
     a fingerprint, so exact dups are hamming-0 near-dups)."""
     docs = _t(spark, sf_dir, "documents")
-    comp = DD.near_dup_components(
-        DD.simhash_pairs64(docs, max_hamming=3)
-    )
-    t = F.col("text")
-    wc = TS.word_count(t)
-    cc = TS.char_count(t)
-    safe_cc = F.when(cc > 0, cc).otherwise(F.lit(1))
-    scored = docs.select(
-        "doc_id",
-        TS.lang_id(t).alias("lang_pred"),
-        wc.alias("word_count"),
-        _fl(TS.alpha_count(t) / safe_cc, 10000).alias("alpha_x1e4"),
-    )
-    return (
-        scored.join(comp, "doc_id", "left")
-        .filter(
-            F.col("component_id").isNull()
-            | (F.col("component_id") == F.col("doc_id"))
-        )
-        .filter(
-            (F.col("lang_pred") == "en")
-            & (F.col("word_count") >= 50)
-            & (F.col("alpha_x1e4") >= 6000)
-        )
-        .select("doc_id", "lang_pred", "word_count", "alpha_x1e4")
-    )
+    return _corpus_gate(docs, DD.simhash_pairs64(docs, max_hamming=3))
+
+
+def q_train_corpus_neardup_minhash(spark, sf_dir):
+    """The same corpus gate driven by the MinHash-LSH pair engine —
+    banded Jaccard candidates (≥1 shared band of the 4×4 scheme, the
+    band-collision gate production corpora like C4/RedPajama/Dolma use
+    at Jaccard ~0.8 without a verify pass) → connected components →
+    canonical min-id pick ∩ the identical lang/length/alpha filters.
+    Demonstrates the gate is pair-source parameterized: only the pair
+    generator differs from `train_corpus_neardup`."""
+    docs = _t(spark, sf_dir, "documents")
+    return _corpus_gate(docs, DD.minhash_lsh_pairs(docs))
 
 
 def q_source_cap(spark, sf_dir):
@@ -877,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
         "train_corpus_neardup": q_train_corpus_neardup,
+        "train_corpus_neardup_minhash": q_train_corpus_neardup_minhash,
         "source_cap": q_source_cap,
     }
 
@@ -1391,6 +1405,50 @@ def oracle_sql() -> dict[str, str]:
             p AS (
               SELECT id_a, id_b FROM cand
               WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+            ),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM e
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+            ),
+            comp AS (SELECT id AS doc_id, min(r) AS component_id
+                     FROM reach GROUP BY 1),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS wc,
+                     length(text) AS cc,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+        {score_cols}
+              FROM documents
+            )
+            SELECT s.doc_id, {pred_case} AS lang_pred, wc AS word_count,
+                   CAST(floor(alpha / greatest(cc, 1) * 10000) AS BIGINT) AS alpha_x1e4
+            FROM s LEFT JOIN comp ON s.doc_id = comp.doc_id
+            WHERE (comp.doc_id IS NULL OR comp.component_id = s.doc_id)
+              AND {pred_case} = 'en' AND wc >= 50
+              AND floor(alpha / greatest(cc, 1) * 10000) >= 6000""",
+        "train_corpus_neardup_minhash": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            {_minhash_params_sql()},
+            x AS (SELECT doc_id, {_MD5I48.format(x='shingle')} % {P31} AS x FROM ds),
+            sig AS (
+              SELECT doc_id, i, min((a * x + b) % {P31}) AS mh
+              FROM x CROSS JOIN params GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, i // {DD.LSH_ROWS} AS band,
+                     md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+              FROM sig GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a
+              JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id
             ),
             e AS (
               SELECT id_a AS src, id_b AS dst FROM p

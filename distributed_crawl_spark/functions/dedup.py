@@ -399,6 +399,26 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
     return labels
 
 
+def canonical_docs(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   max_iters: int = 25) -> DataFrame:
+    """Near-dup canonicalization gate: given ANY pair list (simhash,
+    MinHash-LSH, Jaccard, embedding — the gate is pair-source agnostic,
+    which is what lets one corpus pipeline swap dedup engines), keep only
+    each transitively-connected cluster's minimum-id document plus every
+    document in no pair. Returns ``docs`` unchanged in schema, filtered.
+
+    Plan: components over the (output-bound) pair list, one broadcast-
+    eligible left join back to the corpus — docs outside any pair never
+    shuffle through the components iteration.
+    """
+    comp = near_dup_components(pairs, max_iters=max_iters)
+    drop = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return docs.join(drop, docs[id_col] == drop["__drop_id"], "left_anti")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash fingerprint per document, CLOSED FORM.

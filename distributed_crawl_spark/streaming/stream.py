@@ -114,6 +114,13 @@ def stream_dedup_urls(
     ``max_files_per_trigger=1`` turns a multi-file input dir into one
     micro-batch per file, which is how the cross-batch state carry is
     tested deterministically under ``Trigger.AvailableNow``.
+
+    UPGRADE NOTE: the state schema changed in round 3 from
+    ``seen: array<string>`` (exact raw urls) to ``seen_fp: array<long>``
+    (fingerprints) — a streaming checkpoint written by the old schema
+    fails state-schema validation on restart. Start a NEW checkpoint dir
+    when upgrading; the emitted-first-occurrence semantics are the same
+    up to the documented 64-bit collision odds.
     """
     import numpy as np
     import pandas as pd
@@ -141,22 +148,38 @@ def stream_dedup_urls(
     state_schema = StructType([StructField("seen_fp", ArrayType(LongType()))])
 
     def dedup(key, pdf_iter, state):
+        # Invariant: stored state is sorted-unique (every write below is
+        # an np.unique output), so membership is a binary-search probe —
+        # O(batch · log state) instead of np.isin's O(state + batch)
+        # re-sort of the full history on EVERY batch. The per-batch floor
+        # that remains is the state store's own deserialize of the
+        # bucket array, which sharding by bucket bounds.
         seen = (
             np.asarray(state.get[0], dtype=np.int64)
             if state.exists
             else np.empty(0, dtype=np.int64)
         )
+        n0 = seen.size
         fresh_all = []
-        fps = [seen]
+        fresh_fps: list = []
         for pdf in pdf_iter:
             u = pdf["url"].drop_duplicates()  # in-batch first occurrence
             fp = pd.util.hash_array(u.to_numpy(dtype=object)).view("int64")
-            mask = ~np.isin(fp, np.concatenate(fps))
+            if n0:
+                idx = np.searchsorted(seen, fp)
+                in_seen = (idx < n0) & (seen[np.minimum(idx, n0 - 1)] == fp)
+            else:
+                in_seen = np.zeros(fp.size, dtype=bool)
+            mask = ~in_seen
+            if fresh_fps:  # exclude urls first seen earlier in THIS batch
+                mask &= ~np.isin(fp, np.concatenate(fresh_fps))
             if mask.any():
                 fresh_all.append(u[mask])
-                fps.append(np.unique(fp[mask]))
-        if len(fps) > 1:  # fresh urls → one state rewrite; else skip
-            state.update((np.unique(np.concatenate(fps)).tolist(),))
+                fresh_fps.append(np.unique(fp[mask]))
+        if fresh_fps:  # fresh urls → one sorted-merge state rewrite; else skip
+            state.update(
+                (np.unique(np.concatenate([seen, *fresh_fps])).tolist(),)
+            )
         out = pd.concat(fresh_all) if fresh_all else pd.Series([], dtype=object)
         yield pd.DataFrame({"bucket": [key[0]] * len(out), "url": out.to_numpy()})
 

@@ -134,6 +134,71 @@ def test_stream_dedup_state_is_fingerprints_and_skips_noop_rewrites(spark, tmp_p
     assert any(v > 0 for v in by_batch.values())  # fresh batches did update
 
 
+def test_stream_dedup_per_batch_wall_flat_with_growing_state(spark, tmp_path):
+    """Round-4 sorted-fingerprint probe: after a 50k-url batch seeds the
+    state, ten further micro-batches (half repeats, half fresh) must (a)
+    still dedup exactly and (b) keep per-batch wall flat — the probe is
+    a binary search against the sorted state array, so batch cost tracks
+    batch size, not crawl history. The wall assertion is a generous 5×
+    guard: it exists to catch an accidental O(history) reintroduction,
+    not to benchmark."""
+    import shutil
+
+    from distributed_crawl_spark.streaming.stream import stream_dedup_urls
+
+    pages_dir = tmp_path / "pages_many"
+    pages_dir.mkdir()
+
+    def write_wave(name, lo, hi, repeat_lo=None, repeat_hi=None):
+        expr = "concat('https://flat.test/', id) AS url"
+        df = spark.range(lo, hi).selectExpr(
+            expr, "NULL AS html", "CAST(NULL AS INT) AS status",
+            "NULL AS fetched_at", "CAST(NULL AS INT) AS level",
+        )
+        if repeat_lo is not None:
+            rep = spark.range(repeat_lo, repeat_hi).selectExpr(
+                expr, "NULL AS html", "CAST(NULL AS INT) AS status",
+                "NULL AS fetched_at", "CAST(NULL AS INT) AS level",
+            )
+            df = df.unionByName(rep)
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, pages_dir / f"{name}.parquet")
+
+    write_wave("w00", 0, 50_000)  # seeds a large state in batch 0
+    n_small, fresh_per = 10, 100
+    for i in range(n_small):
+        lo = 50_000 + i * fresh_per
+        write_wave(f"w{i + 1:02d}", lo, lo + fresh_per,
+                   repeat_lo=i * 37, repeat_hi=i * 37 + fresh_per)
+
+    stream = stream_dedup_urls(
+        spark, str(pages_dir), n_buckets=4, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_flat")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_flat"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("dedup_flat").count() == 50_000 + n_small * fresh_per
+
+    # availableNow with maxFilesPerTrigger=1 → one progress entry per file
+    walls = [
+        (p["batchId"], p["batchDuration"])
+        for p in (q.recentProgress or [])
+        if p["numInputRows"] > 0 and p["batchId"] > 0  # skip the seed batch
+    ]
+    assert len(walls) >= 8, f"expected >=8 small batches, got {walls}"
+    walls = [w for _, w in sorted(walls)]
+    early = sorted(walls[:3])[1]
+    late = sorted(walls[-3:])[1]
+    assert late <= 5 * early, f"per-batch wall grew with state: {walls}"
+
+
 def test_stream_crawl_matches_batch_crawl(spark, tmp_path):
     """foreachBatch crawl ingestion: seed files arriving as two separate
     micro-batches produce the SAME final (url, status) set as one batch

@@ -25,6 +25,14 @@ class CrawlConfig:
     # with a 200-char preview, status geo_blocked_skipped (disable_lambda
     # path)
     geo_block_policy: str = "keep"
+    # D3 storage parity (hybrid_crawler.py:539-544): the reference names
+    # stored files by content hash, so its store keeps ONE copy per
+    # distinct content. True = dedup the crawl_results append on md_hash
+    # (within-round min-url pick + cross-round anti-join) and report the
+    # withheld count as RoundStats.content_deduped. Crawl flow (children,
+    # retries, counters) is unaffected. Default False = log-every-fetch,
+    # with exact_duplicates available as a downstream query.
+    content_dedup: bool = False
 
     # engine scale knobs (SURVEY.md §2.9/§4)
     host_budget: int | None = None  # None = unlimited (parity mode)

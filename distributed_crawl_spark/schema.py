@@ -104,6 +104,10 @@ ROUND_METRICS_SCHEMA = StructType(
         StructField("robots_denied", LongType(), False),
         StructField("geo_blocked_skipped", LongType(), False),
         StructField("new_frontier", LongType(), False),
+        # dup-content rows withheld from the crawl_results append (D3
+        # storage parity; 0 unless CrawlConfig.content_dedup and in
+        # histories written before round 4)
+        StructField("content_deduped", LongType(), False),
         StructField("seconds", DoubleType(), False),  # round wall time (A6)
         # next-frontier size from the same Observations (drain check runs
         # no count job); 0 in histories written before round 3

@@ -63,6 +63,9 @@ class RoundStats:
     robots_denied: int
     geo_blocked_skipped: int
     new_frontier: int
+    # D3 storage parity: dup-content rows withheld from the crawl_results
+    # append this round (0 unless CrawlConfig.content_dedup)
+    content_deduped: int = 0
     seconds: float = 0.0  # round wall time — feeds rate/ETA (A6)
     # deferred + retries + new — derived from the same Observations, so
     # the drain check needs NO standalone frontier count job (the between-
@@ -336,16 +339,51 @@ class CrawlDriver:
         # append only the clean slice (a parquet→parquet projection copy;
         # extraction still runs exactly once). Under 'keep' (default) the
         # single direct append stands.
-        if cfg.geo_block_policy == "skip":
+        n_content_deduped = 0
+        if cfg.geo_block_policy == "skip" or cfg.content_dedup:
             attempted = staging.write_scratch("_round_hits", hits)
             m_fetch = obs_fetch.get
             n_ok = int(m_fetch["n_ok"] or 0)
             n_geo = int(m_fetch["n_geo"] or 0)
-            ok = staging.write_append(
-                "crawl_results", attempted.filter(~F.col("geo_blocked"))
-            )
-            geo_skipped = attempted.filter(F.col("geo_blocked"))
-            n_ok -= n_geo
+            if cfg.geo_block_policy == "skip":
+                ok = attempted.filter(~F.col("geo_blocked"))
+                geo_skipped = attempted.filter(F.col("geo_blocked"))
+                n_ok -= n_geo
+            else:
+                ok, geo_skipped = attempted, attempted.limit(0)
+            storable = ok
+            if cfg.content_dedup:
+                # D3 storage parity (hybrid_crawler.py:539-544): the
+                # reference names each stored file by content hash, so its
+                # store holds ONE copy per distinct content. Same here:
+                # within-round keep the min-url row per md_hash (hits rows
+                # always carry a hash — extraction ran), cross-round
+                # anti-join against hashes already logged. Crawl FLOW is
+                # untouched — dup-content pages still count as completed
+                # and their links are followed, exactly as the reference
+                # still analyzes a page whose file it overwrites.
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("md_hash").orderBy("url")
+                storable = (
+                    storable.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                try:
+                    prior = self.store.read(spark, "crawl_results").select(
+                        "md_hash"
+                    ).dropDuplicates(["md_hash"])
+                    storable = storable.join(prior, "md_hash", "left_anti")
+                except FileNotFoundError:
+                    pass  # first round: nothing stored yet
+                obs_store = Observation()
+                storable = storable.observe(
+                    obs_store, F.count(F.lit(1)).alias("n_stored")
+                )
+            staging.write_append("crawl_results", storable)
+            if cfg.content_dedup:
+                n_content_deduped = n_ok - int(obs_store.get["n_stored"] or 0)
         else:
             attempted = staging.write_append("crawl_results", hits)
             m_fetch = obs_fetch.get
@@ -494,6 +532,7 @@ class CrawlDriver:
             robots_denied=n_denied,
             geo_blocked_skipped=n_geo_skipped,
             new_frontier=n_new,
+            content_deduped=n_content_deduped,
             seconds=round(_time.monotonic() - t0, 3),
             frontier_size=n_deferred + n_new + (n_miss - n_failed),
         )

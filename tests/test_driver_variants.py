@@ -71,3 +71,80 @@ def test_auto_strategy_guard_and_equivalence(spark, tmp_path):
         {(r.url, r.md_hash) for r in small.results().collect()}
         == {(r.url, r.md_hash) for r in forced.results().collect()}
     )
+
+
+def test_content_dedup_storage_parity(spark, tmp_path):
+    """D3 completion (hybrid_crawler.py:539-544 semantics): with
+    content_dedup=True the crawl_results store holds ONE row per distinct
+    md_hash — within-round (min-url pick) and cross-round (anti-join) —
+    while crawl FLOW is untouched: same seen set, same children followed,
+    same fetched counters as the log-every-fetch default."""
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    def page(url, body, link=None):
+        a = f'<a href="{link}">x</a>' if link else ""
+        return {
+            "url": url,
+            "warc_ts": None,
+            "html": f"<html><body><p>{body}</p>{a}</body></html>".encode(),
+            "text": None,
+            "lang": "en",
+        }
+
+    pages = spark.createDataFrame(
+        [
+            # three identical-content seeds + one more dup of the same
+            page("https://d.test/a", "same words here",
+                 link="https://d.test/g"),  # link changes a's text
+            page("https://d.test/b", "same words here"),
+            page("https://d.test/c", "same words here"),
+            page("https://d.test/f", "same words here"),
+            page("https://d.test/d", "unique one"),
+            page("https://d.test/e", "unique two"),
+            # child discovered in round 1 whose content equals d's —
+            # must be withheld by the CROSS-round anti-join
+            page("https://d.test/g", "unique one"),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": f"https://d.test/{x}", "seq": i, "unique_id": None}
+         for i, x in enumerate("abcfde")],
+        schema=SEEDS_SCHEMA,
+    )
+
+    def run(flag):
+        drv = CrawlDriver(
+            spark, pages, None,
+            CrawlConfig(max_levels=2, max_rounds=4, content_dedup=flag),
+            str(tmp_path / f"ck_cd_{flag}"),
+        )
+        drv.run(seeds)
+        return drv
+
+    plain, dedup = run(False), run(True)
+
+    # flow parity: identical seen set and per-round fetched counts
+    assert (
+        {(r.url, r.status) for r in plain.current_status().collect()}
+        == {(r.url, r.status) for r in dedup.current_status().collect()}
+    )
+    pm = [(m.round, m.fetched) for m in plain.metrics().collect()]
+    dm = [(m.round, m.fetched) for m in dedup.metrics().collect()]
+    assert pm == dm
+
+    # storage: plain logs all 7 fetches; dedup holds one row per hash
+    assert plain.results().count() == 7
+    got = {(r.url, r.md_hash) for r in dedup.results().collect()}
+    hashes = [h for _, h in got]
+    assert len(hashes) == len(set(hashes)), f"dup hashes stored: {got}"
+    urls = {u for u, _ in got}
+    # min-url pick within the identical b/c/f group; g withheld cross-round
+    assert "https://d.test/b" in urls
+    assert {"https://d.test/c", "https://d.test/f"}.isdisjoint(urls)
+    assert "https://d.test/g" not in urls
+
+    # metric: b/c/f round-0 group drops 2, g drops 1 in its round
+    per_round = {m.round: m.content_deduped for m in dedup.metrics().collect()}
+    assert sum(per_round.values()) == 3, per_round
+    assert all(m.content_deduped == 0 for m in plain.metrics().collect())

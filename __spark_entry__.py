@@ -783,6 +783,27 @@ def q_train_corpus_neardup_minhash(spark, sf_dir):
     return _corpus_gate(docs, DD.minhash_lsh_pairs(docs))
 
 
+def q_train_corpus_gopher(spark, sf_dir):
+    """Full Gopher document-quality gate (Rae et al. 2021): keep docs
+    passing ALL published bounds — word count 50..100k, mean word length
+    3..10, symbol-to-word ≤0.1, bullet lines ≤90%, ellipsis lines ≤30%,
+    ≥80% words alphabetic, ≥2 distinct stopwords, repeated lines
+    ≤30%. Every rule input is a floor-scaled integer column (closed-form
+    array/regex expressions, zero shuffle) so the oracle hashes the full
+    feature surface, not just the verdict. The stopword lexicon here is
+    the engine's English marker list rather than the paper's 8 words —
+    English markers + the article 'a' rather than the paper's 8 words —
+    the synthetic corpus's function words are 'a'/'the' (the paper list
+    fires at most once per doc, making the gate vacuously empty);
+    gopher_features defaults to the paper list."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = TS.gopher_features(
+        F.col("text"), stopwords=sorted(["a", *TS.LANG_MARKERS["en"]])
+    )
+    out = docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    return out.filter(TS.gopher_keep({n: F.col(n) for n in feats}))
+
+
 def q_source_cap(spark, sf_dir):
     """C4-style per-domain cap: keep at most 10 docs per source, best
     integer-composite quality first (one window shuffle keyed by source;
@@ -891,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "train_corpus_neardup": q_train_corpus_neardup,
         "train_corpus_neardup_minhash": q_train_corpus_neardup_minhash,
+        "train_corpus_gopher": q_train_corpus_gopher,
         "source_cap": q_source_cap,
     }
 
@@ -959,6 +981,10 @@ def oracle_sql() -> dict[str, str]:
     pred_case = "CASE " + " ".join(
         f"WHEN score_{lang} > 0 AND score_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " ELSE 'und' END"
+    gopher_stop_sql = " + ".join(
+        "CASE WHEN regexp_matches(lower(text), '\\b%s\\b') THEN 1 ELSE 0 END" % w
+        for w in sorted(["a", *TS.LANG_MARKERS["en"]])
+    )
 
     return {
         "url_slug": _slug_sql(_URL_SQL),
@@ -1431,6 +1457,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE (comp.doc_id IS NULL OR comp.component_id = s.doc_id)
               AND {pred_case} = 'en' AND wc >= 50
               AND floor(alpha / greatest(cc, 1) * 10000) >= 6000""",
+        "train_corpus_gopher": f"""
+            WITH tk AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE {_TOKS_SQL} END AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS word_count,
+                CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                     * 100 / greatest(len(toks), 1)) AS BIGINT) AS mean_word_len_x100,
+                CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                     * 10000 / greatest(len(toks), 1)) AS BIGINT) AS symbol_word_ratio_x1e4,
+                CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                     * 10000 / greatest(len(lines), 1)) AS BIGINT) AS bullet_line_frac_x1e4,
+                CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                     * 10000 / greatest(len(lines), 1)) AS BIGINT) AS ellipsis_line_frac_x1e4,
+                CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                     * 10000 / greatest(len(toks), 1)) AS BIGINT) AS alpha_word_frac_x1e4,
+                CAST({gopher_stop_sql} AS BIGINT) AS n_gopher_stopwords,
+                CAST(CASE WHEN len(lines) > 0
+                     THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
+                     ELSE 0 END AS BIGINT) AS dup_line_frac_x1e4
+              FROM tk
+            )
+            SELECT * FROM f
+            WHERE word_count BETWEEN 50 AND 100000
+              AND mean_word_len_x100 BETWEEN 300 AND 1000
+              AND symbol_word_ratio_x1e4 BETWEEN 0 AND 1000
+              AND bullet_line_frac_x1e4 BETWEEN 0 AND 9000
+              AND ellipsis_line_frac_x1e4 BETWEEN 0 AND 3000
+              AND alpha_word_frac_x1e4 BETWEEN 8000 AND 10000
+              AND n_gopher_stopwords BETWEEN 2 AND 8
+              AND dup_line_frac_x1e4 BETWEEN 0 AND 3000""",
         "train_corpus_neardup_minhash": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             {_minhash_params_sql()},

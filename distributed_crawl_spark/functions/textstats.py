@@ -214,6 +214,88 @@ def pii_count(text: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
 
 
+# ---- Gopher document-quality rules (Rae et al. 2021, public) ---------------
+# The paper's per-document heuristics, in floor-scaled integer form so the
+# SQL oracle reproduces every value bit-for-bit. All closed-form array/regex
+# expressions — zero shuffle, zero Python.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_BULLET_LINE_RE = r"^\s*[-*•]"
+_ELLIPSIS_LINE_RE = r"(\.\.\.|…)\s*$"
+_SYMBOL_RE = r"#|\.\.\."
+
+
+def gopher_features(text: Column,
+                    stopwords: list[str] | None = None) -> dict[str, Column]:
+    """The Gopher rule inputs, each a floor-scaled integer:
+
+    - word_count, mean_word_len_x100 (token chars / tokens)
+    - symbol_word_ratio_x1e4 ('#' and '...' per word)
+    - bullet_line_frac_x1e4 / ellipsis_line_frac_x1e4 (line shares)
+    - alpha_word_frac_x1e4 (words containing a letter)
+    - n_gopher_stopwords (distinct hits of the paper's 8-word list by
+      default; pass ``stopwords`` to adapt the lexicon to a corpus —
+      the rule is "enough distinct function words", not those 8 exact
+      strings)
+    - dup_line_frac_x1e4 (repeated-lines share, from line_stats)
+    """
+    toks = tokens(text)
+    wc = F.size(toks)
+    safe_wc = F.when(wc > 0, wc).otherwise(F.lit(1))
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    safe_lines = F.when(n_lines > 0, n_lines).otherwise(F.lit(1))
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_LINE_RE)))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_LINE_RE)))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike(_ALPHA_RE)))
+    n_stop = None
+    for w in (stopwords if stopwords is not None else GOPHER_STOPWORDS):
+        hit = (F.regexp_count(F.lower(text), F.lit(rf"\b{w}\b")) > 0).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+    return {
+        "word_count": wc.cast("long"),
+        "mean_word_len_x100": F.floor(tok_chars * 100 / safe_wc).cast("long"),
+        "symbol_word_ratio_x1e4": F.floor(
+            F.regexp_count(text, F.lit(_SYMBOL_RE)) * 10000 / safe_wc
+        ).cast("long"),
+        "bullet_line_frac_x1e4": F.floor(bullet * 10000 / safe_lines).cast("long"),
+        "ellipsis_line_frac_x1e4": F.floor(
+            ellipsis * 10000 / safe_lines
+        ).cast("long"),
+        "alpha_word_frac_x1e4": F.floor(
+            alpha_words * 10000 / safe_wc
+        ).cast("long"),
+        "n_gopher_stopwords": n_stop.cast("long"),
+        "dup_line_frac_x1e4": line_stats(text)["dup_line_frac_x1e4"],
+    }
+
+
+# (threshold, direction) per rule — the paper's published bounds in the
+# same floor-scaled integer units as gopher_features
+GOPHER_BOUNDS: dict[str, tuple[int, int]] = {
+    "word_count": (50, 100_000),
+    "mean_word_len_x100": (300, 1_000),
+    "symbol_word_ratio_x1e4": (0, 1_000),
+    "bullet_line_frac_x1e4": (0, 9_000),
+    "ellipsis_line_frac_x1e4": (0, 3_000),
+    "alpha_word_frac_x1e4": (8_000, 10_000),
+    "n_gopher_stopwords": (2, 8),
+    "dup_line_frac_x1e4": (0, 3_000),
+}
+
+
+def gopher_keep(feats: dict[str, Column]) -> Column:
+    """Conjunction of all Gopher bounds over :func:`gopher_features`."""
+    cond = F.lit(True)
+    for name, (lo, hi) in GOPHER_BOUNDS.items():
+        cond = cond & feats[name].between(lo, hi)
+    return cond
+
+
 # ---- Repetition quality (Gopher-style filters) -----------------------------
 
 def line_stats(text: Column) -> dict[str, Column]:

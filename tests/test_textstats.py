@@ -167,3 +167,50 @@ def test_repetition_stats(spark):
     assert got[1].top_gram_share_x1e4 == 6000
     assert got[2].n_grams == 0 and got[2].top_gram_share_x1e4 == 0
     assert got[3].n_lines == 1 and got[3].dup_line_frac_x1e4 == 0
+
+
+def test_gopher_gate_planted_violations(spark):
+    """One planted violation per Gopher rule: only the clean doc passes,
+    and each dirty doc fails exactly its intended bound."""
+    base_words = ("the story is about a fox and it runs to the woods "
+                  "of the north in that quiet morning ") * 5  # ~55 words
+    clean = base_words
+    docs = {
+        "clean": clean,
+        "too_short": "the fox and a dog",  # word_count < 50
+        "long_words": " ".join(["pneumonoultramicroscopic"] * 60)
+                      + " the a and is",  # mean_word_len > 10
+        "symbol_heavy": clean + " " + "# " * 30,  # symbol/word > 0.1
+        "bullets": "\n".join(["- item " + str(i) for i in range(50)])
+                   + "\n" + "the a and is of fox " * 20,  # >90% bullet lines
+        "ellipsis": "\n".join(
+            [f"the fox waits and a line trails {i} ..." for i in range(20)]
+        ),  # >30% ellipsis lines (every line)
+        "numeric": clean + " " + " ".join(str(i) for i in range(80)),
+        # ^ alpha-word fraction < 0.8
+        "no_stopwords": " ".join(["fox", "wolf", "bear", "deer"] * 20),
+        "repeated_lines": "\n".join(["the same line with a fox"] * 30),
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], ["doc_id", "text"]
+    )
+    feats = TS.gopher_features(F.col("text"))
+    out = df.select(
+        "doc_id", *[c.alias(n) for n, c in feats.items()]
+    ).withColumn(
+        "keep", TS.gopher_keep({n: F.col(n) for n in TS.GOPHER_BOUNDS})
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["clean"].keep, rows["clean"]
+    for k in docs:
+        if k != "clean":
+            assert not rows[k].keep, (k, rows[k])
+    lo, hi = TS.GOPHER_BOUNDS["word_count"]
+    assert rows["too_short"].word_count < lo
+    assert rows["long_words"].mean_word_len_x100 > TS.GOPHER_BOUNDS["mean_word_len_x100"][1]
+    assert rows["symbol_heavy"].symbol_word_ratio_x1e4 > 1000
+    assert rows["bullets"].bullet_line_frac_x1e4 > 9000
+    assert rows["ellipsis"].ellipsis_line_frac_x1e4 > 3000
+    assert rows["numeric"].alpha_word_frac_x1e4 < 8000
+    assert rows["no_stopwords"].n_gopher_stopwords < 2
+    assert rows["repeated_lines"].dup_line_frac_x1e4 > 3000

@@ -31,7 +31,12 @@ from distributed_crawl_spark.functions import dedup as DD
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
 from distributed_crawl_spark.functions import url as U
-from distributed_crawl_spark.functions.text import clean_markdown, text_metadata, truncate_content
+from distributed_crawl_spark.functions.text import (
+    clean_markdown,
+    markdown_extract_udf,
+    text_metadata,
+    truncate_content,
+)
 from distributed_crawl_spark.operators.fetch import fetch_and_extract
 from distributed_crawl_spark.operators.multimodal import image_metadata
 from distributed_crawl_spark.operators.politeness import select_round
@@ -783,6 +788,31 @@ def q_train_corpus_neardup_minhash(spark, sf_dir):
     return _corpus_gate(docs, DD.minhash_lsh_pairs(docs))
 
 
+def q_markdown_extract(spark, sf_dir):
+    """Structure-preserving markdown extraction (the Crawl4AI-path output
+    shape, hybrid_crawler.py:322-353) driven through the pandas UDF on
+    KNOWN-SHAPE html synthesized from the documents table — headings →
+    '#', links → absolutized '[text](url)' — so the DuckDB oracle can
+    state the expected markdown in closed form and hash-check the real
+    Arrow/UDF path (same pattern as multimodal_meta). Free-form html is
+    covered by the golden-vector pytest (SURVEY §7.3: own goldens,
+    browser parity out of contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    clean = F.regexp_replace(F.col("text"), "[<>&]", "")
+    url = F.concat(F.lit("https://md.test/doc/"), d)
+    html = F.concat(
+        F.lit("<h1>Doc "), d, F.lit("</h1><p>"), clean,
+        F.lit('</p><a href="/next/'), d, F.lit('">next '), d, F.lit("</a>"),
+    )
+    md = markdown_extract_udf(url, html)
+    return docs.select(
+        "doc_id",
+        md.alias("markdown"),
+        F.size(F.split(md, "\n")).cast("long").alias("n_blocks"),
+    )
+
+
 def q_train_corpus_gopher(spark, sf_dir):
     """Full Gopher document-quality gate (Rae et al. 2021): keep docs
     passing ALL published bounds — word count 50..100k, mean word length
@@ -912,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "train_corpus_neardup": q_train_corpus_neardup,
         "train_corpus_neardup_minhash": q_train_corpus_neardup_minhash,
+        "markdown_extract": q_markdown_extract,
         "train_corpus_gopher": q_train_corpus_gopher,
         "source_cap": q_source_cap,
     }
@@ -1457,6 +1488,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE (comp.doc_id IS NULL OR comp.component_id = s.doc_id)
               AND {pred_case} = 'en' AND wc >= 50
               AND floor(alpha / greatest(cc, 1) * 10000) >= 6000""",
+        "markdown_extract": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(text, '[<>&]', '', 'g'),
+                                         '\s+', ' ', 'g')) AS body
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     '# Doc ' || doc_id
+                     || CASE WHEN body <> '' THEN chr(10) || body ELSE '' END
+                     || chr(10) || '[next ' || doc_id || '](https://md.test/next/'
+                     || doc_id || ')' AS markdown
+              FROM c
+            )
+            SELECT doc_id, markdown,
+                   CAST(len(string_split(markdown, chr(10))) AS BIGINT) AS n_blocks
+            FROM m""",
         "train_corpus_gopher": f"""
             WITH tk AS (
               SELECT doc_id, text,

@@ -144,3 +144,67 @@ def test_mock_graph_links_roundtrip(spark):
         f"{corpus.SITE_A}/contact",
         f"{corpus.SITE_B}/",
     ]
+
+
+def test_markdown_structure_goldens():
+    """Structure-preserving markdown variant (Crawl4AI-path output shape,
+    hybrid_crawler.py:322-353): own golden vectors per SURVEY §7.3 —
+    browser parity is out of contract, determinism is in."""
+    from distributed_crawl_spark.functions.text import html_to_markdown
+
+    html = (
+        "<html><head><script>var x=1;</script>"
+        "<style>p{}</style></head><body>"
+        "<h1>Main &amp; Title</h1>"
+        "<p>Intro with <b>bold</b> and <em>em</em> text.</p>"
+        "<h2>Links</h2>"
+        '<p>See <a href="/docs">the docs</a> or '
+        '<a href="https://ext.test/page">external</a>.</p>'
+        "<ul><li>first</li><li>second <a href='#frag'>frag</a></li>"
+        "<ol><li>nested</li></ol></ul>"
+        "<pre>  spaced   code  </pre>"
+        "</body></html>"
+    )
+    got = html_to_markdown(html, base_url="https://site.test/a/b")
+    expected = "\n".join(
+        [
+            "# Main & Title",
+            "Intro with **bold** and *em* text.",
+            "## Links",
+            "See [the docs](https://site.test/docs) or "
+            "[external](https://ext.test/page).",
+            "- first",
+            "- second [frag](https://site.test/a/b#frag)",
+            "  - nested",
+            "spaced code",
+        ]
+    )
+    assert got == expected
+
+    # byte-determinism + bytes input + no base_url
+    assert html_to_markdown(html.encode(), base_url="https://site.test/a/b") == expected
+    assert html_to_markdown(None) == ""
+    assert "[raw](/docs)" in html_to_markdown('<a href="/docs">raw</a>')
+
+
+def test_markdown_udf_matches_core(spark):
+    from distributed_crawl_spark.functions.text import (
+        html_to_markdown,
+        markdown_extract_udf,
+    )
+
+    rows = [
+        ("https://s.test/p1", "<h1>One</h1><p>alpha <b>beta</b></p>"),
+        ("https://s.test/p2", '<p><a href="x">rel</a></p>'),
+        ("https://s.test/p3", None),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {
+        r.url: r.md
+        for r in df.select(
+            "url", markdown_extract_udf("url", "html").alias("md")
+        ).collect()
+    }
+    for u, h in rows:
+        assert got[u] == html_to_markdown(h, base_url=u)
+    assert got["https://s.test/p2"] == "[rel](https://s.test/x)"

@@ -396,6 +396,17 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         labels = stepped.drop("_chg")
         if changed == 0:
             break
+    else:
+        # Partially-propagated labels are WRONG component ids — canonical
+        # keep/drop decisions made on them silently corrupt a corpus gate.
+        # Near-dup clusters converge in diameter rounds (shallow in
+        # practice); hitting the cap means the pair graph has a chain
+        # longer than max_iters — fail loudly instead.
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters — the pair graph has longer chains than expected"
+        )
     return labels
 
 

@@ -65,7 +65,9 @@ def content_stats(results: DataFrame) -> DataFrame:
 
 
 def session_summary(driver, path: str | None = None,
-                    detail: bool = False) -> dict:
+                    detail: bool = False,
+                    detail_row_limit: int = 100_000,
+                    detail_dir: str | None = None) -> dict:
     """K5: the reference's crawl_summary JSON, from the checkpoint state.
 
     Mirrors hybrid_crawler.py:749-771 keys: totals + success rate (A1/A2),
@@ -77,6 +79,13 @@ def session_summary(driver, path: str | None = None,
     result rows — minus the extracted ``text`` itself, which lives in the
     results table / K7 mirror (embedding page bodies in a JSON summary
     does not survive scale; every other reference field is present).
+
+    Driver-safety guard: the detail block collects per-URL rows onto the
+    driver, which is only sane for small crawls. Above
+    ``detail_row_limit`` total URLs the call refuses — unless
+    ``detail_dir`` is set, in which case the detail rows are written as
+    parquet (a distributed write, no collect) and the summary carries
+    their paths instead of inline dicts.
     """
     status = driver.current_status()
     by_status = {
@@ -103,7 +112,24 @@ def session_summary(driver, path: str | None = None,
         summary["errors"] = [r.asDict() for r in error_histogram(errs).collect()]
     except FileNotFoundError:
         summary["errors"] = []
-    if detail:
+    if detail and total > detail_row_limit and detail_dir is None:
+        raise ValueError(
+            f"detail=True would collect {total} per-URL rows onto the "
+            f"driver (limit {detail_row_limit}); pass detail_dir= to "
+            "spill the detail block to parquet instead"
+        )
+    if detail and total > detail_row_limit:
+        status_path = str(Path(detail_dir) / "status_by_url")
+        results_path = str(Path(detail_dir) / "successful_crawls")
+        status.write.mode("overwrite").parquet(status_path)
+        driver.results().drop("text", "extracted_links").write.mode(
+            "overwrite"
+        ).parquet(results_path)
+        summary["detailed_results"] = {
+            "status_by_url_path": status_path,
+            "successful_crawls_path": results_path,
+        }
+    elif detail:
         summary["detailed_results"] = {
             "status_by_url": {
                 r["url"]: {

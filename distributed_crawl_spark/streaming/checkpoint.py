@@ -217,7 +217,16 @@ class CheckpointStore:
 
     def meta_at(self, version: int) -> dict | None:
         """Pointer metadata as of snapshot ``version`` (None if that
-        snapshot never finalized or predates this feature)."""
+        snapshot never finalized or predates this feature).
+
+        Versions beyond the live pointer are treated as never-committed:
+        finalize() writes the per-version _META.json just before the
+        atomic _LATEST flip, so a crash in that window leaves a dangling
+        snapshot file one version ahead of the pointer — it must stay
+        invisible until its number is legitimately reused."""
+        live = self.latest_version()
+        if live is None or version > live:
+            return None
         p = self._version_dir(version) / self.SNAP_META
         if not p.exists():
             return None
@@ -227,10 +236,14 @@ class CheckpointStore:
         """Time-travelable snapshot versions still on disk (ascending).
         ``gc()`` bounds this list — history older than ``keep_last``
         commits (and unreferenced by the live pointer) is dropped."""
+        live = self.latest_version()
+        if live is None:
+            return []
         return sorted(
-            int(d.name[1:])
+            v
             for d in self.root.glob("v*")
-            if (d / self.SNAP_META).exists()
+            if (v := int(d.name[1:])) <= live  # see meta_at: crash window
+            and (d / self.SNAP_META).exists()
         )
 
     def read_at(self, spark: SparkSession, name: str, version: int) -> DataFrame:
@@ -243,14 +256,14 @@ class CheckpointStore:
                 f"no snapshot metadata for v{version} at {self.root} "
                 "(never finalized, or gc'd)"
             )
-        return self._read_meta(spark, meta, name)
+        return self._read_meta(spark, meta, name, pin_schema=False)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         meta = self.latest_meta()
         return self._read_meta(spark, meta, name)
 
     def _read_meta(self, spark: SparkSession, meta: dict | None,
-                   name: str) -> DataFrame:
+                   name: str, pin_schema: bool = True) -> DataFrame:
         if meta is None or name not in meta["tables"]:
             raise FileNotFoundError(f"table {name!r} not in snapshot at {self.root}")
         entry = meta["tables"][name]
@@ -266,7 +279,10 @@ class CheckpointStore:
         if hit is not None:
             return hit
         reader = spark.read
-        schema = self._schemas.get(name)
+        # the pinned schema tracks the LATEST write; a time-traveled read
+        # of an older snapshot must fall back to footer inference or a
+        # schema evolution would silently null-fill historical data
+        schema = self._schemas.get(name) if pin_schema else None
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(*paths)

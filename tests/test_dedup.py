@@ -268,3 +268,20 @@ def test_near_dup_components_matches_union_find(spark):
     # canonical = min id of each component
     for doc, comp in got.items():
         assert comp <= doc
+
+
+def test_components_nonconvergence_raises(spark):
+    """ADVICE r3: hitting max_iters with labels still changing must fail
+    loudly — partially-propagated component ids silently corrupt any
+    canonical keep/drop gate built on them."""
+    import pytest
+
+    from distributed_crawl_spark.functions.dedup import near_dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_components(chain, max_iters=3)
+    out = near_dup_components(chain, max_iters=25)
+    assert {r.component_id for r in out.collect()} == {0}

@@ -156,3 +156,33 @@ def test_results_layout_and_markdown_tree(spark, tmp_path):
     files = list(tree.glob("markdown/*/*.md"))
     assert len(files) == n_files > 0
     assert (tree / row.s3_key).read_text() != ""
+
+
+def test_session_summary_detail_guard(spark, tmp_path):
+    """detail=True must stay driver-safe: above the row limit it refuses
+    unless given a parquet spill dir, in which case the detail rows are
+    written distributed and the summary carries paths, not dicts."""
+    import pytest
+
+    from distributed_crawl_spark.sinks.export import session_summary
+
+    crawled_driver = _run(spark, tmp_path)
+    with pytest.raises(ValueError, match="detail_dir"):
+        session_summary(crawled_driver, detail=True, detail_row_limit=1)
+
+    spill = tmp_path / "detail_spill"
+    s = session_summary(
+        crawled_driver, detail=True, detail_row_limit=1,
+        detail_dir=str(spill),
+    )
+    d = s["detailed_results"]
+    assert set(d) == {"status_by_url_path", "successful_crawls_path"}
+    status = spark.read.parquet(d["status_by_url_path"])
+    assert status.count() == s["total_urls"]
+    res = spark.read.parquet(d["successful_crawls_path"])
+    assert "text" not in res.columns
+    assert res.count() == s["completed"]
+
+    # under the limit the inline shape is unchanged
+    s2 = session_summary(crawled_driver, detail=True)
+    assert len(s2["detailed_results"]["status_by_url"]) == s2["total_urls"]

@@ -300,3 +300,58 @@ def scaled_seeds(spark: SparkSession, n_pages: int, n_seeds: int,
     return spark.range(0, n_seeds, numPartitions=n_parts).mapInPandas(
         gen, schema=SEEDS_SCHEMA
     )
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n_vectors: int = 500,
+    n_clusters: int = 20,
+    dim: int = 64,
+    noise: float = 0.55,
+    seed: int = 42,
+) -> DataFrame:
+    """Planted-cluster embeddings in the testdata ``embeddings`` shape
+    (vec_id, embedding float[], label): unit-norm cluster centers +
+    per-vector gaussian noise, renormalized. With noise=0.55 intra-cluster
+    cosine concentrates around 1/(1+noise²) ≈ 0.77 — the "neighbors at
+    cos ≥ 0.7" regime real document embeddings live in, unlike the
+    i.i.d.-gaussian worst case (pairwise cos ≈ 0) the driver testdata
+    exercises. Deterministic via a hashed-per-row generation distributed
+    through mapInPandas — same vector for a given (seed, vec_id)
+    regardless of partitioning.
+    """
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    # centers derive from the seed only — identical on every executor
+    centers = np.random.default_rng(seed).normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs, labels = [], []
+            for i in ids:
+                rng = np.random.default_rng((seed << 20) ^ int(i))
+                c = int(_u64(int(i), f"cluster{seed}") % n_clusters)
+                # per-coordinate sigma scaled so the TOTAL noise norm is
+                # ~`noise` (a dim-dim gaussian has norm sigma*sqrt(dim)),
+                # giving member-member cosine ~ 1/(1+noise^2)
+                v = centers[c] + (noise / np.sqrt(dim)) * rng.normal(size=dim)
+                v /= np.linalg.norm(v)
+                vecs.append(v.astype(np.float32))
+                labels.append(c)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": vecs, "label": labels}
+            )
+
+    n_parts = min(32, max(1, n_vectors // 2000))
+    return spark.range(0, n_vectors, numPartitions=n_parts).mapInPandas(
+        gen, schema=schema
+    )

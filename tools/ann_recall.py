@@ -2,7 +2,12 @@
 on the real embeddings table (documents the planes/tables tradeoff in
 BENCH.md).
 
-Usage: python tools/ann_recall.py [sf_dir] [k]
+Usage: python tools/ann_recall.py [sf_dir|clustered] [k]
+
+``clustered`` swaps the i.i.d.-gaussian testdata for the planted-cluster
+corpus (corpus.clustered_embeddings — neighbors at cos ≈ 0.77), the
+regime real document embeddings live in. Preset guidance in
+similarity.LSH_PRESETS is validated against BOTH.
 """
 
 from __future__ import annotations
@@ -24,7 +29,16 @@ def main() -> int:
     n_queries = 50
 
     spark = build_session("ann-recall", cores=8, shuffle_partitions=8)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir == "clustered":
+        from distributed_crawl_spark import corpus
+
+        path = "/tmp/clustered_embeddings.parquet"
+        corpus.clustered_embeddings(spark, 500).write.mode(
+            "overwrite"
+        ).parquet(path)
+        emb = spark.read.parquet(path)
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < n_queries)
 
     def truth():

@@ -1,0 +1,135 @@
+"""Scaling evidence for the dedup family: wall growth at 10× documents.
+
+Builds 5k- and 50k-doc corpora from ONE generator shaped like the
+driver testdata — word-soup drawn from sf0.1's own vocabulary, the same
+50–100-word length band, 20 sources, AND ~10% planted near-dups (docs
+with id%10==0 copy their successor's token stream with a 1-in-20
+per-token re-roll, giving trigram Jaccard ≈ 0.74 and small hamming
+distance — the testdata's near-dup rate) — then times the four pair/CC
+contract queries (`dedup_ngram_jaccard`, `dedup_minhash_lsh`,
+`dedup_simhash_pairs`, `dedup_components`) at both sizes, interleaved
+medians. Only N varies between the corpora, so the wall ratio measures
+scaling, not corpus composition. Reports ratio and growth exponent
+(log10(ratio)); the posting-list and 16-bit-block designs predict
+near-linear — candidate COUNTS are printed too because pair output is
+the quantity that can grow quadratically on a self-similar corpus.
+
+Usage: python tools/dedup_scaling.py [n_docs] — one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from distributed_crawl_spark.session import build_session
+
+SF01 = "/root/testdata/sf0.1"
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_components",
+]
+
+
+def build_corpus(spark, n_docs: int, out_dir: str) -> str:
+    """Deterministic twin of the sf0.1 documents table: tokens drawn
+    (by per-position xxhash64) from sf0.1's own distinct vocabulary,
+    lengths 50..100 words, sources/langs with the same cardinalities,
+    near-dups planted at the testdata's ~10% rate (id%10==0 mirrors
+    id+1's token stream with a 1/20 per-position re-roll — base docs are
+    never themselves dups, so the construction is non-circular)."""
+    vocab = [
+        r.tok
+        for r in spark.read.parquet(f"{SF01}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .distinct()
+        .orderBy("tok")
+        .collect()
+    ]
+    v = F.array(*[F.lit(w) for w in vocab])
+    nv = len(vocab)
+    langs = F.array(*[F.lit(x) for x in ["en", "de", "es", "fr", "und"]])
+
+    def tok_at(src_id, j):
+        return F.element_at(
+            v, (F.pmod(F.xxhash64(src_id, j), F.lit(nv)) + 1).cast("int")
+        )
+
+    def length_of(src_id):
+        return (
+            F.lit(50) + F.pmod(F.xxhash64(src_id, F.lit("len")), F.lit(51))
+        ).cast("int")
+
+    is_dup = (F.col("id") % 10 == 0) & (F.col("id") + 1 < n_docs)
+    base = F.when(is_dup, F.col("id") + 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(1), length_of(base)),
+        lambda j: F.when(
+            is_dup & (F.pmod(F.xxhash64(F.col("id"), j, F.lit("m")), F.lit(20)) == 0),
+            tok_at(F.xxhash64(F.col("id"), F.lit("re")), j),
+        ).otherwise(tok_at(base, j)),
+    )
+    text = F.array_join(words, " ")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.element_at(langs, (F.pmod(F.xxhash64("id", F.lit("lang")), F.lit(5)) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("source-"), F.pmod(F.xxhash64("id", F.lit("src")), F.lit(20))).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    path = f"{out_dir}/documents.parquet"
+    docs.write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    spark = build_session(app_name="dedup-scaling")
+    small_dir = build_corpus(spark, n_docs // 10, "/tmp/docs_scale1x")
+    big_dir = build_corpus(spark, n_docs, "/tmp/docs_scale10x")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    walls: dict[str, dict[str, list[float]]] = {
+        q: {"sf01": [], "big": []} for q in QUERIES
+    }
+    counts: dict[str, dict[str, int]] = {q: {} for q in QUERIES}
+
+    for q in QUERIES:  # warmup both sizes once
+        counts[q]["sf01"] = qs[q](spark, small_dir).count()
+    for _ in range(3):
+        for q in QUERIES:
+            t0 = time.monotonic()
+            qs[q](spark, small_dir).count()
+            walls[q]["sf01"].append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            counts[q]["big"] = qs[q](spark, big_dir).count()
+            walls[q]["big"].append(time.monotonic() - t0)
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    out = {"metric": "dedup_scaling_10x", "n_docs": n_docs, "queries": {}}
+    for q in QUERIES:
+        w1, w10 = med(walls[q]["sf01"]), med(walls[q]["big"])
+        out["queries"][q] = {
+            "sf01_sec": round(w1, 2),
+            "big_sec": round(w10, 2),
+            "ratio": round(w10 / w1, 2),
+            "exponent": round(math.log10(w10 / w1), 2),
+            "rows_sf01": counts[q]["sf01"],
+            "rows_big": counts[q]["big"],
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

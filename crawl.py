@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
                     help="cuckoo is deletable (required for --expire-ttl forget mode)")
+    ap.add_argument("--content-dedup", action="store_true",
+                    help="store ONE crawl_results row per distinct content "
+                    "hash (the reference's hash-named-file overwrite "
+                    "semantics); crawl flow is unaffected")
     ap.add_argument("--config", help="JSON config file (ConfigManager shape); "
                     "CLI flags override file values")
     ap.add_argument("--expire-ttl", type=int, metavar="ROUNDS",
@@ -102,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
         scratch_dir=args.scratch_dir,
+        content_dedup=args.content_dedup,
     )
     if args.config:
         import os

@@ -1,0 +1,158 @@
+"""spark-submit entry point for the corpus-curation pipeline.
+
+    spark-submit --py-files engine.zip curate.py \
+        --docs /data/documents_parquet --out /data/curated \
+        --neardup minhash --gopher --pii --split 0.9,0.05,0.05 \
+        --source-cap 10000
+
+Composes the engine's training-data operators over a documents table
+(doc_id, text, source, ...) into ONE Catalyst plan with ONE output
+write: near-dup canonicalization (simhash64 or MinHash-LSH pairs →
+connected components → keep cluster minima), the Gopher quality gate,
+PII redaction (rewrites ``text``), deterministic hash splits, and the
+C4-style per-source cap. The flagged table is persisted once; stage
+keep counts come from one slim aggregate over it (Spark Observations
+can't ride a node that later branches into the split/cap self-joins)
+and the output count rides an Observation on the single write.
+
+Outputs: ``<out>/`` curated parquet (all input columns, text possibly
+redacted, + ``split`` when requested) and ``<out>/report.json`` with
+per-stage keep/drop counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="PySpark corpus curation")
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--neardup", choices=["simhash", "minhash"],
+                    help="drop near-duplicates, keeping each cluster's "
+                    "min-id document (pair engine per choice)")
+    ap.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash64 hamming radius (with --neardup simhash)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher document-quality bounds")
+    ap.add_argument("--gopher-stopwords", metavar="W1,W2,...",
+                    help="stopword lexicon for the >=2-distinct-stopwords "
+                    "rule (default: the paper's 8 English words; adapt to "
+                    "your corpus's language/domain)")
+    ap.add_argument("--pii", action="store_true",
+                    help="redact emails/IPv4s/phones in the text column")
+    ap.add_argument("--split", metavar="W1,W2,...",
+                    help="deterministic hash split weights, e.g. "
+                    "0.9,0.05,0.05 -> train/val/test column")
+    ap.add_argument("--source-cap", type=int, metavar="K",
+                    help="keep at most K docs per source, best "
+                    "quality_score_int first")
+    ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from distributed_crawl_spark.functions import curation as CU
+    from distributed_crawl_spark.functions import dedup as DD
+    from distributed_crawl_spark.functions import textstats as TS
+    from distributed_crawl_spark.session import build_session
+
+    if args.cores:
+        spark = build_session(app_name="curate", cores=args.cores,
+                              shuffle_partitions=args.cores)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("curate").getOrCreate()
+
+    docs = spark.read.parquet(args.docs)
+    in_cols = docs.columns
+    id_c, text_c, src_c = args.id_col, args.text_col, args.source_col
+
+    flags = []  # (name, Column) keep-flags, all observed on the one write
+    if args.neardup:
+        if args.neardup == "simhash":
+            pairs = DD.simhash_pairs64(
+                docs, id_col=id_c, text_col=text_c,
+                max_hamming=args.max_hamming,
+            )
+        else:
+            pairs = DD.minhash_lsh_pairs(docs, id_col=id_c, text_col=text_c)
+        comp = DD.near_dup_components(pairs)
+        drop = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+            F.col("doc_id").alias("__drop_id")
+        )
+        docs = docs.join(
+            drop, docs[id_c] == drop["__drop_id"], "left"
+        ).withColumn(
+            "__keep_neardup", F.col("__drop_id").isNull()
+        ).drop("__drop_id")
+        flags.append("__keep_neardup")
+    if args.gopher:
+        stop = (
+            args.gopher_stopwords.split(",") if args.gopher_stopwords else None
+        )
+        feats = TS.gopher_features(F.col(text_c), stopwords=stop)
+        docs = docs.withColumn("__keep_gopher", TS.gopher_keep(feats))
+        flags.append("__keep_gopher")
+
+    # flag counts: one slim agg over the persisted flagged table (the
+    # split/cap stages below re-reference `docs`, which Spark's
+    # Observation cannot ride across — persist makes the flag pass and
+    # every downstream branch share one materialization)
+    docs = docs.persist()
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        *[F.sum(F.col(f).cast("long")).alias(f) for f in flags],
+    ).first()
+    for f in flags:
+        docs = docs.filter(F.col(f))
+    docs = docs.drop(*flags)
+
+    if args.pii:
+        docs = docs.withColumn(text_c, TS.redact_pii(F.col(text_c)))
+    if args.source_cap:
+        keep = CU.per_source_cap(
+            docs, k=args.source_cap, id_col=id_c, text_col=text_c,
+            source_col=src_c,
+        ).select(F.col(id_c).alias("__cap_id"))
+        docs = docs.join(keep, docs[id_c] == keep["__cap_id"], "left_semi")
+    out_cols = list(in_cols)
+    if args.split:
+        weights = [float(w) for w in args.split.split(",")]
+        names = ["train", "val", "test", "extra4", "extra5"][: len(weights)]
+        sp = CU.corpus_split(
+            docs, id_col=id_c, weights=dict(zip(names, weights))
+        ).select(F.col(id_c).alias("__sp_id"), "split")
+        docs = docs.join(sp, docs[id_c] == sp["__sp_id"], "left").drop("__sp_id")
+        out_cols.append("split")
+
+    obs_out = Observation()
+    docs = docs.select(*out_cols).observe(
+        obs_out, F.count(F.lit(1)).alias("n_output")
+    )
+    docs.write.mode("overwrite").parquet(args.out)
+
+    report = {
+        "n_input": int(stats["n_input"]),
+        "n_output": int(obs_out.get["n_output"]),
+        "stages": {
+            f.strip("_"): int(stats[f]) for f in flags
+        },
+        "args": {k: v for k, v in vars(args).items() if k != "cores"},
+    }
+    from pathlib import Path
+
+    Path(args.out, "report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -60,3 +60,43 @@ def test_spark_section_beats_mapped_keys_but_not_explicit_cli():
         **crawl.explicit_cli_overrides(cli, _defaults()),
     )
     assert cfg.host_budget == 99  # typed CLI flag wins over everything
+
+
+def test_curate_cli_end_to_end(tmp_path):
+    """curate.py: neardup + gopher + pii + split + cap over the sf0.001
+    documents table — one output write, report counts consistent."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--neardup", "minhash",
+            "--gopher", "--gopher-stopwords", "a,the,and,is,of,to,in,that,it",
+            "--pii",
+            "--split", "0.8,0.1,0.1",
+            "--source-cap", "50",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    assert 0 < report["n_output"] <= report["stages"]["keep_gopher"]
+    assert report["stages"]["keep_neardup"] <= 500
+
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT * FROM read_parquet('{out}/*.parquet')"
+    ).fetchdf()
+    assert len(df) == report["n_output"]
+    assert set(df["split"]).issubset({"train", "val", "test"})
+    assert df.groupby("source").size().max() <= 50
+    assert not df["text"].str.contains("@").any()  # emails redacted

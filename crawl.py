@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
                     help="cuckoo is deletable (required for --expire-ttl forget mode)")
+    ap.add_argument("--extract-mode", choices=["basic", "markdown"],
+                    default="basic",
+                    help="stored text shape: 'basic' = reference byte-"
+                    "identical pipeline; 'markdown' = structure-preserving "
+                    "markdown (crawl graph identical either way)")
     ap.add_argument("--content-dedup", action="store_true",
                     help="store ONE crawl_results row per distinct content "
                     "hash (the reference's hash-named-file overwrite "
@@ -107,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         seen_filter=args.seen_filter,
         scratch_dir=args.scratch_dir,
         content_dedup=args.content_dedup,
+        extract_mode=args.extract_mode,
     )
     if args.config:
         import os

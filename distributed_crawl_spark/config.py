@@ -33,6 +33,14 @@ class CrawlConfig:
     # retries, counters) is unaffected. Default False = log-every-fetch,
     # with exact_duplicates available as a downstream query.
     content_dedup: bool = False
+    # Text emitted by the extraction stage: 'basic' = the reference's
+    # byte-identical whitespace-pipeline text (THE P7 invariant, default);
+    # 'markdown' = structure-preserving markdown (the Crawl4AI-path output
+    # shape reference users consumed: '#' headings, [text](url) links,
+    # lists). Link semantics are mode-independent, so the crawl graph —
+    # children, seen set, ordering — is identical either way; only the
+    # stored text (and therefore md_hash) changes.
+    extract_mode: str = "basic"
 
     # engine scale knobs (SURVEY.md §2.9/§4)
     host_budget: int | None = None  # None = unlimited (parity mode)
@@ -87,6 +95,8 @@ class CrawlConfig:
             raise ValueError("host_budget >= 1 or None")
         if self.fetch_join_strategy not in ("auto", "broadcast", "shuffle"):
             raise ValueError("fetch_join_strategy: auto|broadcast|shuffle")
+        if self.extract_mode not in ("basic", "markdown"):
+            raise ValueError("extract_mode: basic|markdown")
         if self.fetch_join_strategy == "broadcast" and self.host_budget is None:
             # nothing bounds the round slice in parity mode — broadcasting
             # the whole pending frontier is an OOM hazard; use auto/shuffle

@@ -121,12 +121,21 @@ EXTRACT_RESULT_TYPE = StructType(
 )
 
 
-def make_extract_udf(max_links: int | None = 10):
+def make_extract_udf(max_links: int | None = 10, mode: str = "basic"):
     """Vectorized extractor: (url, html) → struct(text, links).
 
     One Arrow batch in, one out; resolution/filter/dedup/cap happen in the
     same pass so html bytes cross into Python exactly once.
+
+    ``mode='basic'`` (default) emits the reference's byte-identical
+    whitespace-pipeline text (THE invariant); ``mode='markdown'`` emits
+    the structure-preserving markdown (:func:`html_to_markdown`, the
+    Crawl4AI-path output shape) instead — LINK semantics are identical in
+    both modes (same href stream, same resolve/filter/dedup/cap), so the
+    crawl graph does not depend on the text mode.
     """
+    if mode not in ("basic", "markdown"):
+        raise ValueError(f"unknown extract mode {mode!r}")
 
     @pandas_udf(EXTRACT_RESULT_TYPE)
     def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
@@ -134,6 +143,8 @@ def make_extract_udf(max_links: int | None = 10):
         links: list[list[str]] = []
         for u, h in zip(url, html):
             text, hrefs = extract_text_and_hrefs(h)
+            if mode == "markdown":
+                text = html_to_markdown(h, base_url=u or "")
             texts.append(text)
             links.append(resolve_links(u, hrefs, max_links))
         return pd.DataFrame({"text": texts, "links": links})

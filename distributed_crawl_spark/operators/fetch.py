@@ -41,9 +41,12 @@ from ..functions.text import make_extract_udf
 
 
 def _with_extract_columns(
-    joined: DataFrame, max_links: int | None, extract_links: bool
+    joined: DataFrame, max_links: int | None, extract_links: bool,
+    extract_mode: str = "basic",
 ) -> DataFrame:
-    extract = make_extract_udf(max_links=max_links if extract_links else 0)
+    extract = make_extract_udf(
+        max_links=max_links if extract_links else 0, mode=extract_mode
+    )
     ex = (
         joined.withColumn(
             "ex",
@@ -90,6 +93,7 @@ def fetch_hits(
     max_links: int | None = 10,
     extract_links: bool = True,
     strategy: str = "broadcast",
+    extract_mode: str = "basic",
 ) -> DataFrame:
     """Fetch+extract for the HIT rows only (page found): selected frontier
     columns + ok=true, status_code, text, md_hash, page_slug, filename,
@@ -109,7 +113,7 @@ def fetch_hits(
         joined = page_side.join(F.broadcast(selected), "url", "inner")
     else:
         joined = selected.join(page_side, "url", "inner")
-    return _with_extract_columns(joined, max_links, extract_links)
+    return _with_extract_columns(joined, max_links, extract_links, extract_mode)
 
 
 def fetch_misses(selected: DataFrame, hit_urls: DataFrame) -> DataFrame:
@@ -138,12 +142,14 @@ def fetch_and_extract(
     max_links: int | None = 10,
     extract_links: bool = True,
     strategy: str = "shuffle",
+    extract_mode: str = "basic",
 ) -> DataFrame:
     """One-shot hits+misses (left-join semantics). Convenient for tests and
     single-pass queries; the round driver uses fetch_hits/fetch_misses with
     a materialization in between instead."""
     if strategy == "broadcast":
-        hits = fetch_hits(selected, pages, max_links, extract_links, strategy)
+        hits = fetch_hits(selected, pages, max_links, extract_links, strategy,
+                          extract_mode)
         return hits.select(*_ordered_cols(hits)).unionByName(
             fetch_misses(selected, hits).select(*_ordered_cols(hits))
         )
@@ -154,7 +160,7 @@ def fetch_and_extract(
         F.lit(True).alias("page_hit"),
     )
     joined = selected.join(page_side, "url", "left")
-    return _with_extract_columns(joined, max_links, extract_links)
+    return _with_extract_columns(joined, max_links, extract_links, extract_mode)
 
 
 def _ordered_cols(df: DataFrame) -> list[str]:

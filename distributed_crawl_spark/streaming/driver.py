@@ -325,7 +325,7 @@ class CrawlDriver:
         obs_fetch = Observation()
         hits = fetch_hits(
             selected, self.pages, cfg.max_links, cfg.extract_links,
-            strategy=strategy,
+            strategy=strategy, extract_mode=cfg.extract_mode,
         ).withColumn("round", F.lit(round_no))
         hits = hits.observe(
             obs_fetch,

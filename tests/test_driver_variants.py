@@ -148,3 +148,43 @@ def test_content_dedup_storage_parity(spark, tmp_path):
     per_round = {m.round: m.content_deduped for m in dedup.metrics().collect()}
     assert sum(per_round.values()) == 3, per_round
     assert all(m.content_deduped == 0 for m in plain.metrics().collect())
+
+
+def test_markdown_extract_mode_crawl(spark, tmp_path):
+    """extract_mode='markdown': stored text is the structure-preserving
+    markdown of each page while the crawl GRAPH (seen set, ordering,
+    children, counters) is identical to basic mode — links don't depend
+    on the text mode."""
+    from distributed_crawl_spark.functions.text import html_to_markdown
+
+    def run(mode):
+        drv = CrawlDriver(
+            spark, corpus.tiny_pages(spark), None,
+            CrawlConfig(max_levels=3, max_rounds=5, extract_mode=mode),
+            str(tmp_path / f"ck_em_{mode}"),
+        )
+        drv.run(corpus.tiny_seeds(spark))
+        return drv
+
+    basic, md = run("basic"), run("markdown")
+    assert (
+        {(r.url, r.status) for r in basic.current_status().collect()}
+        == {(r.url, r.status) for r in md.current_status().collect()}
+    )
+    assert [m.fetched for m in basic.metrics().collect()] == [
+        m.fetched for m in md.metrics().collect()
+    ]
+
+    pages = {r.url: bytes(r.html) for r in corpus.tiny_pages(spark).collect()
+             if r.html is not None}
+    md_rows = {r.url: r.text for r in md.results().collect()}
+    checked = 0
+    for url, text in md_rows.items():
+        if url in pages:
+            assert text == html_to_markdown(pages[url], base_url=url)
+            checked += 1
+    assert checked >= 7
+    # and it's genuinely the structured shape, not the basic pipeline
+    basic_rows = {r.url: r.text for r in basic.results().collect()}
+    assert any(md_rows[u] != basic_rows[u] for u in md_rows)
+    assert any("[" in t and "](" in t for t in md_rows.values())

@@ -878,6 +878,40 @@ def q_source_rollup(spark, sf_dir):
     return CU.source_rollup(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Seeded deterministic mixing sample: per-source keep fractions
+    (src0 25%, src1 75%, default 50%) via md5(seed:doc_id) hash
+    threshold — reproducible across repartitioning/corpus growth, and a
+    rate increase is a superset of the old sample. Zero shuffle."""
+    return CU.corpus_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 0.25, "src1": 0.75},
+        default_rate=0.5,
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C rule): flag train-split
+    docs sharing any word 8-gram with a val/test-split doc. The bench
+    gram set is DISTINCT + broadcast, so the 100-TB train side never
+    shuffles its grams — explode, semi-probe, and per-doc hit count all
+    stay partition-local."""
+    docs = _t(spark, sf_dir, "documents")
+    b = CU.split_bucket(F.col("doc_id"))
+    train = docs.filter(b < 9000)
+    bench = docs.filter(b >= 9000)
+    return CU.decontaminate(train, bench, n=8)
+
+
+def q_span_scrub(spark, sf_dir):
+    """Duplicated-span scrub (fixed-window approximation of Lee et al.
+    2022 exact-substring dedup): drop every 20-word chunk occurring in
+    ≥2 distinct docs, reassemble survivors in order. Two uniform digest
+    shuffles + an anti-join against the (small) duplicated-digest set —
+    no pairwise comparisons at any scale."""
+    return CU.span_scrub(_t(spark, sf_dir, "documents"), w=20, min_docs=2)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -937,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "corpus_split": q_corpus_split,
+        "corpus_sample": q_corpus_sample,
+        "decontaminate": q_decontaminate,
+        "span_scrub": q_span_scrub,
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
@@ -1613,6 +1650,74 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    bucket
             FROM b""",
+        "corpus_sample": """
+            WITH s AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 12)
+                          AS BIGINT) % 10000 AS sample_key,
+                     CASE source WHEN 'src0' THEN 2500
+                                 WHEN 'src1' THEN 7500
+                                 ELSE 5000 END AS t
+              FROM documents
+            )
+            SELECT doc_id, source, sample_key FROM s WHERE sample_key < t""",
+        "decontaminate": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                       % 10000 AS bucket,
+                     {_TOKS_SQL} AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, bucket,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM b
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE bucket >= 9000),
+            hits AS (
+              SELECT doc_id, count(DISTINCT gram) AS n_hit_grams
+              FROM grams
+              WHERE bucket < 9000 AND gram IN (SELECT gram FROM bench)
+              GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+                   coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM b LEFT JOIN hits h USING (doc_id)
+            WHERE b.bucket < 9000""",
+        "span_scrub": f"""
+            WITH n AS (
+              SELECT doc_id, t,
+                     greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) AS nch
+              FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, nch)) AS pos,
+                     unnest(list_transform(generate_series(1, nch),
+                            i -> array_to_string(t[(i-1)*20+1:(i-1)*20+20], ' '))) AS chunk
+              FROM n
+            ),
+            census AS (
+              SELECT md5(chunk) AS digest, count(DISTINCT doc_id) AS n_docs
+              FROM chunks GROUP BY 1
+            ),
+            kept AS (
+              SELECT c.doc_id, c.pos, c.chunk
+              FROM chunks c JOIN census ce ON md5(c.chunk) = ce.digest
+              WHERE ce.n_docs < 2
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY 1
+            )
+            SELECT n.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   n.nch - coalesce(a.n_kept, 0) AS n_removed
+            FROM n LEFT JOIN agg a USING (doc_id)""",
         "source_rollup": f"""
             WITH census AS (
               SELECT md5(text) AS digest, count(*) AS n_copies

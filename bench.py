@@ -131,7 +131,8 @@ HEADLINE = [
     "dedup_simhash_pairs", "dedup_components", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "train_corpus_filter", "corpus_split", "source_rollup",
+    "train_corpus_filter", "corpus_split", "corpus_sample",
+    "decontaminate", "span_scrub", "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "source_cap",
     "multimodal_meta",
 ]

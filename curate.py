@@ -18,6 +18,12 @@ and the output count rides an Observation on the single write.
 Outputs: ``<out>/`` curated parquet (all input columns, text possibly
 redacted, + ``split`` when requested) and ``<out>/report.json`` with
 per-stage keep/drop counts.
+
+Additional stages: ``--sample``/``--sample-rates`` (seeded deterministic
+mixing sample), ``--decontaminate BENCH`` (drop docs sharing an n-gram
+with a benchmark table), ``--scrub-spans W`` (cross-doc duplicated-span
+removal, rewrites text). ``--report-only`` computes report.json without
+writing the corpus.
 """
 
 from __future__ import annotations
@@ -47,11 +53,35 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pii", action="store_true",
                     help="redact emails/IPv4s/phones in the text column")
     ap.add_argument("--split", metavar="W1,W2,...",
-                    help="deterministic hash split weights, e.g. "
-                    "0.9,0.05,0.05 -> train/val/test column")
+                    help="deterministic hash split weights (normalized "
+                    "by their sum, so 0.9,0.05,0.05 and 90,5,5 are "
+                    "equivalent) -> train/val/test column")
     ap.add_argument("--source-cap", type=int, metavar="K",
                     help="keep at most K docs per source, best "
                     "quality_score_int first")
+    ap.add_argument("--sample", type=float, metavar="RATE",
+                    help="seeded deterministic downsample: keep RATE of "
+                    "docs (hash threshold — reproducible, monotone in RATE)")
+    ap.add_argument("--sample-rates", metavar="SRC=R,SRC=R,...",
+                    help="per-source keep fractions overriding --sample "
+                    "(the training-mix weights)")
+    ap.add_argument("--sample-seed", default="s42",
+                    help="sampling seed; a different seed draws an "
+                    "independent sample")
+    ap.add_argument("--decontaminate", metavar="BENCH_PARQUET",
+                    help="drop docs sharing any word n-gram with the "
+                    "benchmark table's text column (eval-leak removal)")
+    ap.add_argument("--decontaminate-n", type=int, default=8, metavar="N",
+                    help="overlap n-gram width (default 8)")
+    ap.add_argument("--scrub-spans", type=int, metavar="W",
+                    help="remove W-word chunks occurring in >=2 distinct "
+                    "docs and stitch the survivors (cross-doc boilerplate "
+                    "scrub; rewrites the text column)")
+    ap.add_argument("--scrub-min-docs", type=int, default=2, metavar="D",
+                    help="chunk is scrubbed when seen in >= D distinct docs")
+    ap.add_argument("--report-only", action="store_true",
+                    help="compute report.json (stage keep/drop counts) "
+                    "without writing the curated corpus")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -101,6 +131,35 @@ def main(argv: list[str] | None = None) -> int:
         feats = TS.gopher_features(F.col(text_c), stopwords=stop)
         docs = docs.withColumn("__keep_gopher", TS.gopher_keep(feats))
         flags.append("__keep_gopher")
+    if args.sample is not None or args.sample_rates:
+        rates = (
+            {kv.split("=")[0]: float(kv.split("=")[1])
+             for kv in args.sample_rates.split(",")}
+            if args.sample_rates else None
+        )
+        kept = CU.corpus_sample(
+            docs, rates=rates,
+            default_rate=args.sample if args.sample is not None else 1.0,
+            seed=args.sample_seed, id_col=id_c, source_col=src_c,
+        ).select(F.col(id_c).alias("__samp_id"))
+        docs = docs.join(
+            kept, docs[id_c] == kept["__samp_id"], "left"
+        ).withColumn(
+            "__keep_sample", F.col("__samp_id").isNotNull()
+        ).drop("__samp_id")
+        flags.append("__keep_sample")
+    if args.decontaminate:
+        bench = spark.read.parquet(args.decontaminate)
+        bad = CU.decontaminate(
+            docs, bench, n=args.decontaminate_n,
+            id_col=id_c, text_col=text_c,
+        ).filter(F.col("contaminated")).select(F.col(id_c).alias("__dec_id"))
+        docs = docs.join(
+            bad, docs[id_c] == bad["__dec_id"], "left"
+        ).withColumn(
+            "__keep_decontam", F.col("__dec_id").isNull()
+        ).drop("__dec_id")
+        flags.append("__keep_decontam")
 
     # flag counts: one slim agg over the persisted flagged table (the
     # split/cap stages below re-reference `docs`, which Spark's
@@ -117,6 +176,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.pii:
         docs = docs.withColumn(text_c, TS.redact_pii(F.col(text_c)))
+    if args.scrub_spans:
+        sc = CU.span_scrub(
+            docs, w=args.scrub_spans, min_docs=args.scrub_min_docs,
+            id_col=id_c, text_col=text_c,
+        ).select(
+            F.col(id_c).alias("__sc_id"), "clean_text",
+            F.col("n_removed").alias("__n_span_removed"),
+        )
+        docs = docs.join(
+            sc, docs[id_c] == sc["__sc_id"], "left"
+        ).withColumn(
+            text_c, F.coalesce(F.col("clean_text"), F.col(text_c))
+        ).drop("__sc_id", "clean_text")
     if args.source_cap:
         keep = CU.per_source_cap(
             docs, k=args.source_cap, id_col=id_c, text_col=text_c,
@@ -125,7 +197,11 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(keep, docs[id_c] == keep["__cap_id"], "left_semi")
     out_cols = list(in_cols)
     if args.split:
-        weights = [float(w) for w in args.split.split(",")]
+        raw = [float(w) for w in args.split.split(",")]
+        # corpus_split takes fractions summing to <=1; normalize so the
+        # common percentage form (80,10,10) doesn't silently collapse
+        # every bucket into the first split
+        weights = [w / sum(raw) for w in raw]
         names = ["train", "val", "test", "extra4", "extra5"][: len(weights)]
         sp = CU.corpus_split(
             docs, id_col=id_c, weights=dict(zip(names, weights))
@@ -133,22 +209,37 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(sp, docs[id_c] == sp["__sp_id"], "left").drop("__sp_id")
         out_cols.append("split")
 
-    obs_out = Observation()
-    docs = docs.select(*out_cols).observe(
-        obs_out, F.count(F.lit(1)).alias("n_output")
-    )
-    docs.write.mode("overwrite").parquet(args.out)
+    out_aggs = [F.count(F.lit(1)).alias("n_output")]
+    if args.scrub_spans:
+        out_aggs.append(
+            F.sum(F.coalesce(F.col("__n_span_removed"), F.lit(0)))
+            .alias("n_spans_removed")
+        )
+    if args.report_only:
+        # no corpus write: one slim agg replaces the write-riding Observation
+        row = docs.agg(*out_aggs).first()
+        out_vals = {a: row[a] for a in row.asDict()}
+    else:
+        obs_out = Observation()
+        # observe BEFORE the projection so scrub's span counter (not an
+        # output column) is still visible to the metric
+        final = docs.observe(obs_out, *out_aggs).select(*out_cols)
+        final.write.mode("overwrite").parquet(args.out)
+        out_vals = obs_out.get
 
     report = {
         "n_input": int(stats["n_input"]),
-        "n_output": int(obs_out.get["n_output"]),
+        "n_output": int(out_vals["n_output"]),
         "stages": {
             f.strip("_"): int(stats[f]) for f in flags
         },
         "args": {k: v for k, v in vars(args).items() if k != "cores"},
     }
+    if args.scrub_spans:
+        report["n_spans_removed"] = int(out_vals["n_spans_removed"])
     from pathlib import Path
 
+    Path(args.out).mkdir(parents=True, exist_ok=True)
     Path(args.out, "report.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
     return 0

@@ -1,9 +1,10 @@
 """Corpus-curation operators for training-data pipelines: deterministic
-splits and per-source health rollups.
+splits, seeded sampling, per-source health rollups, benchmark
+decontamination, and duplicated-span scrubbing.
 
 No reference analog (thebenjy/distributed_crawl stops at page storage);
 these are the engine's extension contract for the steps between a
-crawled corpus and a training run. Both are pure DataFrame plans with
+crawled corpus and a training run. All are pure DataFrame plans with
 md5-based arithmetic so the DuckDB oracle verifies values.
 """
 
@@ -12,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_int48
+from .dedup import doc_shingles, md5_int48, shingles, tokens
 from .textstats import char_count, word_count
 
 SPLIT_BUCKETS = 10_000
@@ -52,6 +53,175 @@ def corpus_split(docs: DataFrame, id_col: str = "doc_id",
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return docs.select(id_col, expr.alias("split"), b.alias("bucket"))
+
+
+def corpus_sample(docs: DataFrame,
+                  rates: dict[str, float] | None = None,
+                  default_rate: float = 1.0,
+                  seed: str = "s42",
+                  id_col: str = "doc_id",
+                  source_col: str = "source") -> DataFrame:
+    """Seeded deterministic downsampling with per-source rates — the
+    mixing step of a training run ("2 epochs of wiki, 0.3 of common
+    crawl" becomes per-source keep fractions for one pass).
+
+    A document is kept iff ``md5(seed ':' id) % 10000 < rate·10000``
+    where ``rate`` is the source's entry in ``rates`` (fallback
+    ``default_rate``). Membership depends only on (seed, doc_id), so a
+    sample is reproducible across repartitioning and corpus growth, a
+    different seed draws an independent sample, and a rate INCREASE is a
+    superset of the old sample (hash-threshold monotonicity) — the
+    properties random() sampling can't give an evolving corpus.
+
+    Pure projection + filter: zero shuffle at any scale. Returns
+    (doc_id, source, sample_key).
+    """
+    key = md5_int48(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    ) % F.lit(SPLIT_BUCKETS)
+    rate: Column = F.lit(float(default_rate))
+    if rates:
+        expr = None
+        for name, r in rates.items():
+            cond = F.col(source_col) == name
+            expr = (F.when(cond, float(r)) if expr is None
+                    else expr.when(cond, float(r)))
+        rate = expr.otherwise(float(default_rate))
+    thresh = F.floor(rate * SPLIT_BUCKETS).cast("long")
+    return (
+        docs.select(id_col, source_col, key.alias("sample_key"),
+                    thresh.alias("__thresh"))
+        .filter(F.col("sample_key") < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation/benchmark document (the GPT-3
+    appendix-C / Llama overlap rule — eval text leaking into the
+    training mix inflates downstream scores, so contaminated docs are
+    dropped or quarantined before training).
+
+    Plan shape for 100 TB: the benchmark side (eval suites are ~10^6–
+    10^7 distinct grams — megabytes) is collapsed to a DISTINCT gram set
+    and **broadcast**, so the corpus side never shuffles its grams: the
+    explode, the left-semi probe, and the per-doc hit count (map-side
+    combinable; hits are rare) all stay partition-local. The only
+    exchange is the final per-doc count aggregation over matched rows.
+
+    Returns one row per input doc: (doc_id, n_hit_grams, contaminated)
+    where n_hit_grams counts DISTINCT leaked grams.
+    """
+    bench_grams = (
+        bench.select(F.explode(shingles(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = doc_shingles(docs, id_col, text_col, n).withColumnRenamed(
+        "shingle", "gram"
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        docs.select(id_col).join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).alias("n_hit_grams"),
+        )
+        .withColumn("contaminated", F.col("n_hit_grams") > 0)
+    )
+
+
+def span_chunks(text: Column, w: int) -> Column:
+    """Fixed-width word chunks as array<struct<pos,chunk>> (1-based pos,
+    last chunk ragged; empty text → one empty chunk so every doc keeps a
+    row through explode/reassemble round-trips)."""
+    toks = tokens(text)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(w)).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(toks, (i - F.lit(1)) * w + F.lit(1), w), " "
+            ).alias("chunk"),
+        ),
+    )
+
+
+def span_scrub(docs: DataFrame, w: int = 20, min_docs: int = 2,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicated-span removal: delete every ``w``-word chunk whose text
+    occurs in ≥ ``min_docs`` DISTINCT documents, then stitch each doc's
+    surviving chunks back in order. The scalable fixed-window
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    full suffix-array construction doesn't distribute, but boilerplate
+    (nav bars, license headers, mirrored articles) repeats in long runs,
+    so window-aligned chunks catch it with two uniform hash shuffles and
+    no pairwise comparisons.
+
+    Plan: (doc, pos, chunk) explode → digest census (distinct doc count
+    per md5(chunk); digest keys are unskewable) → anti-join pairs
+    against the duplicated-digest set (tiny in practice — AQE broadcasts
+    it; a uniform hash join at worst) → per-doc sort_array(collect_list)
+    reassembly, bounded by the doc's own chunk count. Within-doc repeats
+    are NOT scrubbed (count is per distinct doc) — repetition is a
+    quality signal handled by the Gopher gate, not a cross-doc leak.
+
+    Returns (doc_id, clean_text, n_removed); a fully-scrubbed doc stays
+    present with clean_text='' so callers can count or drop it.
+    """
+    pairs = docs.select(
+        id_col, F.explode(span_chunks(F.col(text_col), w)).alias("pc")
+    ).select(
+        id_col,
+        F.col("pc.pos").alias("pos"),
+        F.col("pc.chunk").alias("chunk"),
+    )
+    census = (
+        pairs.select(id_col, F.md5(F.col("chunk")).alias("digest"))
+        .distinct()
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dup = census.filter(F.col("n_docs") >= min_docs).select("digest")
+    kept = pairs.withColumn("digest", F.md5(F.col("chunk"))).join(
+        dup, "digest", "left_anti"
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(
+        id_col,
+        F.greatest(
+            F.ceil(F.size(tokens(F.col(text_col))) / F.lit(w)).cast("int"),
+            F.lit(1),
+        ).cast("long").alias("__n_total"),
+    )
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("__n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
 
 
 def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",

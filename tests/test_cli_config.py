@@ -78,7 +78,7 @@ def test_curate_cli_end_to_end(tmp_path):
             "--neardup", "minhash",
             "--gopher", "--gopher-stopwords", "a,the,and,is,of,to,in,that,it",
             "--pii",
-            "--split", "0.8,0.1,0.1",
+            "--split", "80,10,10",  # percentage form: normalized by sum
             "--source-cap", "50",
             "--cores", "4",
         ],
@@ -97,6 +97,37 @@ def test_curate_cli_end_to_end(tmp_path):
         f"SELECT * FROM read_parquet('{out}/*.parquet')"
     ).fetchdf()
     assert len(df) == report["n_output"]
-    assert set(df["split"]).issubset({"train", "val", "test"})
+    # all three splits must appear — guards the normalization bug where
+    # un-normalized percentage weights put every bucket in 'train'
+    assert set(df["split"]) == {"train", "val", "test"}
     assert df.groupby("source").size().max() <= 50
     assert not df["text"].str.contains("@").any()  # emails redacted
+
+
+def test_curate_cli_sample_scrub_report_only(tmp_path):
+    """curate.py new stages: seeded sampling (per-source rates), span
+    scrub, --report-only (report.json but NO corpus write)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_ro"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--sample", "0.8", "--sample-rates", "src0=0.2",
+            "--scrub-spans", "20",
+            "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    assert 0 < report["n_output"] < 500          # sampling dropped some
+    assert report["n_output"] == report["stages"]["keep_sample"]
+    assert report["n_spans_removed"] >= 0
+    assert not list(out.glob("*.parquet"))       # report-only: no corpus

@@ -73,3 +73,89 @@ def test_per_source_cap_keeps_best_k(spark):
     s1 = sorted(by_source["s1"], key=lambda r: r.rank_in_source)
     assert s1[0].quality >= s1[1].quality      # best first
     assert [r.rank_in_source for r in s1] == [1, 2]
+
+
+def test_corpus_sample_deterministic_monotone_rates(spark):
+    docs = (
+        spark.range(0, 600)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        )
+    )
+    kept = {r.doc_id for r in CU.corpus_sample(docs, default_rate=0.5).collect()}
+    # deterministic: same seed, any layout -> same sample
+    again = {r.doc_id for r in
+             CU.corpus_sample(docs.repartition(7), default_rate=0.5).collect()}
+    assert kept == again
+    # exact hash-threshold membership
+    for i in range(600):
+        key = int(hashlib.md5(f"s42:{i}".encode()).hexdigest()[:12], 16) % 10000
+        assert (i in kept) == (key < 5000)
+    # rate increase is a SUPERSET (monotone threshold), rate 1.0 keeps all
+    bigger = {r.doc_id for r in CU.corpus_sample(docs, default_rate=0.8).collect()}
+    assert kept < bigger
+    assert len(CU.corpus_sample(docs, default_rate=1.0).collect()) == 600
+    # per-source rates override the default; a 0-rate source drops fully
+    mixed = CU.corpus_sample(docs, rates={"s0": 0.0, "s1": 1.0},
+                             default_rate=0.5).collect()
+    by_src = {}
+    for r in mixed:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert "s0" not in by_src and len(by_src["s1"]) == 200
+    assert by_src["s2"] == {i for i in kept if i % 3 == 2}
+    # a different seed draws an (almost surely) different sample
+    other = {r.doc_id for r in
+             CU.corpus_sample(docs, default_rate=0.5, seed="z9").collect()}
+    assert other != kept
+
+
+def test_decontaminate_planted_overlap(spark):
+    gram = "w1 w2 w3 w4 w5 w6 w7 w8"          # the leaked 8-gram
+    rows = [
+        (0, f"prefix {gram} suffix tail words here"),   # 1 leaked gram? no —
+        # every 8-window covering the run matches only if bench has it too;
+        # bench holds exactly `gram`, so doc 0 hits on exactly one window
+        (1, "totally different text with no overlap at all beyond n"),
+        (2, "short doc"),                                 # < 8 words: no grams
+        (3, f"{gram} {gram}"),                            # repeated: distinct=count once?
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    bench = spark.createDataFrame([(100, gram)], "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in CU.decontaminate(docs, bench, n=8).collect()}
+    assert len(got) == 4                                  # every doc reported
+    assert got[0].contaminated and got[0].n_hit_grams == 1
+    assert not got[1].contaminated and got[1].n_hit_grams == 0
+    assert not got[2].contaminated
+    # doc 3 contains the gram twice -> still ONE distinct leaked gram
+    assert got[3].contaminated and got[3].n_hit_grams == 1
+
+
+def test_span_scrub_planted_duplicate_chunks(spark):
+    shared = " ".join(f"s{i}" for i in range(20))         # one full chunk
+    rows = [
+        (0, shared),                                       # dup of doc 1
+        (1, f"{shared} tail1 tail2 tail3"),                # chunk1 dup, chunk2 own
+        (2, "entirely unique little document"),
+        (3, "rep rep rep " * 2),                           # within-doc only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in CU.span_scrub(docs, w=20, min_docs=2).collect()}
+    assert got[0].clean_text == "" and got[0].n_removed == 1   # fully scrubbed
+    assert got[1].clean_text == "tail1 tail2 tail3" and got[1].n_removed == 1
+    assert got[2].clean_text == "entirely unique little document"
+    assert got[2].n_removed == 0
+    # within-doc repetition is not a cross-doc leak -> untouched
+    assert got[3].clean_text == rows[3][1].strip() and got[3].n_removed == 0
+
+
+def test_span_scrub_reassembly_order(spark):
+    # 3 chunks; the MIDDLE one is duplicated across docs -> remaining two
+    # must stitch back in original order
+    c = lambda tag: " ".join(f"{tag}{i}" for i in range(20))
+    dup = c("d")
+    rows = [(0, f"{c('a')} {dup} {c('b')}"), (1, dup)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in CU.span_scrub(docs, w=20, min_docs=2).collect()}
+    assert got[0].clean_text == f"{c('a')} {c('b')}" and got[0].n_removed == 1
+    assert got[1].clean_text == "" and got[1].n_removed == 1

@@ -285,3 +285,19 @@ def test_components_nonconvergence_raises(spark):
         near_dup_components(chain, max_iters=3)
     out = near_dup_components(chain, max_iters=25)
     assert {r.component_id for r in out.collect()} == {0}
+
+
+def test_components_deep_chain_log_convergence(spark):
+    """Pointer jumping makes convergence O(log diameter): a 300-hop
+    mutation chain (the shape plain min-propagation needs 300 rounds
+    for) must converge well inside the default 25-iteration cap, with
+    every node labelled by the chain minimum."""
+    from distributed_crawl_spark.functions.dedup import near_dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
+    )
+    out = near_dup_components(chain)          # default max_iters=25
+    got = {r.doc_id: r.component_id for r in out.collect()}
+    assert len(got) == 301
+    assert set(got.values()) == {0}

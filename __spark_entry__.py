@@ -912,6 +912,32 @@ def q_span_scrub(spark, sf_dir):
     return CU.span_scrub(_t(spark, sf_dir, "documents"), w=20, min_docs=2)
 
 
+def q_mix_report(spark, sf_dir):
+    """Training-mix accounting: the seeded per-source sample (src0 25%,
+    src1 75%, default 50%) × 90/5/5 hash split rolled up to (source,
+    split) doc/token/char totals — the planning table for mixture
+    weights. Zero-shuffle filter + projection into ONE map-side-
+    combinable census over ≤ sources×splits keys."""
+    return CU.mix_report(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 0.25, "src1": 0.75},
+        default_rate=0.5,
+    )
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Continual-crawl dedup: bucket ≥ 8000 docs act as today's
+    increment, probed against the dedup_index (distinct exact digests +
+    MinHash LSH band buckets) of the bucket < 8000 corpus. The corpus is
+    never re-read or re-shuffled — the increment computes its own
+    signatures and left-semi probes the index; cost is O(increment),
+    not O(corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = CU.split_bucket(F.col("doc_id"))
+    idx = DD.dedup_index(docs.filter(b < 8000))
+    return DD.incremental_dedup(docs.filter(b >= 8000), idx)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -974,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
+        "mix_report": q_mix_report,
+        "incremental_dedup": q_incremental_dedup,
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
@@ -1661,6 +1689,77 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, sample_key FROM s WHERE sample_key < t""",
+        "mix_report": """
+            WITH s AS (
+              SELECT source,
+                     CAST('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 12)
+                          AS BIGINT) % 10000 AS skey,
+                     CASE source WHEN 'src0' THEN 2500
+                                 WHEN 'src1' THEN 7500
+                                 ELSE 5000 END AS t,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                       % 10000 AS bucket,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS w,
+                     length(text) AS c
+              FROM documents
+            )
+            SELECT source,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_chars
+            FROM s WHERE skey < t GROUP BY 1, 2""",
+        "incremental_dedup": f"""
+            WITH {_SHINGLES_CTE},
+            {_minhash_params_sql()},
+            x AS (SELECT doc_id, {_MD5I48.format(x='shingle')} % {P31} AS x FROM ds),
+            sig AS (
+              SELECT doc_id, i, min((a * x + b) % {P31}) AS mh
+              FROM x CROSS JOIN params GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, i // {DD.LSH_ROWS} AS band,
+                     md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+              FROM sig GROUP BY 1, 2
+            ),
+            bk AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                       % 10000 AS bucket
+              FROM documents
+            ),
+            old_digest AS (
+              SELECT DISTINCT md5(d.text) AS dg
+              FROM documents d JOIN bk USING (doc_id) WHERE bucket < 8000
+            ),
+            old_band AS (
+              SELECT DISTINCT b.band, b.band_key
+              FROM band b JOIN bk USING (doc_id) WHERE bucket < 8000
+            ),
+            newd AS (
+              SELECT d.doc_id, md5(d.text) AS dg
+              FROM documents d JOIN bk USING (doc_id) WHERE bucket >= 8000
+            ),
+            ex AS (
+              SELECT doc_id FROM newd WHERE dg IN (SELECT dg FROM old_digest)
+            ),
+            nr AS (
+              SELECT DISTINCT b.doc_id
+              FROM band b
+              JOIN bk USING (doc_id)
+              JOIN old_band ob ON b.band = ob.band AND b.band_key = ob.band_key
+              WHERE bk.bucket >= 8000
+            )
+            SELECT n.doc_id,
+                   n.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+                   n.doc_id IN (SELECT doc_id FROM nr) AS near_dup,
+                   NOT (n.doc_id IN (SELECT doc_id FROM ex)
+                        OR n.doc_id IN (SELECT doc_id FROM nr)) AS keep
+            FROM newd n""",
         "decontaminate": f"""
             WITH b AS (
               SELECT doc_id,

@@ -132,7 +132,8 @@ HEADLINE = [
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "train_corpus_filter", "corpus_split", "corpus_sample",
-    "decontaminate", "span_scrub", "source_rollup",
+    "decontaminate", "span_scrub", "mix_report", "incremental_dedup",
+    "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "source_cap",
     "multimodal_meta",
 ]

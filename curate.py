@@ -23,7 +23,11 @@ Additional stages: ``--sample``/``--sample-rates`` (seeded deterministic
 mixing sample), ``--decontaminate BENCH`` (drop docs sharing an n-gram
 with a benchmark table), ``--scrub-spans W`` (cross-doc duplicated-span
 removal, rewrites text). ``--report-only`` computes report.json without
-writing the corpus.
+writing the corpus. ``--dedup-against PRIOR`` drops docs already in a
+prior corpus snapshot (exact digest or MinHash LSH band hit — the prior
+corpus is probed via its dedup_index, never re-shuffled).
+``--mix-report`` appends a per-(source[, split]) doc/token/char census
+of the output corpus to report.json.
 """
 
 from __future__ import annotations
@@ -82,6 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--report-only", action="store_true",
                     help="compute report.json (stage keep/drop counts) "
                     "without writing the curated corpus")
+    ap.add_argument("--dedup-against", metavar="CORPUS_PARQUET",
+                    help="continual-crawl dedup: drop docs whose exact "
+                    "digest or any MinHash LSH band hits the given prior "
+                    "corpus (its dedup_index is built on the fly; the "
+                    "prior corpus is probed, never re-shuffled)")
+    ap.add_argument("--mix-report", action="store_true",
+                    help="add a per-(source[,split]) doc/token census of "
+                    "the output corpus to report.json")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -124,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_neardup", F.col("__drop_id").isNull()
         ).drop("__drop_id")
         flags.append("__keep_neardup")
+    if args.dedup_against:
+        prior = spark.read.parquet(args.dedup_against)
+        idx = DD.dedup_index(prior, id_col=id_c, text_col=text_c)
+        keep = DD.incremental_dedup(
+            docs, idx, id_col=id_c, text_col=text_c
+        ).filter(F.col("keep")).select(F.col(id_c).alias("__inc_id"))
+        docs = docs.join(
+            keep, docs[id_c] == keep["__inc_id"], "left"
+        ).withColumn(
+            "__keep_prior", F.col("__inc_id").isNotNull()
+        ).drop("__inc_id")
+        flags.append("__keep_prior")
     if args.gopher:
         stop = (
             args.gopher_stopwords.split(",") if args.gopher_stopwords else None
@@ -227,6 +251,22 @@ def main(argv: list[str] | None = None) -> int:
         final.write.mode("overwrite").parquet(args.out)
         out_vals = obs_out.get
 
+    mix = None
+    if args.mix_report:
+        # census of the OUTPUT corpus (post every enabled stage) — one
+        # map-side-combinable agg over <= |sources|x|splits| keys; an
+        # extra action, but it re-reads from the persisted flagged table
+        gb = [src_c] + (["split"] if args.split else [])
+        mix = [
+            r.asDict() for r in docs.groupBy(*gb).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(TS.word_count(F.col(text_c)).cast("long"))
+                .alias("n_tokens"),
+                F.sum(TS.char_count(F.col(text_c)).cast("long"))
+                .alias("n_chars"),
+            ).orderBy(*gb).collect()
+        ]
+
     report = {
         "n_input": int(stats["n_input"]),
         "n_output": int(out_vals["n_output"]),
@@ -237,6 +277,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if args.scrub_spans:
         report["n_spans_removed"] = int(out_vals["n_spans_removed"])
+    if mix is not None:
+        report["mix"] = mix
     from pathlib import Path
 
     Path(args.out).mkdir(parents=True, exist_ok=True)

@@ -42,6 +42,14 @@ def corpus_split(docs: DataFrame, id_col: str = "doc_id",
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     b = split_bucket(F.col(id_col))
+    return docs.select(
+        id_col, _split_expr(b, weights).alias("split"), b.alias("bucket")
+    )
+
+
+def _split_expr(b: Column, weights: dict[str, float]) -> Column:
+    """Split name for bucket column ``b`` under cumulative hash ranges
+    (shared by :func:`corpus_split` and :func:`mix_report`)."""
     expr = None
     edge = 0.0
     names = list(weights)
@@ -49,10 +57,28 @@ def corpus_split(docs: DataFrame, id_col: str = "doc_id",
         edge += weights[name]
         cond = b < int(round(edge * SPLIT_BUCKETS))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = (
-        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    )
-    return docs.select(id_col, expr.alias("split"), b.alias("bucket"))
+    return F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+
+
+def _sample_key_thresh(rates: dict[str, float] | None, default_rate: float,
+                       seed: str, id_col: str,
+                       source_col: str) -> tuple[Column, Column]:
+    """(sample_key, keep_threshold) column pair shared by
+    :func:`corpus_sample` and :func:`mix_report` — kept means
+    ``key < thresh``."""
+    key = md5_int48(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    ) % F.lit(SPLIT_BUCKETS)
+    rate: Column = F.lit(float(default_rate))
+    if rates:
+        expr = None
+        for name, r in rates.items():
+            cond = F.col(source_col) == name
+            expr = (F.when(cond, float(r)) if expr is None
+                    else expr.when(cond, float(r)))
+        rate = expr.otherwise(float(default_rate))
+    thresh = F.floor(rate * SPLIT_BUCKETS).cast("long")
+    return key, thresh
 
 
 def corpus_sample(docs: DataFrame,
@@ -76,23 +102,58 @@ def corpus_sample(docs: DataFrame,
     Pure projection + filter: zero shuffle at any scale. Returns
     (doc_id, source, sample_key).
     """
-    key = md5_int48(
-        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
-    ) % F.lit(SPLIT_BUCKETS)
-    rate: Column = F.lit(float(default_rate))
-    if rates:
-        expr = None
-        for name, r in rates.items():
-            cond = F.col(source_col) == name
-            expr = (F.when(cond, float(r)) if expr is None
-                    else expr.when(cond, float(r)))
-        rate = expr.otherwise(float(default_rate))
-    thresh = F.floor(rate * SPLIT_BUCKETS).cast("long")
+    key, thresh = _sample_key_thresh(rates, default_rate, seed,
+                                     id_col, source_col)
     return (
         docs.select(id_col, source_col, key.alias("sample_key"),
                     thresh.alias("__thresh"))
         .filter(F.col("sample_key") < F.col("__thresh"))
         .drop("__thresh")
+    )
+
+
+def mix_report(docs: DataFrame,
+               rates: dict[str, float] | None = None,
+               default_rate: float = 1.0,
+               seed: str = "s42",
+               weights: dict[str, float] | None = None,
+               id_col: str = "doc_id", text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Training-mix accounting: what a sampled + split corpus actually
+    contains, counted in the unit that matters for a training run —
+    tokens. Applies the same seeded per-source sample as
+    :func:`corpus_sample` and the same hash split as
+    :func:`corpus_split` (shared predicate helpers, so the report is
+    exactly the corpus those operators would emit), then rolls up per
+    (source, split): documents, whitespace tokens, characters.
+
+    This is the planning table for mixture weights — "does src0 at rate
+    0.25 still deliver the 50B tokens the mix calls for?" — computed
+    without writing the sampled corpus.
+
+    Plan: projection + filter (zero shuffle) into ONE map-side-combinable
+    groupBy over ≤ |sources|×|splits| keys — a cheap census at any
+    corpus size, no skew exposure (the combine collapses each partition
+    to the same few keys before the exchange).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    key, thresh = _sample_key_thresh(rates, default_rate, seed,
+                                     id_col, source_col)
+    b = split_bucket(F.col(id_col))
+    return (
+        docs.filter(key < thresh)
+        .select(
+            source_col,
+            _split_expr(b, weights).alias("split"),
+            word_count(F.col(text_col)).cast("long").alias("__w"),
+            char_count(F.col(text_col)).cast("long").alias("__c"),
+        )
+        .groupBy(source_col, "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("n_tokens"),
+            F.sum("__c").alias("n_chars"),
+        )
     )
 
 

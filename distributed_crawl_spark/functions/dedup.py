@@ -324,6 +324,98 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dedup_index(corpus: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> DataFrame:
+    """Reusable dedup index of an existing corpus snapshot — the piece
+    that makes CONTINUAL crawling scale: once a 100-TB corpus is
+    deduplicated, the next day's increment must not re-shuffle the whole
+    corpus, only probe what the corpus already contains.
+
+    One (kind, band, key) row per distinct membership key:
+    ``kind='digest'`` rows carry md5(text) for exact membership,
+    ``kind='band'`` rows carry each distinct MinHash LSH (band,
+    band_key) bucket for near-dup membership (same signature family as
+    :func:`minhash_lsh_pairs`, so index and pair dedup agree on what
+    "near" means). DISTINCT keys only — doc ids are deliberately absent,
+    so a dup-heavy corpus indexes far smaller than it stores, and the
+    index is append-only under corpus growth (a new snapshot's index is
+    the old index UNION the increment's keys — no rebuild).
+
+    At scale this table is written once per snapshot (partition by
+    ``kind``/``band``) and read by every subsequent
+    :func:`incremental_dedup` probe.
+    """
+    digests = corpus.select(
+        F.lit("digest").alias("kind"),
+        F.lit(-1).alias("band"),
+        F.md5(F.col(text_col)).alias("key"),
+    ).distinct()
+    cols = _minhash_cols(corpus, id_col, text_col, n)
+    keys = F.array(*[_band_key(b) for b in range(LSH_BANDS)])
+    bands = (
+        cols.select(F.posexplode(keys).alias("band", "key"))
+        .distinct()
+        .select(F.lit("band").alias("kind"), "band", "key")
+    )
+    return digests.unionByName(bands)
+
+
+def incremental_dedup(new_docs: DataFrame, index: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, materializer=None) -> DataFrame:
+    """Deduplicate a crawl increment against an existing corpus's
+    :func:`dedup_index` WITHOUT touching the corpus itself.
+
+    Per new document: ``exact_dup`` (its md5 digest is already in the
+    corpus), ``near_dup`` (any of its MinHash LSH band keys hits a
+    corpus bucket — the same ≥1-shared-band candidate rule as
+    :func:`minhash_lsh_pairs`), and ``keep = NOT (exact OR near)``.
+
+    Plan shape for a daily increment against a 100-TB corpus: the
+    increment computes its own signatures (one doc-keyed shuffle over
+    increment rows only), then two LEFT SEMI probes into the index —
+    uniform hash joins keyed by digest / (band, key), each moving only
+    increment-side rows plus the index partitions they hash into. The
+    corpus's documents are never read, never shuffled, never
+    self-joined; cost is O(|increment| + |index touched|) regardless of
+    corpus size. Within-increment duplicates are NOT flagged here (run
+    the ordinary pair dedup on the increment first, or union the
+    increment's own index in) — this operator answers "is it already in
+    the corpus", nothing else.
+    """
+    materializer = _resolve_materializer(materializer, default="persist")
+    digest_idx = index.filter(F.col("kind") == "digest").select("key")
+    band_idx = index.filter(F.col("kind") == "band").select("band", "key")
+    new_cols = materializer(
+        _minhash_cols(new_docs, id_col, text_col, n), "incr_signature"
+    )
+    keys = F.array(*[_band_key(b) for b in range(LSH_BANDS)])
+    exact_ids = (
+        new_docs.select(id_col, F.md5(F.col(text_col)).alias("key"))
+        .join(digest_idx, "key", "left_semi")
+        .select(id_col)
+        .withColumn("__e", F.lit(True))
+    )
+    near_ids = (
+        new_cols.select(id_col, F.posexplode(keys).alias("band", "key"))
+        .join(band_idx, ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__n", F.lit(True))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__e"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__n"), F.lit(False)).alias("near_dup"),
+        )
+        .withColumn("keep", ~(F.col("exact_dup") | F.col("near_dup")))
+    )
+
+
 def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                         id_b: str = "id_b",
                         max_iters: int = 25) -> DataFrame:

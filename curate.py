@@ -27,7 +27,9 @@ writing the corpus. ``--dedup-against PRIOR`` drops docs already in a
 prior corpus snapshot (exact digest or MinHash LSH band hit — the prior
 corpus is probed via its dedup_index, never re-shuffled).
 ``--mix-report`` appends a per-(source[, split]) doc/token/char census
-of the output corpus to report.json.
+of the output corpus to report.json. ``--pack-tokens B`` plans training
+shards (seeded deterministic shuffle order, ~B tokens per shard) and
+adds writer/shard_id/offset_tokens columns to the output.
 """
 
 from __future__ import annotations
@@ -91,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
                     "digest or any MinHash LSH band hits the given prior "
                     "corpus (its dedup_index is built on the fly; the "
                     "prior corpus is probed, never re-shuffled)")
+    ap.add_argument("--pack-tokens", type=int, metavar="B",
+                    help="assign each output doc a training shard id: "
+                    "seeded deterministic shuffle order + ~B whitespace "
+                    "tokens per shard (adds writer/shard_id/offset "
+                    "columns)")
+    ap.add_argument("--pack-writers", type=int, default=32, metavar="W",
+                    help="parallel writer lanes for --pack-tokens "
+                    "(uniform hash lanes; size ~= a few x cluster cores)")
     ap.add_argument("--mix-report", action="store_true",
                     help="add a per-(source[,split]) doc/token census of "
                     "the output corpus to report.json")
@@ -232,6 +242,16 @@ def main(argv: list[str] | None = None) -> int:
         ).select(F.col(id_c).alias("__sp_id"), "split")
         docs = docs.join(sp, docs[id_c] == sp["__sp_id"], "left").drop("__sp_id")
         out_cols.append("split")
+    if args.pack_tokens:
+        pk = CU.pack_shards(
+            docs, shard_tokens=args.pack_tokens,
+            n_writers=args.pack_writers, id_col=id_c, text_col=text_c,
+        ).select(
+            F.col(id_c).alias("__pk_id"), "writer", "shard_id",
+            "offset_tokens",
+        )
+        docs = docs.join(pk, docs[id_c] == pk["__pk_id"], "left").drop("__pk_id")
+        out_cols += ["writer", "shard_id", "offset_tokens"]
 
     out_aggs = [F.count(F.lit(1)).alias("n_output")]
     if args.scrub_spans:

@@ -10,7 +10,7 @@ md5-based arithmetic so the DuckDB oracle verifies values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import doc_shingles, md5_int48, shingles, tokens
@@ -154,6 +154,61 @@ def mix_report(docs: DataFrame,
             F.sum("__w").alias("n_tokens"),
             F.sum("__c").alias("n_chars"),
         )
+    )
+
+
+def pack_shards(docs: DataFrame, shard_tokens: int = 2048,
+                n_writers: int = 32, seed: str = "p42",
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic shuffle + token-budget shard planning: assign every
+    document a training shard such that (a) document order within a
+    shard is a seeded pseudo-random permutation (the "global shuffle" a
+    training run needs — no residual crawl/source locality), and (b)
+    each shard holds ~``shard_tokens`` whitespace tokens (documents are
+    never split; a shard closes when its running total crosses the
+    budget, so totals land in [budget, budget + max_doc) except each
+    writer's final shard).
+
+    How a 100-TB pipeline packs: ONE uniform hash shuffle routes each
+    doc to one of ``n_writers`` writer lanes (lane = hash(seed, id) %
+    W — uniform by construction, no skew possible), then each lane
+    independently sorts its ~|docs|/W rows by the same hash and takes a
+    running token total. The per-lane sort IS the price of sequential
+    packing — but it is embarrassingly parallel across lanes and its
+    size is set by W, not by any data property. Choose W ≈ a few × the
+    cluster's cores; there is no global order and no global barrier.
+    Output is stable under repartitioning and input order (hash order,
+    not row order) — re-running the plan on a re-laid-out corpus yields
+    byte-identical shard assignments.
+
+    Returns (doc_id, writer, shard_id, n_tokens, offset_tokens) where
+    ``offset_tokens`` is the exclusive running token total within the
+    writer lane and ``shard_id = writer * 2^20 + offset_tokens //
+    shard_tokens`` (globally unique; ~10^6 shards per lane headroom).
+    """
+    okey = md5_int48(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(
+        id_col,
+        okey.alias("__okey"),
+        (okey % F.lit(n_writers)).alias("writer"),
+        word_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("writer")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return base.select(
+        id_col,
+        "writer",
+        (F.col("writer") * F.lit(1 << 20)
+         + F.floor(off / F.lit(shard_tokens))).cast("long").alias("shard_id"),
+        "n_tokens",
+        off.cast("long").alias("offset_tokens"),
     )
 
 

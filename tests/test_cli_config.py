@@ -159,6 +159,7 @@ def test_curate_cli_dedup_against_mix_report(tmp_path):
             "--dedup-against", str(prior),
             "--split", "90,5,5",
             "--mix-report",
+            "--pack-tokens", "500", "--pack-writers", "4",
             "--cores", "4",
         ],
         capture_output=True, text=True, cwd="/root/repo", timeout=400,
@@ -176,3 +177,10 @@ def test_curate_cli_dedup_against_mix_report(tmp_path):
         (m["source"], m["split"]) for m in mix
     } and all(m["n_tokens"] > 0 and m["n_chars"] > 0 for m in mix)
     assert {m["split"] for m in mix} <= {"train", "val", "test"}
+    df = con.execute(
+        f"SELECT * FROM read_parquet('{out}/*.parquet')"
+    ).fetchdf()
+    assert len(df) == report["n_output"]
+    assert set(df["writer"]) <= {0, 1, 2, 3}
+    assert (df["shard_id"] // (1 << 20) == df["writer"]).all()
+    assert (df["offset_tokens"] >= 0).all()

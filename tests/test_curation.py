@@ -193,3 +193,52 @@ def test_mix_report_matches_sample_plus_split(spark):
     for k, (n, t, c) in want.items():
         assert rep[k][0] == n and rep[k][2] == c
     assert set(rep) == set(want)
+
+
+def test_pack_shards_invariants(spark):
+    """pack_shards: every doc assigned exactly once; offsets are exact
+    exclusive running token totals per writer lane; a shard's docs all
+    start inside its budget window, so each closed shard's total lands
+    within max_doc of the budget; shard ids are unique across lanes."""
+    rows = [(i, "w " * (5 + i % 40)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    B = 100
+    out = CU.pack_shards(docs, shard_tokens=B, n_writers=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(400))
+    by_writer = {}
+    for r in out:
+        by_writer.setdefault(r.writer, []).append(r)
+    assert set(r.writer for r in out) <= set(range(4))
+    for w, rs in by_writer.items():
+        rs.sort(key=lambda r: r.offset_tokens)
+        run = 0
+        for r in rs:
+            assert r.offset_tokens == run
+            assert r.shard_id == w * (1 << 20) + run // B
+            run += r.n_tokens
+    # a closed shard (every shard but each lane's last) spans from its
+    # first doc's offset (in [sB, sB + max_doc): the previous shard's
+    # spillover) to the next shard's first offset, so its total is
+    # within max_doc of the budget on either side
+    max_doc = max(r.n_tokens for r in out)
+    totals = {}
+    for r in out:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
+    for w, rs in by_writer.items():
+        last = max(r.shard_id for r in rs)
+        for sid, tot in totals.items():
+            if sid // (1 << 20) == w and sid != last:
+                assert B - max_doc < tot < B + max_doc
+
+
+def test_pack_shards_deterministic_under_layout(spark):
+    """Hash order, not row order: repartitioned/reversed input produces
+    byte-identical shard assignments."""
+    rows = [(i, f"tok{i} " * (1 + i % 9)) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = {r.doc_id: (r.writer, r.shard_id, r.offset_tokens)
+         for r in CU.pack_shards(docs, shard_tokens=50, n_writers=3).collect()}
+    moved = spark.createDataFrame(rows[::-1], "doc_id LONG, text STRING").repartition(7)
+    b = {r.doc_id: (r.writer, r.shard_id, r.offset_tokens)
+         for r in CU.pack_shards(moved, shard_tokens=50, n_writers=3).collect()}
+    assert a == b

@@ -949,6 +949,32 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
+def q_dedup_doc_lines(spark, sf_dir):
+    """Within-doc duplicate-line removal (C4-style cleaner). The
+    synthetic corpus has no newlines, so the query first reshapes each
+    text into one-word-per-line (same trick as multimodal/markdown:
+    synthesize the structure deterministically so the oracle sees real
+    dedup work), then drops repeated lines keeping first occurrence.
+    Zero shuffle — pure array projection at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.array_join(F.split(F.trim(F.col("text")), r"\s+"), "\n")
+    lines = F.split(lined, "\n")
+    return docs.select(
+        "doc_id",
+        TS.dedup_lines(lined).alias("clean_text"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long").alias("n_removed"),
+    )
+
+
+def q_quality_quantile_gate(spark, sf_dir):
+    """Adaptive per-source quality gate: keep docs at/above their own
+    source's median integer quality. Exact percentile is scale-safe
+    here (bounded score domain -> bounded partial-agg maps); thresholds
+    broadcast back — no window, no per-source sort."""
+    return CU.quality_quantile_gate(_t(spark, sf_dir, "documents"), p=0.5)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -1014,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "incremental_dedup": q_incremental_dedup,
         "pack_shards": q_pack_shards,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "quality_quantile_gate": q_quality_quantile_gate,
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
@@ -1795,6 +1823,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    offset_tokens
             FROM o""",
+        "dedup_doc_lines": """
+            WITH l AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(lines,
+                                 (x, i) -> list_position(lines, x) = i),
+                     chr(10)) AS clean_text,
+                   CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+                     AS n_removed
+            FROM l""",
+        "quality_quantile_gate": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS wc,
+                     length(text) AS cc,
+                     len(regexp_extract_all(lower(text), '{all_stop}')) AS stop,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source,
+                     CAST(5 * floor(alpha / greatest(cc, 1) * 10000)
+                        + 3 * least(floor(stop / greatest(wc, 1) * 10000) * 5, 10000)
+                        + 2 * least(wc * 100, 10000) AS BIGINT) AS quality
+              FROM b
+            ),
+            t AS (
+              SELECT source, quantile_cont(quality, 0.5) AS thr
+              FROM q GROUP BY source
+            )
+            SELECT q.doc_id, q.source, q.quality, t.thr,
+                   q.quality >= t.thr AS keep
+            FROM q JOIN t USING (source)""",
         "decontaminate": f"""
             WITH b AS (
               SELECT doc_id,

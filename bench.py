@@ -133,7 +133,7 @@ HEADLINE = [
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "train_corpus_filter", "corpus_split", "corpus_sample",
     "decontaminate", "span_scrub", "mix_report", "incremental_dedup",
-    "pack_shards",
+    "pack_shards", "dedup_doc_lines", "quality_quantile_gate",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "source_cap",
     "multimodal_meta",

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import doc_shingles, md5_int48, shingles, tokens
-from .textstats import char_count, word_count
+from .textstats import char_count, quality_score_int, word_count
 
 SPLIT_BUCKETS = 10_000
 
@@ -209,6 +209,46 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 2048,
          + F.floor(off / F.lit(shard_tokens))).cast("long").alias("shard_id"),
         "n_tokens",
         off.cast("long").alias("offset_tokens"),
+    )
+
+
+def quality_quantile_gate(docs: DataFrame, p: float = 0.5,
+                          approx: bool = False,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Adaptive per-source quality gate: keep a document iff its
+    integer quality score reaches its OWN source's p-th percentile —
+    "top half of each source", not a fixed global threshold that
+    over-prunes weak sources and under-prunes strong ones.
+
+    Exactness at scale: the default computes the EXACT percentile, and
+    that is scale-safe *here specifically* because
+    :func:`~.textstats.quality_score_int` has a bounded domain
+    (≤ 100,001 distinct values) — Spark's percentile aggregate keeps a
+    value→count map, so partial (map-side) aggregation applies and no
+    buffer exceeds the domain size regardless of corpus size. For an
+    unbounded metric pass ``approx=True`` (percentile_approx, fixed
+    sketch memory). Pick ``p`` from {.25, .5, .75}-style
+    binary-representable fractions if the DuckDB oracle must agree
+    bit-for-bit (interpolation stays exact on integer scores).
+
+    Plan: one map-side-combinable agg to ≤ |sources| threshold rows,
+    broadcast back — no window, no per-source sort, no skew exposure.
+    Returns (doc_id, source, quality, thr, keep).
+    """
+    scored = docs.select(
+        id_col, source_col,
+        quality_score_int(F.col(text_col)).alias("quality"),
+    )
+    pct = (F.percentile_approx("quality", p) if approx
+           else F.percentile("quality", F.lit(p)))
+    thr = scored.groupBy(source_col).agg(pct.cast("double").alias("thr"))
+    return (
+        scored.join(F.broadcast(thr), source_col)
+        .select(
+            id_col, source_col, "quality", "thr",
+            (F.col("quality") >= F.col("thr")).alias("keep"),
+        )
     )
 
 

@@ -312,6 +312,18 @@ def line_stats(text: Column) -> dict[str, Column]:
     return {"n_lines": n, "dup_line_frac_x1e4": frac}
 
 
+def dedup_lines(text: Column) -> Column:
+    """Within-document duplicate-line removal: keep each line's FIRST
+    occurrence, preserve original order (the C4-style "discard repeated
+    lines" cleaner — navboxes, cookie banners, and footers repeat
+    verbatim inside a page). ``array_distinct`` is documented
+    first-occurrence-order-preserving in Spark, so this is one
+    whole-stage-codegen projection: zero shuffle, zero UDF, applies to
+    10^10 docs at scan speed. Pair with :func:`line_stats` to count
+    what was removed (n_lines - distinct)."""
+    return F.array_join(F.array_distinct(F.split(text, "\n")), "\n")
+
+
 def repetition_stats(docs, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 2):
     """Gopher-style repetition profile per document: duplicate-line

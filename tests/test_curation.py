@@ -242,3 +242,32 @@ def test_pack_shards_deterministic_under_layout(spark):
     b = {r.doc_id: (r.writer, r.shard_id, r.offset_tokens)
          for r in CU.pack_shards(moved, shard_tokens=50, n_writers=3).collect()}
     assert a == b
+
+
+def test_quality_quantile_gate_per_source_median(spark):
+    """Each source gates on ITS OWN median: a doc that would pass a
+    global threshold can fail inside a strong source and vice versa;
+    keep counts per source are >= half (>= because of ties at the
+    median). approx=True returns the same schema and, on this tiny
+    well-separated data, the same keeps."""
+    rows = []
+    for i in range(8):   # sA: wordy docs with stopwords (high quality)
+        rows.append((i, "the quick brown fox is near the lazy dog " * (i + 1), "sA"))
+    for i in range(8):   # sB: terse low-stopword docs (low quality)
+        rows.append((100 + i, "zzz " * (i + 1), "sB"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = CU.quality_quantile_gate(docs, p=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        qs = sorted(r.quality for r in rs)
+        med = (qs[3] + qs[4]) / 2
+        assert all(r.thr == med for r in rs)
+        assert all(r.keep == (r.quality >= med) for r in rs)
+        assert sum(r.keep for r in rs) >= len(rs) // 2
+    # both sources keep SOME docs — a global threshold would zero out sB
+    assert sum(r.keep for r in by_src["sB"]) > 0
+    approx = {r.doc_id: r.keep
+              for r in CU.quality_quantile_gate(docs, p=0.5, approx=True).collect()}
+    assert set(approx) == {r.doc_id for r in out}

@@ -214,3 +214,23 @@ def test_gopher_gate_planted_violations(spark):
     assert rows["numeric"].alpha_word_frac_x1e4 < 8000
     assert rows["no_stopwords"].n_gopher_stopwords < 2
     assert rows["repeated_lines"].dup_line_frac_x1e4 > 3000
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    rows = [
+        (0, "nav\nbody one\nnav\nbody two\nnav"),   # boilerplate repeats
+        (1, "a\nb\nc"),                             # nothing repeated
+        (2, ""),                                    # empty stays empty
+        (3, "x\nx\nx\nx"),                          # collapses to one line
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r.clean
+        for r in df.select(
+            "doc_id", TS.dedup_lines(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert got[0] == "nav\nbody one\nbody two"      # order preserved
+    assert got[1] == "a\nb\nc"
+    assert got[2] == ""
+    assert got[3] == "x"

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from distributed_crawl_spark.functions import curation as CU
 from distributed_crawl_spark.functions import dedup as DD
+from distributed_crawl_spark.functions import graph as GR
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
 from distributed_crawl_spark.functions import url as U
@@ -975,6 +976,57 @@ def q_quality_quantile_gate(spark, sf_dir):
     return CU.quality_quantile_gate(_t(spark, sf_dir, "documents"), p=0.5)
 
 
+def q_host_rank(spark, sf_dir):
+    """Host-graph PageRank for frontier prioritization: a deterministic
+    37-host multigraph synthesized from documents (src = doc_id mod 37,
+    dst = hash mod 37 — same synthesize-the-structure trick as
+    multimodal/markdown), ranked by 3 integer-quantized power
+    iterations. Integer micro-unit arithmetic makes the result
+    bit-identical across engines and layouts — float PageRank is
+    summation-order-dependent and could never hash-match an oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"),
+            (DD.md5_int48(F.col("doc_id").cast("string")) % 37)
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return GR.host_rank(edges, iters=3)
+
+
+def _host_rank_sql(iters: int = 3) -> str:
+    """DuckDB twin of q_host_rank: the power iteration unrolled as one
+    chained CTE per step (all-integer arithmetic, so it hash-matches)."""
+    s = f"""
+        WITH e AS (
+          SELECT 'h' || (doc_id % 37)::VARCHAR AS src,
+                 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")} % 37)::VARCHAR
+                   AS dst
+          FROM documents
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM nodes),"""
+    for i in range(iters):
+        s += f"""
+        c{i} AS (
+          SELECT e.dst, CAST(sum(r{i}.pr // od.outdeg) AS BIGINT) AS s
+          FROM e JOIN od USING (src) JOIN r{i} ON r{i}.host = e.src
+          GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+          SELECT nodes.host,
+                 CAST(150000 + (850 * COALESCE(c{i}.s, 0)) // 1000 AS BIGINT)
+                   AS pr
+          FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.host
+        ),"""
+    return s.rstrip(",") + f"""
+        SELECT host, pr AS pr_x1e6 FROM r{iters}"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -1042,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "dedup_doc_lines": q_dedup_doc_lines,
         "quality_quantile_gate": q_quality_quantile_gate,
+        "host_rank": q_host_rank,
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
@@ -1823,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    offset_tokens
             FROM o""",
+        "host_rank": _host_rank_sql(3),
         "dedup_doc_lines": """
             WITH l AS (
               SELECT doc_id,

@@ -1,0 +1,63 @@
+"""Host-rank power iteration: exact agreement with an in-process
+integer-arithmetic reference, plus ranking sanity on shaped graphs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from distributed_crawl_spark.functions import graph as G
+
+
+def _ref_host_rank(edges, iters, d=850):
+    """Pure-python twin of the quantized update rule."""
+    nodes = sorted({h for e in edges for h in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {h: G.RANK_UNIT for h in nodes}
+    for _ in range(iters):
+        s = {h: 0 for h in nodes}
+        for a, b in edges:
+            s[b] += pr[a] // outdeg[a]
+        pr = {h: (1000 - d) * 1000 + d * s[h] // 1000 for h in nodes}
+    return pr
+
+
+def _graph(n_nodes=23, n_edges=300):
+    """Deterministic hash-shaped multigraph."""
+    edges = []
+    for i in range(n_edges):
+        h = hashlib.md5(f"e{i}".encode()).hexdigest()
+        edges.append((f"h{int(h[:6], 16) % n_nodes}",
+                      f"h{int(h[6:12], 16) % n_nodes}"))
+    return edges
+
+
+def test_host_rank_matches_integer_reference(spark):
+    edges = _graph()
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: r.pr_x1e6 for r in G.host_rank(df, iters=4).collect()}
+    want = _ref_host_rank(edges, iters=4)
+    assert got == want
+
+
+def test_host_rank_star_center_wins(spark):
+    # 10 leaves all link to the hub; hub links to one leaf
+    edges = [(f"l{i}", "hub") for i in range(10)] + [("hub", "l0")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    pr = {r.host: r.pr_x1e6 for r in G.host_rank(df, iters=5).collect()}
+    assert pr["hub"] == max(pr.values())
+    # l0 receives the hub's mass; other leaves only the base
+    assert pr["l0"] > pr["l1"] == pr["l9"]
+
+
+def test_host_rank_layout_invariant(spark):
+    edges = _graph(n_nodes=11, n_edges=80)
+    a = {r.host: r.pr_x1e6 for r in G.host_rank(
+        spark.createDataFrame(edges, "src STRING, dst STRING"), iters=3
+    ).collect()}
+    b = {r.host: r.pr_x1e6 for r in G.host_rank(
+        spark.createDataFrame(edges[::-1], "src STRING, dst STRING")
+        .repartition(7), iters=3
+    ).collect()}
+    assert a == b  # integer quantization: no float-order sensitivity

@@ -91,3 +91,39 @@ def host_rank(edges: DataFrame, iters: int = 5, damping_x1000: int = 850,
             .localCheckpoint()
         )
     return ranks
+
+
+def rank_budgets(ranks: DataFrame, total_budget: int,
+                 min_budget: int = 1) -> DataFrame:
+    """Turn :func:`host_rank` output into per-host politeness budgets —
+    the "priority queue" composition: instead of every host getting the
+    same per-round fetch budget, a round's ``total_budget`` slots are
+    allocated proportionally to host rank, so well-linked hosts drain
+    faster while ``min_budget`` keeps every host live (no starvation).
+
+    ``budget(h) = max(min_budget, total_budget * pr(h) // sum(pr))`` —
+    integer floor allocation (deterministic; the sum of budgets can
+    exceed ``total_budget`` only via the min-budget floor, and can fall
+    short by at most one slot per host from flooring — politeness
+    budgets are soft targets, not exact quotas).
+
+    The rank sum is a one-row aggregate cross-joined back (broadcast of
+    a single row — no collect, stays a pure plan). Output (host,
+    budget) plugs directly into
+    :func:`~distributed_crawl_spark.operators.politeness.rank_frontier`'s
+    ``host_budgets`` parameter, which broadcast-joins it onto the
+    frontier — the whole priority path adds zero shuffles to the round.
+    """
+    tot = ranks.agg(F.sum("pr_x1e6").alias("__tot"))
+    return (
+        ranks.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(min_budget).cast("long"),
+                F.floor(
+                    F.lit(total_budget) * F.col("pr_x1e6") / F.col("__tot")
+                ).cast("long"),
+            ).alias("budget"),
+        )
+    )

@@ -61,3 +61,49 @@ def test_host_rank_layout_invariant(spark):
         .repartition(7), iters=3
     ).collect()}
     assert a == b  # integer quantization: no float-order sensitivity
+
+
+def test_rank_budgets_proportional_with_floor(spark):
+    edges = [(f"l{i}", "hub") for i in range(10)] + [("hub", "l0")]
+    ranks = G.host_rank(
+        spark.createDataFrame(edges, "src STRING, dst STRING"), iters=5
+    )
+    budgets = {r.host: r.budget for r in
+               G.rank_budgets(ranks, total_budget=1000, min_budget=2).collect()}
+    pr = {r.host: r.pr_x1e6 for r in ranks.collect()}
+    tot = sum(pr.values())
+    for h, b in budgets.items():
+        assert b == max(2, 1000 * pr[h] // tot)
+    assert budgets["hub"] == max(budgets.values()) > budgets["l1"]
+    assert min(budgets.values()) >= 2          # no starvation
+
+
+def test_rank_budgets_drive_politeness_window(spark):
+    """The full priority-queue composition: host_rank -> rank_budgets ->
+    rank_frontier(host_budgets=...) gives the high-rank host more
+    selected rows in one round, FIFO preserved within each host."""
+    from distributed_crawl_spark.operators.politeness import (
+        rank_frontier, split_ranked)
+
+    # leaves all cite the hub; the hub's mass fans BACK OUT across all
+    # ten leaves, so the hub keeps the dominant rank
+    edges = ([(f"l{i}", "big") for i in range(10)]
+             + [("big", f"l{i}") for i in range(10)])
+    ranks = G.host_rank(
+        spark.createDataFrame(edges, "src STRING, dst STRING"), iters=5
+    )
+    budgets = G.rank_budgets(ranks, total_budget=12, min_budget=1)
+    frontier = spark.createDataFrame(
+        [(h, f"http://{h}/p{i}", 0, 0, i)
+         for h in ("big", "l1") for i in range(20)],
+        "host STRING, url STRING, level INT, attempt INT, seq LONG",
+    )
+    selected, deferred = split_ranked(
+        rank_frontier(frontier, host_budget=3, host_budgets=budgets)
+    )
+    sel = {}
+    for r in selected.collect():
+        sel.setdefault(r.host, []).append(r.seq)
+    assert len(sel["big"]) > len(sel["l1"]) >= 1
+    assert sorted(sel["big"]) == sel["big"] == list(range(len(sel["big"])))
+    assert selected.count() + deferred.count() == 40

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from distributed_crawl_spark.functions import curation as CU
 from distributed_crawl_spark.functions import dedup as DD
+from distributed_crawl_spark.functions import events as EV
 from distributed_crawl_spark.functions import graph as GR
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
@@ -1027,6 +1028,41 @@ def _host_rank_sql(iters: int = 3) -> str:
         SELECT host, pr AS pr_x1e6 FROM r{iters}"""
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min
+    inactivity): one user-keyed window carries both the lag gap test
+    and the running session counter — single sort, single exchange."""
+    return EV.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup (count/start/end/duration) over sessionize —
+    the follow-on groupBy keys on session_id, finer than user_id, so
+    it is strictly better-distributed than the window that made it."""
+    return EV.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# shared sessionization CTE prefix (30-min gap, (ts, event_id) ordering)
+# for the sessionize / session_stats oracles
+_SESSIONIZE_SQL = """
+            WITH s AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            x AS (
+              SELECT event_id, user_id, ts, st,
+                     CAST(SUM(st) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS seq
+              FROM s
+            )"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload → mapInPandas metadata extraction
     (decode stubbed deterministically; Spark-side schema/batching real)."""
@@ -1095,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_doc_lines": q_dedup_doc_lines,
         "quality_quantile_gate": q_quality_quantile_gate,
         "host_rank": q_host_rank,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
         "pii_redact": q_pii_redact,
         "quality_repetition": q_quality_repetition,
@@ -1877,6 +1915,17 @@ def oracle_sql() -> dict[str, str]:
                    offset_tokens
             FROM o""",
         "host_rank": _host_rank_sql(3),
+        "sessionize": _SESSIONIZE_SQL + """
+            SELECT event_id, user_id, ts,
+                   CAST(user_id * 1048576 + seq - 1 AS BIGINT) AS session_id,
+                   st = 1 AS is_session_start
+            FROM x""",
+        "session_stats": _SESSIONIZE_SQL + """
+            SELECT CAST(user_id * 1048576 + seq - 1 AS BIGINT) AS session_id,
+                   user_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   date_diff('second', min(ts), max(ts)) AS duration_s
+            FROM x GROUP BY 1, 2""",
         "dedup_doc_lines": """
             WITH l AS (
               SELECT doc_id,

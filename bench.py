@@ -134,7 +134,7 @@ HEADLINE = [
     "train_corpus_filter", "corpus_split", "corpus_sample",
     "decontaminate", "span_scrub", "mix_report", "incremental_dedup",
     "pack_shards", "dedup_doc_lines", "quality_quantile_gate",
-    "host_rank",
+    "host_rank", "sessionize", "session_stats",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "source_cap",
     "multimodal_meta",

@@ -40,7 +40,8 @@ QUERIES = [
 ]
 
 
-def build_corpus(spark, n_docs: int, out_dir: str) -> str:
+def build_corpus(spark, n_docs: int, out_dir: str,
+                 id_offset: int = 0) -> str:
     """Deterministic twin of the sf0.1 documents table: tokens drawn
     (by per-position xxhash64) from sf0.1's own distinct vocabulary,
     lengths 50..100 words, sources/langs with the same cardinalities,
@@ -69,7 +70,7 @@ def build_corpus(spark, n_docs: int, out_dir: str) -> str:
             F.lit(50) + F.pmod(F.xxhash64(src_id, F.lit("len")), F.lit(51))
         ).cast("int")
 
-    is_dup = (F.col("id") % 10 == 0) & (F.col("id") + 1 < n_docs)
+    is_dup = (F.col("id") % 10 == 0) & (F.col("id") + 1 < id_offset + n_docs)
     base = F.when(is_dup, F.col("id") + 1).otherwise(F.col("id"))
     words = F.transform(
         F.sequence(F.lit(1), length_of(base)),
@@ -79,7 +80,7 @@ def build_corpus(spark, n_docs: int, out_dir: str) -> str:
         ).otherwise(tok_at(base, j)),
     )
     text = F.array_join(words, " ")
-    docs = spark.range(n_docs).select(
+    docs = spark.range(id_offset, id_offset + n_docs).select(
         F.col("id").alias("doc_id"),
         text.alias("text"),
         F.element_at(langs, (F.pmod(F.xxhash64("id", F.lit("lang")), F.lit(5)) + 1).cast("int")).alias("lang"),

@@ -30,6 +30,9 @@ corpus is probed via its dedup_index, never re-shuffled).
 of the output corpus to report.json. ``--pack-tokens B`` plans training
 shards (seeded deterministic shuffle order, ~B tokens per shard) and
 adds writer/shard_id/offset_tokens columns to the output.
+``--dedup-lines`` removes within-doc duplicated lines before any other
+stage; ``--quantile-gate P`` keeps docs at/above their own source's
+P-th quality percentile.
 """
 
 from __future__ import annotations
@@ -93,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
                     "digest or any MinHash LSH band hits the given prior "
                     "corpus (its dedup_index is built on the fly; the "
                     "prior corpus is probed, never re-shuffled)")
+    ap.add_argument("--quantile-gate", type=float, metavar="P",
+                    help="keep docs at/above their own source's P-th "
+                    "quality percentile (adaptive per-source threshold; "
+                    "use binary-representable P like 0.5/0.25/0.75)")
+    ap.add_argument("--dedup-lines", action="store_true",
+                    help="remove duplicated lines WITHIN each doc "
+                    "(keep first occurrence, preserve order; rewrites "
+                    "the text column)")
     ap.add_argument("--pack-tokens", type=int, metavar="B",
                     help="assign each output doc a training shard id: "
                     "seeded deterministic shuffle order + ~B whitespace "
@@ -126,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.docs)
     in_cols = docs.columns
     id_c, text_c, src_c = args.id_col, args.text_col, args.source_col
+
+    if args.dedup_lines:
+        # first stage: every downstream filter/gate scores the cleaned text
+        docs = docs.withColumn(text_c, TS.dedup_lines(F.col(text_c)))
 
     flags = []  # (name, Column) keep-flags, all observed on the one write
     if args.neardup:
@@ -165,6 +180,17 @@ def main(argv: list[str] | None = None) -> int:
         feats = TS.gopher_features(F.col(text_c), stopwords=stop)
         docs = docs.withColumn("__keep_gopher", TS.gopher_keep(feats))
         flags.append("__keep_gopher")
+    if args.quantile_gate is not None:
+        keep = CU.quality_quantile_gate(
+            docs, p=args.quantile_gate, id_col=id_c, text_col=text_c,
+            source_col=src_c,
+        ).filter(F.col("keep")).select(F.col(id_c).alias("__qg_id"))
+        docs = docs.join(
+            keep, docs[id_c] == keep["__qg_id"], "left"
+        ).withColumn(
+            "__keep_quantile", F.col("__qg_id").isNotNull()
+        ).drop("__qg_id")
+        flags.append("__keep_quantile")
     if args.sample is not None or args.sample_rates:
         rates = (
             {kv.split("=")[0]: float(kv.split("=")[1])

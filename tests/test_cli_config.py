@@ -184,3 +184,30 @@ def test_curate_cli_dedup_against_mix_report(tmp_path):
     assert set(df["writer"]) <= {0, 1, 2, 3}
     assert (df["shard_id"] // (1 << 20) == df["writer"]).all()
     assert (df["offset_tokens"] >= 0).all()
+
+
+def test_curate_cli_dedup_lines_quantile_gate(tmp_path):
+    """curate.py adaptive stages: --dedup-lines rewrites text first,
+    --quantile-gate keeps each source's upper half (>= half with
+    median ties)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_qg"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--dedup-lines", "--quantile-gate", "0.5",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    assert report["n_output"] == report["stages"]["keep_quantile"]
+    # median gate keeps at least half of every source => at least half overall
+    assert 250 <= report["n_output"] < 500

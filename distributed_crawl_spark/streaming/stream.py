@@ -57,6 +57,44 @@ def stream_events_hourly(
     )
 
 
+def stream_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native ``session_window`` —
+    the streaming twin of the batch
+    :func:`~distributed_crawl_spark.functions.events.session_stats`:
+    per-user sessions split at inactivity gaps, maintained as merging
+    stateful windows with watermark-driven eviction (a closed session's
+    state is dropped once the watermark passes its end — state is
+    bounded by OPEN sessions, not history; this is the piece the batch
+    operator cannot give a 24/7 event firehose).
+
+    Boundary note: ``session_window`` merges events with gap strictly
+    LESS than ``gap``; the batch twin keeps events with gap == gap_s in
+    one session. Results agree except on exact-equality gaps.
+
+    Returns a streaming (user_id, start_ts, end_ts, n_events) frame
+    (``start_ts``/``end_ts`` are min/max event time, matching the batch
+    rollup rather than session_window's gap-padded ``end``).
+    """
+    schema = spark.read.parquet(events_dir).schema  # infer once, batch-side
+    events = spark.readStream.schema(schema).parquet(events_dir)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .select("user_id", "start_ts", "end_ts", "n_events")
+    )
+
+
 def stream_extract_pages(
     spark: SparkSession, pages_dir: str, max_links: int = 10
 ) -> DataFrame:

@@ -268,3 +268,33 @@ def test_add_seeds_dedup_watermark_and_noop(spark, tmp_path):
     assert drv.add_seeds(spark.createDataFrame(
         [(urls[0], 0), (urls[1], 1)], "url STRING, seq LONG")) == 0
     assert drv.store.latest_version() == v     # no commit for a noop batch
+
+
+def test_stream_sessions_equals_batch(spark, tmp_path):
+    """Native session_window streaming twin drains to the same sessions
+    as the batch lag/cumsum operator (same users, same start/end/count;
+    exact-equality gaps — the one documented boundary difference — do
+    not occur in the testdata at 30min)."""
+    from distributed_crawl_spark.functions import events as EV
+    from distributed_crawl_spark.streaming.stream import stream_sessions
+
+    events_dir = str(tmp_path / "events_s")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(events_dir)
+    stream = stream_sessions(spark, events_dir, gap="30 minutes")
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck_s"), "sessions")
+    got = {
+        (r.user_id, r.start_ts): (r.end_ts, r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+    batch = EV.session_stats(
+        spark.read.parquet(events_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        gap_minutes=30,
+    )
+    want = {
+        (r.user_id, r.start_ts): (r.end_ts, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want

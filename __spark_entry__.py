@@ -951,6 +951,46 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
+def q_train_corpus_full(spark, sf_dir):
+    """The whole curation pipeline as ONE plan — per train-split doc,
+    every gate's verdict side by side: MinHash-LSH near-dup canonical
+    pick, the full Gopher bounds, the per-source quality-median gate,
+    and benchmark decontamination (vs the val/test split), plus the
+    conjunction. This is curate.py's flag stage expressed as a contract
+    query: four independent gate families, each scale-shaped as audited
+    individually, sharing one scan of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    b = CU.split_bucket(F.col("doc_id"))
+    train = docs.filter(b < 9000)
+    bench = docs.filter(b >= 9000)
+    comp = DD.near_dup_components(DD.minhash_lsh_pairs(train))
+    nd_drop = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+        "doc_id", F.lit(True).alias("__nd")
+    )
+    feats = TS.gopher_features(
+        F.col("text"), stopwords=sorted(["a", *TS.LANG_MARKERS["en"]])
+    )
+    qg = CU.quality_quantile_gate(train, p=0.5).select(
+        "doc_id", F.col("keep").alias("keep_quantile")
+    )
+    dec = CU.decontaminate(train, bench, n=8).select(
+        "doc_id", (~F.col("contaminated")).alias("keep_decontam")
+    )
+    return (
+        train.select("doc_id", TS.gopher_keep(feats).alias("keep_gopher"))
+        .join(nd_drop, "doc_id", "left")
+        .withColumn("keep_canonical", F.col("__nd").isNull())
+        .drop("__nd")
+        .join(qg, "doc_id")
+        .join(dec, "doc_id")
+        .withColumn(
+            "keep",
+            F.col("keep_canonical") & F.col("keep_gopher")
+            & F.col("keep_quantile") & F.col("keep_decontam"),
+        )
+    )
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Within-doc duplicate-line removal (C4-style cleaner). The
     synthetic corpus has no newlines, so the query first reshapes each
@@ -1131,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_doc_lines": q_dedup_doc_lines,
         "quality_quantile_gate": q_quality_quantile_gate,
         "host_rank": q_host_rank,
+        "train_corpus_full": q_train_corpus_full,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -1914,6 +1955,138 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    offset_tokens
             FROM o""",
+        "train_corpus_full": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            {_minhash_params_sql()},
+            bk AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                       % 10000 AS bucket
+              FROM documents
+            ),
+            x AS (SELECT doc_id, {_MD5I48.format(x='shingle')} % {P31} AS x FROM ds),
+            sig AS (
+              SELECT doc_id, i, min((a * x + b) % {P31}) AS mh
+              FROM x CROSS JOIN params GROUP BY 1, 2
+            ),
+            band AS (
+              SELECT doc_id, i // {DD.LSH_ROWS} AS band,
+                     md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key
+              FROM sig GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a
+              JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id
+              JOIN bk ka ON ka.doc_id = a.doc_id
+              JOIN bk kb ON kb.doc_id = b.doc_id
+              WHERE ka.bucket < 9000 AND kb.bucket < 9000
+            ),
+            e AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM e
+              UNION
+              SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+            ),
+            comp AS (SELECT id AS doc_id, min(r) AS component_id
+                     FROM reach GROUP BY 1),
+            tk AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE {_TOKS_SQL} END AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS word_count,
+                CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                     * 100 / greatest(len(toks), 1)) AS BIGINT) AS mean_word_len_x100,
+                CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                     * 10000 / greatest(len(toks), 1)) AS BIGINT) AS symbol_word_ratio_x1e4,
+                CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                     * 10000 / greatest(len(lines), 1)) AS BIGINT) AS bullet_line_frac_x1e4,
+                CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                     * 10000 / greatest(len(lines), 1)) AS BIGINT) AS ellipsis_line_frac_x1e4,
+                CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                     * 10000 / greatest(len(toks), 1)) AS BIGINT) AS alpha_word_frac_x1e4,
+                CAST({gopher_stop_sql} AS BIGINT) AS n_gopher_stopwords,
+                CAST(CASE WHEN len(lines) > 0
+                     THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
+                     ELSE 0 END AS BIGINT) AS dup_line_frac_x1e4
+              FROM tk
+            ),
+            gf AS (
+              SELECT doc_id,
+                     (word_count BETWEEN 50 AND 100000
+                      AND mean_word_len_x100 BETWEEN 300 AND 1000
+                      AND symbol_word_ratio_x1e4 BETWEEN 0 AND 1000
+                      AND bullet_line_frac_x1e4 BETWEEN 0 AND 9000
+                      AND ellipsis_line_frac_x1e4 BETWEEN 0 AND 3000
+                      AND alpha_word_frac_x1e4 BETWEEN 8000 AND 10000
+                      AND n_gopher_stopwords BETWEEN 2 AND 8
+                      AND dup_line_frac_x1e4 BETWEEN 0 AND 3000) AS keep_gopher
+              FROM f
+            ),
+            qq AS (
+              SELECT doc_id, source,
+                     CAST(5 * floor(alpha / greatest(cc, 1) * 10000)
+                        + 3 * least(floor(stop / greatest(wc, 1) * 10000) * 5, 10000)
+                        + 2 * least(wc * 100, 10000) AS BIGINT) AS quality
+              FROM (
+                SELECT d.doc_id, d.source,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END AS wc,
+                       length(text) AS cc,
+                       len(regexp_extract_all(lower(text), '{all_stop}')) AS stop,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
+                FROM documents d JOIN bk USING (doc_id) WHERE bucket < 9000
+              )
+            ),
+            qt AS (
+              SELECT source, quantile_cont(quality, 0.5) AS thr
+              FROM qq GROUP BY source
+            ),
+            qgate AS (
+              SELECT qq.doc_id, qq.quality >= qt.thr AS keep_quantile
+              FROM qq JOIN qt USING (source)
+            ),
+            db AS (
+              SELECT d.doc_id, bk.bucket, {_TOKS_SQL} AS t
+              FROM documents d JOIN bk USING (doc_id)
+            ),
+            grams AS (
+              SELECT doc_id, bucket,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM db
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE bucket >= 9000),
+            hits AS (
+              SELECT doc_id, count(DISTINCT gram) AS n
+              FROM grams
+              WHERE bucket < 9000 AND gram IN (SELECT gram FROM bench)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   (comp.doc_id IS NULL OR comp.component_id = d.doc_id)
+                     AS keep_canonical,
+                   gf.keep_gopher,
+                   qgate.keep_quantile,
+                   coalesce(hits.n, 0) = 0 AS keep_decontam,
+                   ((comp.doc_id IS NULL OR comp.component_id = d.doc_id)
+                    AND gf.keep_gopher AND qgate.keep_quantile
+                    AND coalesce(hits.n, 0) = 0) AS keep
+            FROM documents d
+            JOIN bk USING (doc_id)
+            LEFT JOIN comp USING (doc_id)
+            JOIN gf USING (doc_id)
+            JOIN qgate USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+            WHERE bk.bucket < 9000""",
         "host_rank": _host_rank_sql(3),
         "sessionize": _SESSIONIZE_SQL + """
             SELECT event_id, user_id, ts,

@@ -991,6 +991,14 @@ def q_train_corpus_full(spark, sf_dir):
     )
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Per-source heavy-hitter trigrams ranked by document reach — the
+    boilerplate census. One combinable (source, gram) shuffle; the
+    per-source top-k window gets a map-side partial WindowGroupLimit
+    from Catalyst (same measured property as source_cap)."""
+    return CU.top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=10)
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Within-doc duplicate-line removal (C4-style cleaner). The
     synthetic corpus has no newlines, so the query first reshapes each
@@ -1172,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_gate": q_quality_quantile_gate,
         "host_rank": q_host_rank,
         "train_corpus_full": q_train_corpus_full,
+        "top_ngrams": q_top_ngrams,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -2099,6 +2108,23 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    date_diff('second', min(ts), max(ts)) AS duration_s
             FROM x GROUP BY 1, 2""",
+        "top_ngrams": f"""
+            WITH g AS (
+              SELECT source, doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                           i -> array_to_string(t[i:i+2], ' '))) AS gram
+              FROM (SELECT source, doc_id, {_TOKS_SQL} AS t FROM documents)
+            ),
+            c AS (
+              SELECT source, gram, CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM g GROUP BY 1, 2
+            )
+            SELECT source, gram, n_total, n_docs,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_docs DESC, n_total DESC, gram)
+                     AS rank
+            FROM c QUALIFY rank <= 10""",
         "dedup_doc_lines": """
             WITH l AS (
               SELECT doc_id,

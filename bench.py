@@ -136,7 +136,7 @@ HEADLINE = [
     "pack_shards", "dedup_doc_lines", "quality_quantile_gate",
     "host_rank", "sessionize", "session_stats",
     "source_rollup",
-    "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "source_cap",
+    "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",
     "multimodal_meta",
 ]
 

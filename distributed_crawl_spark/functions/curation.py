@@ -252,6 +252,49 @@ def quality_quantile_gate(docs: DataFrame, p: float = 0.5,
     )
 
 
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 10,
+               id_col: str = "doc_id", text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Per-source heavy-hitter word n-grams — the boilerplate discovery
+    census ("which phrases does this source repeat everywhere?") that
+    feeds span-scrub windows and quality-rule tuning. Counts each
+    n-gram's occurrences AND distinct docs per source, keeps the top-k
+    by document reach (doc reach, not raw count, so one pathological
+    doc can't promote its own repetition to "boilerplate").
+
+    Plan: explode to (source, gram) → ONE map-side-combinable census
+    shuffle (two aggs ride it: count + approx-free exact distinct via
+    the pre-aggregated (source, gram, doc) distinct) → per-source top-k
+    window. Spark 4's InferWindowGroupLimit inserts a partial
+    WindowGroupLimit BEFORE the exchange for row_number() <= k, so each
+    map task forwards at most k rows per source — the same plan
+    property measured for per_source_cap (BENCH.md): no Zipf-head
+    single-task sort. Ties broken (n_docs DESC, n_total DESC, gram ASC)
+    for deterministic, oracle-checkable output.
+    """
+    grams = docs.select(
+        source_col,
+        id_col,
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    census = (
+        grams.groupBy(source_col, "gram", id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(source_col, "gram")
+        .agg(
+            F.sum("__c").alias("n_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("n_docs").desc(), F.col("n_total").desc(), F.col("gram")
+    )
+    return (
+        census.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text") -> DataFrame:

@@ -271,3 +271,23 @@ def test_quality_quantile_gate_per_source_median(spark):
     approx = {r.doc_id: r.keep
               for r in CU.quality_quantile_gate(docs, p=0.5, approx=True).collect()}
     assert set(approx) == {r.doc_id for r in out}
+
+
+def test_top_ngrams_reach_over_count(spark):
+    """Ranking is by document reach: a phrase in many docs beats one
+    doc's self-repetition even when the raw count is lower."""
+    boiler = "subscribe to our newsletter"
+    rows = (
+        # 5 docs each containing the boilerplate once
+        [(i, f"intro{i} words{i} {boiler} outro{i}", "s") for i in range(5)]
+        # 1 doc repeating its own phrase 10 times
+        + [(99, "own repeated phrase " * 10, "s")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = CU.top_ngrams(docs, n=4, k=3).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    top = got[0]
+    assert top.gram == boiler and top.n_docs == 5 and top.n_total == 5
+    # the self-repeated 4-gram has higher n_total but only 1-doc reach
+    assert all(r.n_docs <= 5 for r in got[1:])
+    assert got[1].n_docs < 5 or got[1].n_total <= 5

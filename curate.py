@@ -115,6 +115,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mix-report", action="store_true",
                     help="add a per-(source[,split]) doc/token census of "
                     "the output corpus to report.json")
+    ap.add_argument("--out-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="curated-corpus file format (jsonl = gzipped "
+                    "JSON lines, the common training-corpus interchange)")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -294,7 +298,11 @@ def main(argv: list[str] | None = None) -> int:
         # observe BEFORE the projection so scrub's span counter (not an
         # output column) is still visible to the metric
         final = docs.observe(obs_out, *out_aggs).select(*out_cols)
-        final.write.mode("overwrite").parquet(args.out)
+        writer = final.write.mode("overwrite")
+        if args.out_format == "jsonl":
+            writer.option("compression", "gzip").json(args.out)
+        else:
+            writer.parquet(args.out)
         out_vals = obs_out.get
 
     mix = None

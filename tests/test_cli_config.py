@@ -201,6 +201,7 @@ def test_curate_cli_dedup_lines_quantile_gate(tmp_path):
             "--docs", "/root/testdata/sf0.001/documents.parquet",
             "--out", str(out),
             "--dedup-lines", "--quantile-gate", "0.5",
+            "--out-format", "jsonl",
             "--cores", "4",
         ],
         capture_output=True, text=True, cwd="/root/repo", timeout=400,
@@ -211,3 +212,12 @@ def test_curate_cli_dedup_lines_quantile_gate(tmp_path):
     assert report["n_output"] == report["stages"]["keep_quantile"]
     # median gate keeps at least half of every source => at least half overall
     assert 250 <= report["n_output"] < 500
+    # jsonl output: gzipped JSON lines, row count matches the report
+    import glob
+    import gzip
+
+    n_lines = sum(
+        1 for f in glob.glob(str(out / "*.json.gz"))
+        for _ in gzip.open(f, "rt")
+    )
+    assert n_lines == report["n_output"]

@@ -1017,6 +1017,25 @@ def q_dedup_doc_lines(spark, sf_dir):
     )
 
 
+def q_dedup_lines_global(spark, sf_dir):
+    """CROSS-document keep-first line dedup (CCNet/RefinedWeb line
+    filter): a line duplicated across documents survives only at its
+    lexicographically-first (doc_id, pos) occurrence. The corpus has no
+    newlines, so texts are reshaped into 8-word lines first (the
+    synthesize-the-structure trick) — duplicated texts then share every
+    line, and the planted exact-dup docs exercise real cross-doc
+    removal. Three uniform digest/doc-keyed shuffles; the winner census
+    is map-side combinable (see dedup.global_line_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.array_join(
+        F.transform(CU.span_chunks(F.col("text"), 8), lambda s: s.chunk),
+        "\n",
+    )
+    return DD.global_line_dedup(
+        docs.select("doc_id", lined.alias("text"))
+    )
+
+
 def q_quality_quantile_gate(spark, sf_dir):
     """Adaptive per-source quality gate: keep docs at/above their own
     source's median integer quality. Exact percentile is scale-safe
@@ -1177,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "pack_shards": q_pack_shards,
         "dedup_doc_lines": q_dedup_doc_lines,
+        "dedup_lines_global": q_dedup_lines_global,
         "quality_quantile_gate": q_quality_quantile_gate,
         "host_rank": q_host_rank,
         "train_corpus_full": q_train_corpus_full,
@@ -2139,6 +2159,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
                      AS n_removed
             FROM l""",
+        "dedup_lines_global": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+                     unnest(range(1, len({_TOKS_SQL}) + 1)) AS i
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, CAST((i - 1) // 8 + 1 AS INT) AS pos,
+                     string_agg(tok, ' ' ORDER BY i) AS ln
+              FROM w GROUP BY doc_id, (i - 1) // 8
+            ),
+            r AS (
+              SELECT doc_id, pos, ln,
+                     row_number() OVER (PARTITION BY ln
+                                        ORDER BY doc_id, pos) AS rn
+              FROM l
+            ),
+            k AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(ln, chr(10) ORDER BY pos) AS clean_text
+              FROM r WHERE rn = 1 GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN k USING (doc_id)""",
         "quality_quantile_gate": f"""
             WITH b AS (
               SELECT doc_id, source,

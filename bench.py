@@ -133,7 +133,8 @@ HEADLINE = [
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "train_corpus_filter", "corpus_split", "corpus_sample",
     "decontaminate", "span_scrub", "mix_report", "incremental_dedup",
-    "pack_shards", "dedup_doc_lines", "quality_quantile_gate",
+    "pack_shards", "dedup_doc_lines", "dedup_lines_global",
+    "quality_quantile_gate",
     "host_rank", "sessionize", "session_stats",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",

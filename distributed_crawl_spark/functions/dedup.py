@@ -796,3 +796,79 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", sep: str = "\n",
+                      min_chars: int = 1) -> DataFrame:
+    """Cross-document keep-first line dedup (the CCNet/RefinedWeb line
+    filter): a line that occurs in several documents survives ONLY in
+    its first occurrence — defined as the lexicographically smallest
+    (doc_id, line_pos) — and is removed everywhere else. Unlike
+    ``span_scrub`` (which deletes a duplicated window from ALL docs),
+    keep-first preserves exactly one copy of shared boilerplate, the
+    standard choice when the line may be legitimate content for one
+    page (a quote, a headline) and navigation chrome on the rest.
+    Within-doc repeats are handled too: the doc holding the winning
+    copy keeps only the winning position.
+
+    Lines shorter than ``min_chars`` (after trim) are exempt — they
+    bypass the census entirely and are always kept, so empty spacer
+    lines never collapse a corpus into one giant dedup group.
+
+    Plan, three uniform shuffles at any corpus size:
+      1. census — groupBy md5(line) → min(struct(doc_id, pos)); the
+         min is map-side combinable, so a line duplicated 10^9 times
+         (the classic "Home | About | Contact") contributes ONE row
+         per map task to the exchange, not 10^9.
+      2. winner join — lines ⋈ census on the digest. The build side is
+         one row per distinct line; the probe side's heavy digests are
+         exactly AQE's skew-join case (documented knob, on by
+         default). Keep iff (doc_id, pos) equals the winner.
+      3. reassembly — per-doc sort_array(collect_list(struct(pos,
+         line))), bounded by the doc's own line count.
+
+    Returns (doc_id, clean_text, n_kept, n_removed) for EVERY input
+    doc; a doc whose every line lost its race stays present with
+    clean_text = ''.
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln"),
+    ).withColumn(
+        "eligible", F.length(F.trim(F.col("ln"))) >= min_chars
+    )
+    census = (
+        lines.filter("eligible")
+        .groupBy(F.md5(F.col("ln")).alias("digest"))
+        .agg(F.min(F.struct(id_col, "pos")).alias("winner"))
+    )
+    kept = (
+        lines.withColumn("digest", F.md5(F.col("ln")))
+        .join(census, "digest", "left")
+        .filter(
+            (~F.col("eligible"))
+            | (F.col("winner") == F.struct(id_col, "pos"))
+        )
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s.ln,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("__n"),
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("__n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+    )

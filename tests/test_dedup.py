@@ -350,3 +350,38 @@ def test_dedup_index_append_only(spark):
     assert as_set(DD.dedup_index(both)) == (
         as_set(DD.dedup_index(base)) | as_set(DD.dedup_index(inc))
     )
+
+
+def test_global_line_dedup_keep_first(spark):
+    """Cross-doc keep-first semantics: a shared line survives only at
+    the smallest (doc_id, pos); within-doc repeats of that line are
+    removed too; short lines are exempt from the census."""
+    rows = [
+        (1, "unique one\nNAV BAR\nunique two"),   # NAV BAR at (1,1) wins
+        (2, "NAV BAR\nother text\nNAV BAR"),      # both copies lose
+        (3, "x\nonly here"),                      # 'x' short-exempt
+        (4, "x\nonly there"),                     # 'x' kept again (exempt)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in DD.global_line_dedup(docs, min_chars=2).collect()
+    }
+    assert out[1]["clean_text"] == "unique one\nNAV BAR\nunique two"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "other text"
+    assert out[2]["n_removed"] == 2
+    # short lines bypass dedup entirely — kept in both docs
+    assert out[3]["clean_text"] == "x\nonly here"
+    assert out[4]["clean_text"] == "x\nonly there"
+    assert out[4]["n_removed"] == 0
+
+
+def test_global_line_dedup_fully_scrubbed_doc_survives(spark):
+    docs = spark.createDataFrame(
+        [(1, "dup line"), (2, "dup line")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in DD.global_line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "dup line"
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_kept"] == 0 and out[2]["n_removed"] == 1

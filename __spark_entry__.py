@@ -657,6 +657,15 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM quality score (the distributable floor
+    of CCNet's KenLM perplexity bucket): census → bounded top-V model →
+    broadcast scoring — the 100-TB token stream never shuffles twice.
+    Per-token log-probs are floor-quantized BEFORE the per-doc mean so
+    the result is summation-order-free and oracle-hashable."""
+    return TS.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_analyze_stub(spark, sf_dir):
     """§2.12 analysis stage: mapInPandas batch 'inference' with the
     deterministic heuristic analyzer (LLM call stubbed; plumbing real)."""
@@ -1184,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "unigram_logprob": q_unigram_logprob,
         "analyze_stub": q_analyze_stub,
         "train_corpus_filter": q_train_corpus_filter,
         "stream_dedup": q_stream_dedup,
@@ -1687,6 +1697,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum((({_MD5I48.format(x='tok')} % {P31}) * ((pos * 2654435761) % {P31})) % {P31}) % {P31} AS BIGINT) AS fingerprint
             FROM toks GROUP BY 1""",
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            census AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM census),
+            vocab AS (
+              SELECT tok,
+                     CAST(floor(ln(c / t.t) * 1000000) AS BIGINT) AS qlp
+              FROM census, tot t ORDER BY c DESC, tok LIMIT 50000
+            ),
+            s AS (
+              SELECT toks.doc_id,
+                     coalesce(v.qlp,
+                              CAST(floor(ln(1.0 / t.t) * 1000000) AS BIGINT))
+                       AS qlp,
+                     CASE WHEN v.qlp IS NULL THEN 1 ELSE 0 END AS oov
+              FROM toks LEFT JOIN vocab v USING (tok), tot t
+            ),
+            a AS (
+              SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
+                     CAST(floor(sum(qlp) / count(*)) AS BIGINT) AS logprob_q
+              FROM s GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+                   coalesce(a.logprob_q, 0) AS logprob_q
+            FROM documents d LEFT JOIN a USING (doc_id)""",
         "analyze_stub": f"""
             WITH t AS (SELECT doc_id, substr(text, 1, 4000) AS t4 FROM documents),
             w AS (

@@ -367,3 +367,73 @@ def repetition_stats(docs, id_col: str = "doc_id",
             ).cast("long").alias("top_gram_share_x1e4"),
         )
     )
+
+
+def unigram_logprob(docs, vocab_k: int = 50_000, scale: int = 1_000_000,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style self-trained language-model quality score: fit a
+    unigram model ON the corpus itself (token → count / total), then
+    score every document by its mean token log-probability. Low scores
+    flag gibberish, boilerplate soup, and OCR noise; high scores flag
+    fluent, typical text — the standard perplexity-bucket signal
+    (CCNet uses a KenLM 5-gram; the unigram census is its
+    distributable, dependency-free floor and ranks the same tails).
+
+    Determinism contract (why integers): mean-of-float-logs is
+    summation-order dependent, so the per-token log-prob is quantized
+    FIRST — ``qlp(tok) = floor(ln(count/T) * scale)`` computed once per
+    DISTINCT token — and the per-doc mean is an exact BIGINT sum of
+    those quanta divided once at the end. ln() and one double divide on
+    identical inputs are IEEE-identical across engines; the sum is
+    order-free.
+
+    Scale story (the whole point vs a naive join): the census is one
+    map-combinable token shuffle; the model is capped at the top
+    ``vocab_k`` tokens by (count DESC, token ASC) — a bounded table
+    that BROADCASTS to the scoring pass, so the 100-TB token stream is
+    scored partition-locally with zero additional shuffle. Tokens
+    outside the vocab score at the rarest-possible floor ln(1/T)
+    (count = 1), the usual OOV backstop. The only other exchange is
+    the final per-doc aggregate.
+
+    Returns (doc_id, n_tokens, n_oov, logprob_q) per input doc;
+    token-less docs report (0, 0, 0).
+    """
+    toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = census.agg(F.sum("c").cast("double").alias("t"))
+    vocab = (
+        census.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(vocab_k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.floor(F.log(F.col("c") / F.col("t")) * scale)
+            .cast("long").alias("qlp"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("qlp"),
+                F.floor(F.log(F.lit(1.0) / F.col("t")) * scale).cast("long"),
+            ).alias("qlp"),
+            F.col("qlp").isNull().cast("long").alias("oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.floor(F.sum("qlp") / F.count(F.lit(1)))
+            .cast("long").alias("logprob_q"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce(F.col("logprob_q"), F.lit(0)).cast("long").alias("logprob_q"),
+    )

@@ -234,3 +234,21 @@ def test_dedup_lines_first_occurrence_order(spark):
     assert got[1] == "a\nb\nc"
     assert got[2] == ""
     assert got[3] == "x"
+
+
+def test_unigram_logprob_vocab_cap_and_oov(spark):
+    """vocab_k binds: only the top-2 tokens are in-vocab; the third
+    scores at the OOV floor ln(1/T). Quanta hand-computed: T=6,
+    qlp(a)=floor(ln(3/6)*1e6)=-693148, qlp(b)=-1098613, OOV=-1791760."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TS.unigram_logprob(docs, vocab_k=2).collect()
+    }
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 0
+    assert out[1]["logprob_q"] == (3 * -693148 + -1098613) // 4  # floor div
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
+    assert out[2]["logprob_q"] == (-1098613 + -1791760) // 2  # -1445187
+    assert out[3]["n_tokens"] == 0 and out[3]["logprob_q"] == 0

@@ -31,8 +31,10 @@ of the output corpus to report.json. ``--pack-tokens B`` plans training
 shards (seeded deterministic shuffle order, ~B tokens per shard) and
 adds writer/shard_id/offset_tokens columns to the output.
 ``--dedup-lines`` removes within-doc duplicated lines before any other
-stage; ``--quantile-gate P`` keeps docs at/above their own source's
-P-th quality percentile.
+stage; ``--dedup-lines-global`` removes lines duplicated across docs
+(keep-first); ``--quantile-gate P`` keeps docs at/above their own
+source's P-th quality percentile; ``--lm-gate P`` drops docs below the
+corpus-wide P-th percentile of self-trained unigram log-probability.
 """
 
 from __future__ import annotations
@@ -104,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="remove duplicated lines WITHIN each doc "
                     "(keep first occurrence, preserve order; rewrites "
                     "the text column)")
+    ap.add_argument("--dedup-lines-global", action="store_true",
+                    help="remove lines duplicated ACROSS docs, keeping "
+                    "only the first (doc_id, pos) occurrence corpus-wide "
+                    "(CCNet/RefinedWeb line filter; rewrites the text "
+                    "column)")
+    ap.add_argument("--lm-gate", type=float, metavar="P",
+                    help="drop docs below the corpus-wide P-th percentile "
+                    "of mean unigram log-probability (self-trained LM "
+                    "fluency cut, e.g. 0.1 drops the most-gibberish 10%%)")
     ap.add_argument("--pack-tokens", type=int, metavar="B",
                     help="assign each output doc a training shard id: "
                     "seeded deterministic shuffle order + ~B whitespace "
@@ -145,6 +156,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup_lines:
         # first stage: every downstream filter/gate scores the cleaned text
         docs = docs.withColumn(text_c, TS.dedup_lines(F.col(text_c)))
+    if args.dedup_lines_global:
+        gl = DD.global_line_dedup(docs, id_col=id_c, text_col=text_c).select(
+            F.col(id_c).alias("__gl_id"),
+            F.col("clean_text").alias("__gl_text"),
+        )
+        docs = docs.join(
+            gl, docs[id_c] == gl["__gl_id"], "left"
+        ).withColumn(
+            text_c, F.coalesce(F.col("__gl_text"), F.col(text_c))
+        ).drop("__gl_id", "__gl_text")
 
     flags = []  # (name, Column) keep-flags, all observed on the one write
     if args.neardup:
@@ -195,6 +216,16 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_quantile", F.col("__qg_id").isNotNull()
         ).drop("__qg_id")
         flags.append("__keep_quantile")
+    if args.lm_gate is not None:
+        keep = TS.unigram_logprob_gate(
+            docs, p=args.lm_gate, id_col=id_c, text_col=text_c,
+        ).filter(F.col("keep")).select(F.col(id_c).alias("__lm_id"))
+        docs = docs.join(
+            keep, docs[id_c] == keep["__lm_id"], "left"
+        ).withColumn(
+            "__keep_lm", F.col("__lm_id").isNotNull()
+        ).drop("__lm_id")
+        flags.append("__keep_lm")
     if args.sample is not None or args.sample_rates:
         rates = (
             {kv.split("=")[0]: float(kv.split("=")[1])

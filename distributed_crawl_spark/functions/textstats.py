@@ -437,3 +437,25 @@ def unigram_logprob(docs, vocab_k: int = 50_000, scale: int = 1_000_000,
         F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
         F.coalesce(F.col("logprob_q"), F.lit(0)).cast("long").alias("logprob_q"),
     )
+
+
+def unigram_logprob_gate(docs, p: float = 0.1, vocab_k: int = 50_000,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-relative fluency gate over :func:`unigram_logprob`: keep
+    a document iff its mean token log-prob reaches the corpus-wide
+    ``p``-th percentile — "drop the most-gibberish tail", the CCNet
+    tail-bucket cut. The threshold is percentile_approx (fixed-memory
+    sketch — logprob_q is NOT bounded-domain, so the exact
+    value→count-map percentile of quality_quantile_gate would not be
+    scale-safe here) computed as a ONE-ROW aggregate and cross-joined
+    back broadcast, so the gate stays a single Catalyst plan with no
+    driver-side action. Returns (doc_id, logprob_q, thr, keep)."""
+    lp = unigram_logprob(docs, vocab_k=vocab_k, id_col=id_col,
+                         text_col=text_col)
+    thr = lp.agg(
+        F.percentile_approx("logprob_q", p).cast("long").alias("thr")
+    )
+    return lp.crossJoin(F.broadcast(thr)).select(
+        id_col, "logprob_q", "thr",
+        (F.col("logprob_q") >= F.col("thr")).alias("keep"),
+    )

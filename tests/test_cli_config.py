@@ -221,3 +221,40 @@ def test_curate_cli_dedup_lines_quantile_gate(tmp_path):
         for _ in gzip.open(f, "rt")
     )
     assert n_lines == report["n_output"]
+
+
+def test_curate_cli_global_line_dedup_and_lm_gate(tmp_path):
+    """curate.py: --dedup-lines-global rewrites texts (exact-dup docs
+    lose their lines to the first copy) and --lm-gate drops the
+    lowest-fluency tail; both stage counts land in report.json."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    out = tmp_path / "curated_gl"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--dedup-lines-global",
+            "--lm-gate", "0.1",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    # lm gate keeps ~90%: percentile_approx threshold is inclusive
+    assert 350 <= report["stages"]["keep_lm"] < 500
+    assert report["n_output"] == report["stages"]["keep_lm"]
+    df = pd.concat(
+        [pd.read_parquet(p) for p in sorted(out.glob("part-*.parquet"))]
+    )
+    assert len(df) == report["n_output"]
+    # the corpus has exact-dup texts (single-line docs here): after
+    # keep-first global line dedup at most one copy keeps its text
+    assert (df["text"] == "").any() or df["text"].duplicated().sum() == 0

@@ -936,6 +936,18 @@ def q_mix_report(spark, sf_dir):
     )
 
 
+def q_mix_plan(spark, sf_dir):
+    """Mixture planning: target weights 3:2:1 (src0:src1:rest) → the
+    per-source basis-point sampling rates that realize the mix at the
+    largest one-pass size the corpus supports (bottleneck source at
+    100%). DECIMAL(38,0) integral division end-to-end — float rates
+    would be engine-dependent. One census shuffle + a 1-row argmin."""
+    return CU.mix_plan(
+        _t(spark, sf_dir, "documents"),
+        weights={"src0": 3, "src1": 2},
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Continual-crawl dedup: bucket ≥ 8000 docs act as today's
     increment, probed against the dedup_index (distinct exact digests +
@@ -1203,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "span_scrub": q_span_scrub,
         "mix_report": q_mix_report,
+        "mix_plan": q_mix_plan,
         "incremental_dedup": q_incremental_dedup,
         "pack_shards": q_pack_shards,
         "dedup_doc_lines": q_dedup_doc_lines,
@@ -1953,6 +1966,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w) AS BIGINT) AS n_tokens,
                    CAST(sum(c) AS BIGINT) AS n_chars
             FROM s WHERE skey < t GROUP BY 1, 2""",
+        "mix_plan": """
+            WITH c AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text),
+                                                             '\\s+'))
+                              END) AS BIGINT) AS n_tokens,
+                     CAST(CASE source WHEN 'src0' THEN 3
+                                      WHEN 'src1' THEN 2
+                                      ELSE 1 END AS BIGINT) AS weight
+              FROM documents GROUP BY source
+            ),
+            star AS (
+              SELECT n_tokens AS t_star, weight AS w_star
+              FROM c WHERE weight > 0 AND n_tokens > 0
+              ORDER BY CAST(n_tokens AS DOUBLE) / weight, source LIMIT 1
+            ),
+            r AS (
+              SELECT c.source, c.n_tokens, c.weight,
+                     CASE WHEN c.weight > 0 AND c.n_tokens > 0 THEN
+                       CAST((10000::HUGEINT * s.t_star * c.weight)
+                            // greatest(s.w_star::HUGEINT * c.n_tokens, 1)
+                            AS BIGINT)
+                     ELSE 0 END AS rate_bp
+              FROM c, star s
+            )
+            SELECT source, n_tokens, weight, rate_bp,
+                   CAST((n_tokens * rate_bp) // 10000 AS BIGINT)
+                     AS planned_tokens
+            FROM r""",
         "incremental_dedup": f"""
             WITH {_SHINGLES_CTE},
             {_minhash_params_sql()},

@@ -133,7 +133,8 @@ HEADLINE = [
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "unigram_logprob",
     "train_corpus_filter", "corpus_split", "corpus_sample",
-    "decontaminate", "span_scrub", "mix_report", "incremental_dedup",
+    "decontaminate", "span_scrub", "mix_report", "mix_plan",
+    "incremental_dedup",
     "pack_shards", "dedup_doc_lines", "dedup_lines_global",
     "quality_quantile_gate",
     "host_rank", "sessionize", "session_stats",

@@ -35,6 +35,10 @@ stage; ``--dedup-lines-global`` removes lines duplicated across docs
 (keep-first); ``--quantile-gate P`` keeps docs at/above their own
 source's P-th quality percentile; ``--lm-gate P`` drops docs below the
 corpus-wide P-th percentile of self-trained unigram log-probability.
+``--mix-weights SRC=W,...`` derives the per-source sample rates from
+integer mix weights (mix_plan over the docs the other gates keep: the
+bottleneck source samples at 100%, others proportionally) and records
+the plan in report.json.
 """
 
 from __future__ import annotations
@@ -79,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sample-seed", default="s42",
                     help="sampling seed; a different seed draws an "
                     "independent sample")
+    ap.add_argument("--mix-weights", metavar="SRC=W,SRC=W,...",
+                    help="derive per-source sample rates from integer "
+                    "mix weights (mix_plan: the bottleneck source "
+                    "samples at 100%%, others proportionally; unlisted "
+                    "sources get weight 1, weight 0 excludes). "
+                    "Overrides --sample/--sample-rates; the computed "
+                    "plan lands in report.json")
     ap.add_argument("--decontaminate", metavar="BENCH_PARQUET",
                     help="drop docs sharing any word n-gram with the "
                     "benchmark table's text column (eval-leak removal)")
@@ -226,23 +237,6 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_lm", F.col("__lm_id").isNotNull()
         ).drop("__lm_id")
         flags.append("__keep_lm")
-    if args.sample is not None or args.sample_rates:
-        rates = (
-            {kv.split("=")[0]: float(kv.split("=")[1])
-             for kv in args.sample_rates.split(",")}
-            if args.sample_rates else None
-        )
-        kept = CU.corpus_sample(
-            docs, rates=rates,
-            default_rate=args.sample if args.sample is not None else 1.0,
-            seed=args.sample_seed, id_col=id_c, source_col=src_c,
-        ).select(F.col(id_c).alias("__samp_id"))
-        docs = docs.join(
-            kept, docs[id_c] == kept["__samp_id"], "left"
-        ).withColumn(
-            "__keep_sample", F.col("__samp_id").isNotNull()
-        ).drop("__samp_id")
-        flags.append("__keep_sample")
     if args.decontaminate:
         bench = spark.read.parquet(args.decontaminate)
         bad = CU.decontaminate(
@@ -256,6 +250,48 @@ def main(argv: list[str] | None = None) -> int:
         ).drop("__dec_id")
         flags.append("__keep_decontam")
 
+    # sampling runs LAST among the flag stages: with --mix-weights the
+    # plan must census only the documents the other gates keep
+    mix_plan_rows = None
+    inner = None
+    if args.mix_weights or args.sample is not None or args.sample_rates:
+        default_rate = args.sample if args.sample is not None else 1.0
+        if args.mix_weights:
+            w = {kv.split("=")[0]: int(kv.split("=")[1])
+                 for kv in args.mix_weights.split(",")}
+            # persist before the plan's collect (a bounded driver
+            # action: <= |sources| rows) so the census and the main
+            # write share one materialization of the flag subtrees
+            inner = docs = docs.persist()
+            surv = docs
+            for f in flags:
+                surv = surv.filter(F.col(f))
+            mix_plan_rows = [
+                r.asDict()
+                for r in CU.mix_plan(
+                    surv, weights=w, text_col=text_c, source_col=src_c
+                ).orderBy(src_c).collect()
+            ]
+            rates = {r["source"]: r["rate_bp"] / 10000
+                     for r in mix_plan_rows}
+            default_rate = 0.0  # the plan covers every surviving source
+        elif args.sample_rates:
+            rates = {kv.split("=")[0]: float(kv.split("=")[1])
+                     for kv in args.sample_rates.split(",")}
+        else:
+            rates = None
+        kept = CU.corpus_sample(
+            docs, rates=rates,
+            default_rate=default_rate,
+            seed=args.sample_seed, id_col=id_c, source_col=src_c,
+        ).select(F.col(id_c).alias("__samp_id"))
+        docs = docs.join(
+            kept, docs[id_c] == kept["__samp_id"], "left"
+        ).withColumn(
+            "__keep_sample", F.col("__samp_id").isNotNull()
+        ).drop("__samp_id")
+        flags.append("__keep_sample")
+
     # flag counts: one slim agg over the persisted flagged table (the
     # split/cap stages below re-reference `docs`, which Spark's
     # Observation cannot ride across — persist makes the flag pass and
@@ -265,6 +301,8 @@ def main(argv: list[str] | None = None) -> int:
         F.count(F.lit(1)).alias("n_input"),
         *[F.sum(F.col(f).cast("long")).alias(f) for f in flags],
     ).first()
+    if inner is not None:
+        inner.unpersist()  # superseded by the outer flagged-table cache
     for f in flags:
         docs = docs.filter(F.col(f))
     docs = docs.drop(*flags)
@@ -364,6 +402,8 @@ def main(argv: list[str] | None = None) -> int:
         report["n_spans_removed"] = int(out_vals["n_spans_removed"])
     if mix is not None:
         report["mix"] = mix
+    if mix_plan_rows is not None:
+        report["mix_plan"] = mix_plan_rows
     from pathlib import Path
 
     Path(args.out).mkdir(parents=True, exist_ok=True)

@@ -532,3 +532,75 @@ def source_rollup(docs: DataFrame, id_col: str = "doc_id",
         F.sum("cc").alias("sum_chars"),
         F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup_docs"),
     )
+
+
+def mix_plan(docs: DataFrame,
+             weights: dict[str, int] | None = None,
+             default_weight: int = 1,
+             text_col: str = "text",
+             source_col: str = "source") -> DataFrame:
+    """Mixture planning: given integer target weights per source ("3
+    parts src0 : 2 parts src1 : 1 part everything else"), compute the
+    per-source sampling rates that realize the mix at the LARGEST size
+    the corpus supports in one pass — the bottleneck source (smallest
+    tokens-per-weight-unit) samples at exactly 100%, every other source
+    downsamples proportionally. The output ``rate_bp`` is in the same
+    basis-point unit :func:`corpus_sample` consumes, closing the loop
+    census (:func:`mix_report`) → plan (this) → apply
+    (:func:`corpus_sample`).
+
+    Exactness: rate_bp = floor(10000 · t* · w_s / (w* · t_s)) is
+    computed with DECIMAL(38,0) integral division (Spark ``DIV`` ==
+    DuckDB ``//``), never float — at 100 TB the products pass 2^63
+    (10^4 · 10^12 tokens · 10^3 weight), and float rounding would make
+    the plan engine-dependent. The bottleneck argmin uses one double
+    compare (t/w) only for ORDERING, tie-broken by source name.
+
+    Plan: one map-combinable token census to ≤ |sources| rows, a 1-row
+    sort for the bottleneck, broadcast back — no window, no skew
+    exposure. Zero-weight sources get rate 0 (excluded from the mix).
+    Returns (source, n_tokens, weight, rate_bp, planned_tokens).
+    """
+    weights = weights or {}
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        w_expr = F.coalesce(
+            wmap[F.col(source_col)], F.lit(default_weight)
+        )
+    else:
+        w_expr = F.lit(default_weight)
+    census = (
+        docs.groupBy(source_col)
+        .agg(F.sum(word_count(F.col(text_col)).cast("long"))
+             .alias("n_tokens"))
+        .withColumn("weight", w_expr.cast("long"))
+    )
+    star = (
+        census.filter((F.col("weight") > 0) & (F.col("n_tokens") > 0))
+        .orderBy(
+            (F.col("n_tokens").cast("double") / F.col("weight")).asc(),
+            F.col(source_col),
+        )
+        .limit(1)
+        .select(
+            F.col("n_tokens").alias("__t_star"),
+            F.col("weight").alias("__w_star"),
+        )
+    )
+    rate = F.expr(
+        "CAST((CAST(10000 AS DECIMAL(38,0)) * __t_star * weight)"
+        " DIV greatest(CAST(__w_star AS DECIMAL(38,0)) * n_tokens, 1)"
+        " AS BIGINT)"
+    )
+    return census.crossJoin(F.broadcast(star)).select(
+        source_col,
+        "n_tokens",
+        "weight",
+        F.when((F.col("weight") > 0) & (F.col("n_tokens") > 0), rate)
+        .otherwise(F.lit(0)).cast("long").alias("rate_bp"),
+    ).withColumn(
+        "planned_tokens",
+        F.expr("CAST((n_tokens * rate_bp) DIV 10000 AS BIGINT)"),
+    )

@@ -258,3 +258,36 @@ def test_curate_cli_global_line_dedup_and_lm_gate(tmp_path):
     # the corpus has exact-dup texts (single-line docs here): after
     # keep-first global line dedup at most one copy keeps its text
     assert (df["text"] == "").any() or df["text"].duplicated().sum() == 0
+
+
+def test_curate_cli_mix_weights(tmp_path):
+    """curate.py --mix-weights: sample rates derived from mix_plan (the
+    bottleneck source at 100%), plan recorded in report.json, and the
+    realized per-source doc counts follow the planned rates."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_mix"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--mix-weights", "src0=5,src1=0",
+            "--mix-report", "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    plan = {p["source"]: p for p in report["mix_plan"]}
+    assert len(plan) == 20                      # every source planned
+    assert plan["src1"]["rate_bp"] == 0          # weight 0 -> excluded
+    # src0 gets 5x the per-unit tokens of the bottleneck default source
+    assert plan["src0"]["rate_bp"] == 10000      # heaviest ask = bottleneck
+    assert max(p["rate_bp"] for p in plan.values()) == 10000
+    mix = {m["source"]: m["n_docs"] for m in report["mix"]}
+    assert "src1" not in mix                     # excluded end-to-end
+    assert report["n_output"] == sum(mix.values())

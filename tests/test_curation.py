@@ -291,3 +291,36 @@ def test_top_ngrams_reach_over_count(spark):
     # the self-repeated 4-gram has higher n_total but only 1-doc reach
     assert all(r.n_docs <= 5 for r in got[1:])
     assert got[1].n_docs < 5 or got[1].n_total <= 5
+
+
+def test_mix_plan_bottleneck_and_proportions(spark):
+    """The scarcest source per weight unit samples at exactly 100%
+    (rate_bp 10000); the others downsample so planned tokens match the
+    target ratio; zero-weight sources are excluded with rate 0."""
+    rows = (
+        # srcA: 10 docs x 10 tokens = 100 tokens, weight 1 -> bottleneck
+        [(i, " ".join(["w"] * 10), "srcA") for i in range(10)]
+        # srcB: 60 docs x 10 tokens = 600 tokens, weight 2
+        + [(100 + i, " ".join(["w"] * 10), "srcB") for i in range(60)]
+        # srcC: excluded from the mix
+        + [(200 + i, " ".join(["w"] * 10), "srcC") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["source"]: r
+        for r in CU.mix_plan(
+            docs, weights={"srcB": 2, "srcC": 0}, default_weight=1
+        ).collect()
+    }
+    assert out["srcA"]["rate_bp"] == 10000          # bottleneck: 100/1
+    # srcB target = 2x srcA's 100 tokens = 200 of its 600 -> 1/3
+    assert out["srcB"]["rate_bp"] == 3333           # floor(10000/3)
+    assert out["srcB"]["planned_tokens"] == 199     # floor(600*3333/1e4)
+    assert out["srcC"]["rate_bp"] == 0 and out["srcC"]["planned_tokens"] == 0
+    # closing the loop: the rates drive corpus_sample directly
+    rates = {s: r["rate_bp"] / 10000 for s, r in out.items()}
+    kept = CU.corpus_sample(docs, rates=rates).groupBy("source").count()
+    kept = {r["source"]: r["count"] for r in kept.collect()}
+    assert kept.get("srcC", 0) == 0
+    assert kept["srcA"] == 10                        # full epoch
+    assert 10 <= kept["srcB"] <= 30                  # ~20 of 60 (seeded hash)

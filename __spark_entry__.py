@@ -824,6 +824,32 @@ def q_markdown_extract(spark, sf_dir):
     )
 
 
+def q_anchor_census(spark, sf_dir):
+    """Inbound anchor-text census (top-k anchors per link target) driven
+    through the real Arrow parse path on KNOWN-SHAPE html: every doc
+    links to /d/(id%97) as 'go <b>N</b>' (nested tag inside the anchor),
+    to /d/((31·id+7)%97) as 'see N', plus a '#frag' href and an
+    empty-text icon link that the hygiene filters must drop. The oracle
+    rebuilds the same (target, anchor) pairs in closed form — so the
+    UDF's parse, absolutize, and filter chain is what's actually
+    hash-checked (same pattern as markdown_extract/multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    x = (d % 97).cast("string")
+    y = ((d * 31 + 7) % 97).cast("string")
+    clean = F.regexp_replace(F.col("text"), "[<>&]", "")
+    url = F.concat(F.lit("https://anchors.test/doc/"), d.cast("string"))
+    html = F.concat(
+        F.lit("<p>"), clean, F.lit('</p><a href="/d/'), x,
+        F.lit('">go <b>'), x, F.lit('</b></a><a href="/d/'), y,
+        F.lit('">see '), y,
+        F.lit('</a><a href="#frag">skip</a><a href="/icon/'), x,
+        F.lit('"></a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return GR.anchor_census(pages, k=3)
+
+
 def q_train_corpus_gopher(spark, sf_dir):
     """Full Gopher document-quality gate (Rae et al. 2021): keep docs
     passing ALL published bounds — word count 50..100k, mean word length
@@ -1232,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_neardup": q_train_corpus_neardup,
         "train_corpus_neardup_minhash": q_train_corpus_neardup_minhash,
         "markdown_extract": q_markdown_extract,
+        "anchor_census": q_anchor_census,
         "train_corpus_gopher": q_train_corpus_gopher,
         "source_cap": q_source_cap,
     }
@@ -1824,6 +1851,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, markdown,
                    CAST(len(string_split(markdown, chr(10))) AS BIGINT) AS n_blocks
             FROM m""",
+        "anchor_census": """
+            WITH p AS (
+              SELECT 'https://anchors.test/d/' || (doc_id % 97)
+                       AS target_url,
+                     'go ' || (doc_id % 97) AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'https://anchors.test/d/' || ((doc_id * 31 + 7) % 97),
+                     'see ' || ((doc_id * 31 + 7) % 97)
+              FROM documents
+            ),
+            c AS (
+              SELECT target_url, anchor, CAST(count(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2
+            )
+            SELECT target_url, anchor, n,
+                   row_number() OVER (PARTITION BY target_url
+                                      ORDER BY n DESC, anchor) AS rank
+            FROM c QUALIFY rank <= 3""",
         "train_corpus_gopher": f"""
             WITH tk AS (
               SELECT doc_id, text,

@@ -137,7 +137,7 @@ HEADLINE = [
     "incremental_dedup",
     "pack_shards", "dedup_doc_lines", "dedup_lines_global",
     "quality_quantile_gate",
-    "host_rank", "sessionize", "session_stats",
+    "host_rank", "anchor_census", "sessionize", "session_stats",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",
     "multimodal_meta",

@@ -127,3 +127,49 @@ def rank_budgets(ranks: DataFrame, total_budget: int,
             ).alias("budget"),
         )
     )
+
+
+def anchor_census(pages: DataFrame, k: int = 5,
+                  url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Inbound anchor-text census: for every link TARGET, the top-``k``
+    anchor strings the web uses to describe it, with counts — the
+    classic link-graph side product (anchor corpora train retrieval and
+    title models; "what others call this page" beats the page's own
+    title for ranking). No reference analog (the reference crawler
+    discards anchor text at extraction, webcrawleranalyzer.py:139-140);
+    this is the engine's web-graph extension.
+
+    Plan: one Arrow pass over html (``anchor_pairs_udf`` — the page's
+    bytes cross into Python exactly once, same batch shape as the
+    extract UDF) → explode → ONE map-side-combinable census shuffle on
+    (target, anchor) → per-target top-k. ``row_number() <= k`` gets
+    Catalyst's map-side WindowGroupLimit(Partial) (measured for
+    per_source_cap, BENCH.md), so a target the whole web links to — the
+    Zipf head of inbound links — forwards at most k rows per map task,
+    never its full inbound census, into the rank exchange. Ties break
+    (n DESC, anchor ASC) for deterministic, oracle-checkable output.
+    Returns (target_url, anchor, n, rank).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import anchor_pairs_udf
+
+    pairs = pages.select(
+        F.explode(
+            anchor_pairs_udf(F.col(url_col), F.col(html_col))
+        ).alias("p")
+    ).select(
+        F.col("p.target_url").alias("target_url"),
+        F.col("p.anchor").alias("anchor"),
+    )
+    census = pairs.groupBy("target_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.col("n").desc(), F.col("anchor")
+    )
+    return (
+        census.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -51,28 +51,54 @@ class _TextLinkParser(HTMLParser):
         self._skip = 0
         self.parts: list[str] = []
         self.hrefs: list[str] = []
+        # anchor capture (additive — never feeds the text invariant):
+        # (href, whitespace-collapsed anchor text) per closed <a href>
+        self.anchor_pairs: list[tuple[str, str]] = []
+        self._a_depth = 0
+        self._a_href: str | None = None
+        self._a_buf: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if tag in self._SKIP:
             self._skip += 1
         elif tag == "a":
+            href = None
             for k, v in attrs:
                 if k == "href" and v is not None:
+                    href = v
                     self.hrefs.append(v)
                     break
+            # only the OUTERMOST <a> owns the anchor text (nested <a>
+            # is invalid html; browsers implicitly close — we nest-count
+            # so the close of an inner tag doesn't cut the buffer short)
+            if self._a_depth == 0:
+                self._a_href = href
+                self._a_buf = []
+            self._a_depth += 1
 
     def handle_startendtag(self, tag, attrs):
-        # <a href=... /> self-closing still carries an href
+        # <a href=... /> self-closing still carries an href (empty text)
         if tag == "a":
             self.handle_starttag(tag, attrs)
+            self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if tag in self._SKIP and self._skip:
             self._skip -= 1
+        elif tag == "a" and self._a_depth:
+            self._a_depth -= 1
+            if self._a_depth == 0:
+                if self._a_href is not None:
+                    text = " ".join("".join(self._a_buf).split())
+                    self.anchor_pairs.append((self._a_href, text))
+                self._a_href = None
+                self._a_buf = []
 
     def handle_data(self, data):
         if not self._skip:
             self.parts.append(data)
+            if self._a_depth:
+                self._a_buf.append(data)
 
 
 def extract_text_and_hrefs(html: bytes | str | None) -> tuple[str, list[str]]:
@@ -111,6 +137,53 @@ def resolve_links(base_url: str, hrefs: list[str], max_links: int | None) -> lis
     if max_links is not None:
         out = out[:max_links]
     return out
+
+
+def extract_anchor_texts(base_url: str,
+                         html: bytes | str | None) -> list[tuple[str, str]]:
+    """(absolute_url, anchor_text) pairs in document order — the web
+    link-graph's edge labels (anchor corpora train retrieval/title
+    models; inbound-anchor agreement is a classic page-quality signal).
+    Same href hygiene as :func:`resolve_links` (skip empty/'#',
+    absolutize against the page url, http(s) only) but KEEPS duplicate
+    targets — the census downstream counts them — and drops pairs whose
+    collapsed anchor text is empty (image/icon links carry no label).
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _TextLinkParser()
+    parser.feed(html)
+    parser.close()
+    out: list[tuple[str, str]] = []
+    for href, text in parser.anchor_pairs:
+        if not href or href.startswith("#") or not text:
+            continue
+        absolute = urljoin(base_url, href)
+        if urlparse(absolute).scheme not in ("http", "https"):
+            continue
+        out.append((absolute, text))
+    return out
+
+
+ANCHOR_PAIR_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("target_url", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(ANCHOR_PAIR_TYPE)
+def anchor_pairs_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+    """Vectorized (page_url, html) → array<struct<target_url, anchor>>;
+    one Arrow batch per call, html crosses into Python exactly once."""
+    return pd.Series(
+        [extract_anchor_texts(u, h) for u, h in zip(url, html)]
+    )
 
 
 EXTRACT_RESULT_TYPE = StructType(

@@ -208,3 +208,35 @@ def test_markdown_udf_matches_core(spark):
     for u, h in rows:
         assert got[u] == html_to_markdown(h, base_url=u)
     assert got["https://s.test/p2"] == "[rel](https://s.test/x)"
+
+
+def test_anchor_pairs_edge_cases():
+    """Anchor capture: nested tags inside <a>, whitespace collapse,
+    self-closing/empty anchors dropped, '#'/mailto hygiene, duplicate
+    targets KEPT, and the text invariant untouched by the capture."""
+    from distributed_crawl_spark.functions.text import (
+        extract_anchor_texts,
+        extract_text_and_hrefs,
+    )
+
+    html = (
+        '<p>intro</p>'
+        '<a href="/d/1">go <b>one</b></a>'
+        '<a href="/d/1">go\n  one</a>'          # dup target, messy ws
+        '<a href="#frag">skip</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="/icon/1"></a>'                 # empty text
+        '<a href="/d/2/">two</a>'
+        '<a>no href</a>'
+        '<script><a href="/d/3">hidden</a></script>'
+    )
+    pairs = extract_anchor_texts("https://ex.test/page", html)
+    assert pairs == [
+        ("https://ex.test/d/1", "go one"),
+        ("https://ex.test/d/1", "go one"),
+        ("https://ex.test/d/2/", "two"),
+    ]
+    # capture is additive: text + href stream identical semantics
+    text, hrefs = extract_text_and_hrefs(html)
+    assert "intro" in text and "hidden" not in text
+    assert hrefs[0] == "/d/1" and "/icon/1" in hrefs

@@ -1002,9 +1002,13 @@ def q_train_corpus_full(spark, sf_dir):
     """The whole curation pipeline as ONE plan — per train-split doc,
     every gate's verdict side by side: MinHash-LSH near-dup canonical
     pick, the full Gopher bounds, the per-source quality-median gate,
-    and benchmark decontamination (vs the val/test split), plus the
-    conjunction. This is curate.py's flag stage expressed as a contract
-    query: four independent gate families, each scale-shaped as audited
+    benchmark decontamination (vs the val/test split), and the
+    self-trained unigram-LM fluency cut (model fit on the train split
+    only — eval text never shapes the model; fixed integer threshold
+    ≈ the corpus p10 so the contract stays engine-exact where a
+    percentile_approx sketch would not be), plus the conjunction. This
+    is curate.py's flag stage expressed as a contract query: five
+    independent gate families, each scale-shaped as audited
     individually, sharing one scan of the corpus."""
     docs = _t(spark, sf_dir, "documents")
     b = CU.split_bucket(F.col("doc_id"))
@@ -1023,6 +1027,10 @@ def q_train_corpus_full(spark, sf_dir):
     dec = CU.decontaminate(train, bench, n=8).select(
         "doc_id", (~F.col("contaminated")).alias("keep_decontam")
     )
+    lm = TS.unigram_logprob(train).select(
+        "doc_id",
+        (F.col("logprob_q") >= F.lit(-3_410_000)).alias("keep_lm"),
+    )
     return (
         train.select("doc_id", TS.gopher_keep(feats).alias("keep_gopher"))
         .join(nd_drop, "doc_id", "left")
@@ -1030,10 +1038,12 @@ def q_train_corpus_full(spark, sf_dir):
         .drop("__nd")
         .join(qg, "doc_id")
         .join(dec, "doc_id")
+        .join(lm, "doc_id")
         .withColumn(
             "keep",
             F.col("keep_canonical") & F.col("keep_gopher")
-            & F.col("keep_quantile") & F.col("keep_decontam"),
+            & F.col("keep_quantile") & F.col("keep_decontam")
+            & F.col("keep_lm"),
         )
     )
 
@@ -2227,6 +2237,27 @@ def oracle_sql() -> dict[str, str]:
               FROM grams
               WHERE bucket < 9000 AND gram IN (SELECT gram FROM bench)
               GROUP BY 1
+            ),
+            lmt AS (
+              SELECT d.doc_id, unnest({_TOKS_SQL}) AS tok
+              FROM documents d JOIN bk USING (doc_id) WHERE bucket < 9000
+            ),
+            lmc AS (SELECT tok, count(*) AS c FROM lmt GROUP BY tok),
+            lmtot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM lmc),
+            lmv AS (
+              SELECT tok, CAST(floor(ln(c / t.t) * 1000000) AS BIGINT) AS qlp
+              FROM lmc, lmtot t
+            ),
+            lms AS (
+              SELECT lmt.doc_id,
+                     coalesce(v.qlp,
+                              CAST(floor(ln(1.0 / t.t) * 1000000) AS BIGINT))
+                       AS qlp
+              FROM lmt LEFT JOIN lmv v USING (tok), lmtot t
+            ),
+            lma AS (
+              SELECT doc_id, CAST(floor(sum(qlp) / count(*)) AS BIGINT) AS lp
+              FROM lms GROUP BY doc_id
             )
             SELECT d.doc_id,
                    (comp.doc_id IS NULL OR comp.component_id = d.doc_id)
@@ -2234,15 +2265,18 @@ def oracle_sql() -> dict[str, str]:
                    gf.keep_gopher,
                    qgate.keep_quantile,
                    coalesce(hits.n, 0) = 0 AS keep_decontam,
+                   coalesce(lma.lp, 0) >= -3410000 AS keep_lm,
                    ((comp.doc_id IS NULL OR comp.component_id = d.doc_id)
                     AND gf.keep_gopher AND qgate.keep_quantile
-                    AND coalesce(hits.n, 0) = 0) AS keep
+                    AND coalesce(hits.n, 0) = 0
+                    AND coalesce(lma.lp, 0) >= -3410000) AS keep
             FROM documents d
             JOIN bk USING (doc_id)
             LEFT JOIN comp USING (doc_id)
             JOIN gf USING (doc_id)
             JOIN qgate USING (doc_id)
             LEFT JOIN hits USING (doc_id)
+            LEFT JOIN lma USING (doc_id)
             WHERE bk.bucket < 9000""",
         "host_rank": _host_rank_sql(3),
         "sessionize": _SESSIONIZE_SQL + """

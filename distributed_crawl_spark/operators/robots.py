@@ -19,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, DoubleType
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                               StringType)
 
 USER_AGENT = "*"
 
@@ -127,3 +128,50 @@ def apply_robots_gate(
     allowed = flagged.filter(F.col("robots_ok")).drop("robots_ok", "robots_txt")
     denied = flagged.filter(~F.col("robots_ok")).drop("robots_ok", "robots_txt")
     return allowed, denied
+
+
+@pandas_udf(ArrayType(StringType()))
+def robots_sitemaps_udf(robots_txt: pd.Series) -> pd.Series:
+    """``Sitemap:`` directive URLs per robots.txt (empty array when
+    none) — one parsed RobotFileParser per distinct text per batch."""
+    cache: dict[str, list[str]] = {}
+
+    def maps(txt) -> list[str]:
+        if txt is None or not str(txt).strip():
+            return []
+        txt = str(txt)
+        if txt not in cache:
+            rp = robotparser.RobotFileParser()
+            rp.parse(txt.splitlines())
+            cache[txt] = list(rp.site_maps() or [])
+        return cache[txt]
+
+    return pd.Series([maps(t) for t in robots_txt])
+
+
+def sitemap_seeds(robots: DataFrame) -> DataFrame:
+    """Sitemap discovery: (host, sitemap_url) for every ``Sitemap:``
+    directive in the robots table — the standard seed-expansion channel
+    a production crawler follows after fetching robots.txt (the
+    reference has no robots support at all; SURVEY.md §2.6 J4 is this
+    engine's north-rule extension, and sitemaps ride the same parsed
+    artifact for free). Output is distinct and http(s)-only, sized by
+    the robots table (≤ a few URLs per host) — feed it to
+    ``CrawlDriver.add_seeds`` to enqueue discovered sitemaps through
+    the normal seen-filter/politeness path.
+
+    One Arrow pass over robots_txt (already host-partitioned, cache-hot)
+    + a map-combinable distinct — no new shuffle shape.
+    """
+    return (
+        robots.select(
+            "host",
+            F.explode(robots_sitemaps_udf(F.col("robots_txt")))
+            .alias("sitemap_url"),
+        )
+        .filter(
+            F.col("sitemap_url").startswith("http://")
+            | F.col("sitemap_url").startswith("https://")
+        )
+        .distinct()
+    )

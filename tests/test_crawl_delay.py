@@ -126,3 +126,31 @@ def test_driver_spreads_long_crawl_delay(spark, tmp_path):
     on = [i for i, n in enumerate(fetched) if n > 0]
     assert all(n in (0, 1) for n in fetched)
     assert all(b - a >= 2 for a, b in zip(on, on[1:])), fetched
+
+
+def test_sitemap_seeds_discovery(spark):
+    """Sitemap: directives become distinct (host, url) seed rows;
+    relative/ftp entries and robots without directives drop out."""
+    from distributed_crawl_spark.operators.robots import sitemap_seeds
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /private\n"
+             "Sitemap: https://a.com/sitemap.xml\n"
+             "Sitemap: https://cdn.a.com/s2.xml\n"
+             "Sitemap: https://a.com/sitemap.xml\n"),   # dup collapses
+            ("b.com", "User-agent: *\nAllow: /\n"),      # none
+            ("c.com", "Sitemap: ftp://c.com/s.xml\n"),   # non-http
+            ("d.com", None),
+        ],
+        ["host", "robots_txt"],
+    )
+    got = {
+        (r["host"], r["sitemap_url"])
+        for r in sitemap_seeds(robots).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://cdn.a.com/s2.xml"),
+    }

@@ -141,3 +141,86 @@ def test_minhash_signature_is_permutation_invariant(spark, docs):
         (r.doc_id, r.i): r.minhash for r in DD.minhash_signatures(df).collect()
     }
     assert sig(df1) == sig(df2)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa bb", "cc dd", "ee ff", "x", "", "  "]),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_global_line_dedup_matches_python_oracle(spark, docs_lines):
+    """Keep-first cross-doc line dedup == the literal spec: an eligible
+    line survives only at the first (doc_id, pos); short/empty lines
+    always survive; counts are conserved."""
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r for r in DD.global_line_dedup(df, min_chars=2).collect()
+    }
+
+    winner: dict[str, tuple[int, int]] = {}
+    for i, text in rows:
+        for pos, ln in enumerate(text.split("\n")):
+            if len(ln.strip()) >= 2 and ln not in winner:
+                winner[ln] = (i, pos)
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [
+            ln
+            for pos, ln in enumerate(lines)
+            if len(ln.strip()) < 2 or winner[ln] == (i, pos)
+        ]
+        assert out[i].clean_text == "\n".join(kept)
+        assert out[i].n_kept == len(kept)
+        assert out[i].n_kept + out[i].n_removed == len(lines)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(1, 30)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.dictionaries(st.sampled_from("abcd"), st.integers(0, 5), max_size=4),
+)
+def test_mix_plan_matches_python_oracle(spark, docs, weights):
+    """mix_plan == the closed-form spec: bottleneck source (argmin
+    tokens-per-weight, source tiebreak) at exactly 10000 bp, every rate
+    floor(10000·t*·w / (w*·t)), zero-weight sources excluded."""
+    from distributed_crawl_spark.functions import curation as CU
+
+    rows = [
+        (i, " ".join(["w"] * n), s) for i, (s, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {
+        r.source: r
+        for r in CU.mix_plan(df, weights=weights, default_weight=1).collect()
+    }
+
+    toks: dict[str, int] = {}
+    for _, text, s in rows:
+        toks[s] = toks.get(s, 0) + len(text.split())
+    w_of = lambda s: weights.get(s, 1)
+    elig = [s for s in toks if w_of(s) > 0 and toks[s] > 0]
+    if not elig:
+        assert all(r.rate_bp == 0 for r in out.values())
+        return
+    s_star = min(elig, key=lambda s: (toks[s] / w_of(s), s))
+    t_star, w_star = toks[s_star], w_of(s_star)
+    for s, r in out.items():
+        assert r.n_tokens == toks[s] and r.weight == w_of(s)
+        if w_of(s) > 0:
+            expect = (10000 * t_star * w_of(s)) // (w_star * toks[s])
+            assert r.rate_bp == expect, (s, r.rate_bp, expect)
+        else:
+            assert r.rate_bp == 0
+        assert r.planned_tokens == (toks[s] * r.rate_bp) // 10000
+    assert out[s_star].rate_bp == 10000

@@ -37,6 +37,10 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_components",
+    # round-4 additions — all documents-only queries, same harness:
+    "dedup_lines_global",   # keep-first line dedup (3 uniform shuffles)
+    "unigram_logprob",      # census -> broadcast scoring (2 shuffles)
+    "anchor_census",        # Arrow parse + census + top-k window
 ]
 
 

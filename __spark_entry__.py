@@ -666,6 +666,31 @@ def q_unigram_logprob(spark, sf_dir):
     return TS.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script census (the mC4/CCNet per-language routing
+    pre-filter) on deterministically mixed-script text: each doc gets
+    doc_id%5 Cyrillic and doc_id%3 Han chars appended, so the Java
+    \\p{IsXxx} regexes are exercised on real non-Latin input while the
+    oracle states the expected counts in closed form. Zero shuffle —
+    codegen projections at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mixed = F.concat(
+        F.col("text"),
+        F.repeat(F.lit("я"), (d % 5).cast("int")),
+        F.repeat(F.lit("汉"), (d % 3).cast("int")),
+    )
+    prof = TS.script_profile(mixed)
+    return docs.select(
+        "doc_id",
+        *[
+            prof[f"n_{s}"].cast("long").alias(f"n_{s}")
+            for s in TS.SCRIPTS
+        ],
+        prof["main_script"].alias("main_script"),
+    )
+
+
 def q_analyze_stub(spark, sf_dir):
     """§2.12 analysis stage: mapInPandas batch 'inference' with the
     deterministic heuristic analyzer (LLM call stubbed; plumbing real)."""
@@ -1242,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "unigram_logprob": q_unigram_logprob,
+        "script_profile": q_script_profile,
         "analyze_stub": q_analyze_stub,
         "train_corpus_filter": q_train_corpus_filter,
         "stream_dedup": q_stream_dedup,
@@ -1747,6 +1773,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(sum((({_MD5I48.format(x='tok')} % {P31}) * ((pos * 2654435761) % {P31})) % {P31}) % {P31} AS BIGINT) AS fingerprint
             FROM toks GROUP BY 1""",
+        "script_profile": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(0 AS BIGINT) AS n_arabic,
+                     CAST(doc_id % 5 AS BIGINT) AS n_cyrillic,
+                     CAST(doc_id % 3 AS BIGINT) AS n_han,
+                     CAST(0 AS BIGINT) AS n_hangul,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                          AS BIGINT) AS n_latin
+              FROM documents
+            ),
+            g AS (
+              SELECT *, greatest(n_arabic, n_cyrillic, n_han, n_hangul,
+                                 n_latin) AS best
+              FROM s
+            )
+            SELECT doc_id, n_arabic, n_cyrillic, n_han, n_hangul, n_latin,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN n_arabic = best THEN 'arabic'
+                        WHEN n_cyrillic = best THEN 'cyrillic'
+                        WHEN n_han = best THEN 'han'
+                        WHEN n_hangul = best THEN 'hangul'
+                        ELSE 'latin' END AS main_script
+            FROM g""",
         "unigram_logprob": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents

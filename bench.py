@@ -131,7 +131,7 @@ HEADLINE = [
     "dedup_simhash_pairs", "dedup_components", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
-    "unigram_logprob",
+    "unigram_logprob", "script_profile",
     "train_corpus_filter", "corpus_split", "corpus_sample",
     "decontaminate", "span_scrub", "mix_report", "mix_plan",
     "incremental_dedup",

@@ -459,3 +459,32 @@ def unigram_logprob_gate(docs, p: float = 0.1, vocab_k: int = 50_000,
         id_col, "logprob_q", "thr",
         (F.col("logprob_q") >= F.col("thr")).alias("keep"),
     )
+
+
+# Unicode scripts profiled by script_profile — Java regex (Spark) uses
+# \p{IsXxx}; the DuckDB oracle writes RE2's \p{Xxx} for the same sets.
+SCRIPTS = ["arabic", "cyrillic", "han", "hangul", "latin"]
+
+
+def script_profile(text: Column) -> dict[str, Column]:
+    """Unicode script census per document — the mC4/CCNet pre-filter
+    that routes docs to per-language pipelines and drops script-mixed
+    spam (a "Latin" page that is 40% Han is usually SEO garbage).
+    Closed-form regexp_count projections (zero shuffle, codegen'd):
+    per-script char counts plus ``main_script`` = argmax count
+    (lexicographic tiebreak, 'und' when no scripted chars at all —
+    digits/punct-only docs).
+    """
+    counts = {
+        s: F.regexp_count(text, F.lit(rf"\p{{Is{s.capitalize()}}}"))
+        for s in SCRIPTS
+    }
+    best = F.greatest(*counts.values())
+    main = F.lit("und")
+    for s in sorted(SCRIPTS, reverse=True):
+        main = F.when(
+            (counts[s] > 0) & (counts[s] == best), F.lit(s)
+        ).otherwise(main)
+    out = {f"n_{s}": c for s, c in counts.items()}
+    out["main_script"] = main
+    return out

@@ -252,3 +252,32 @@ def test_unigram_logprob_vocab_cap_and_oov(spark):
     assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
     assert out[2]["logprob_q"] == (-1098613 + -1791760) // 2  # -1445187
     assert out[3]["n_tokens"] == 0 and out[3]["logprob_q"] == 0
+
+
+def test_script_profile_argmax_and_tiebreak(spark):
+    """Script counts over genuinely mixed text; argmax with
+    alphabetical tiebreak; digits/punct-only -> 'und'."""
+    rows = [
+        (1, "hello мир"),          # 5 latin vs 3 cyrillic
+        (2, "ab яб"),              # 2 vs 2 tie -> cyrillic (alphabetical)
+        (3, "123 !?"),             # no scripted chars
+        (4, "한글 han 汉字"),       # hangul 2, latin 3, han 2
+        (5, "مرحبا"),              # arabic only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = TS.script_profile(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[prof[f"n_{s}"].alias(f"n_{s}") for s in TS.SCRIPTS],
+            prof["main_script"].alias("main_script"),
+        ).collect()
+    }
+    assert out[1]["n_latin"] == 5 and out[1]["n_cyrillic"] == 3
+    assert out[1]["main_script"] == "latin"
+    assert out[2]["main_script"] == "cyrillic"    # tie, alphabetical
+    assert out[3]["main_script"] == "und"
+    assert out[4]["n_hangul"] == 2 and out[4]["n_han"] == 2
+    assert out[4]["main_script"] == "latin"
+    assert out[5]["main_script"] == "arabic" and out[5]["n_arabic"] == 5

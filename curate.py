@@ -38,7 +38,9 @@ corpus-wide P-th percentile of self-trained unigram log-probability.
 ``--mix-weights SRC=W,...`` derives the per-source sample rates from
 integer mix weights (mix_plan over the docs the other gates keep: the
 bottleneck source samples at 100%, others proportionally) and records
-the plan in report.json.
+the plan in report.json. ``--keep-script S`` / ``--keep-lang L`` are
+zero-shuffle routing gates on dominant Unicode script / heuristic
+language ID.
 """
 
 from __future__ import annotations
@@ -126,6 +128,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs below the corpus-wide P-th percentile "
                     "of mean unigram log-probability (self-trained LM "
                     "fluency cut, e.g. 0.1 drops the most-gibberish 10%%)")
+    ap.add_argument("--keep-script",
+                    choices=["arabic", "cyrillic", "han", "hangul",
+                             "latin"],
+                    help="keep only docs whose dominant Unicode script "
+                    "is SCRIPT (mC4-style routing pre-filter; pure "
+                    "projection, zero shuffle)")
+    ap.add_argument("--keep-lang", metavar="LANG",
+                    help="keep only docs the n-gram heuristic language "
+                    "ID classifies as LANG (de/en/es/fr; pure "
+                    "projection, zero shuffle)")
     ap.add_argument("--pack-tokens", type=int, metavar="B",
                     help="assign each output doc a training shard id: "
                     "seeded deterministic shuffle order + ~B whitespace "
@@ -179,6 +191,17 @@ def main(argv: list[str] | None = None) -> int:
         ).drop("__gl_id", "__gl_text")
 
     flags = []  # (name, Column) keep-flags, all observed on the one write
+    if args.keep_script:
+        prof = TS.script_profile(F.col(text_c))
+        docs = docs.withColumn(
+            "__keep_script", prof["main_script"] == args.keep_script
+        )
+        flags.append("__keep_script")
+    if args.keep_lang:
+        docs = docs.withColumn(
+            "__keep_lang", TS.lang_id(F.col(text_c)) == args.keep_lang
+        )
+        flags.append("__keep_lang")
     if args.neardup:
         if args.neardup == "simhash":
             pairs = DD.simhash_pairs64(

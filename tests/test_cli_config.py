@@ -291,3 +291,31 @@ def test_curate_cli_mix_weights(tmp_path):
     mix = {m["source"]: m["n_docs"] for m in report["mix"]}
     assert "src1" not in mix                     # excluded end-to-end
     assert report["n_output"] == sum(mix.values())
+
+
+def test_curate_cli_script_and_lang_gates(tmp_path):
+    """--keep-script / --keep-lang flag stages wire through: the ASCII
+    corpus is all-Latin (script keeps everything) while the word-soup
+    texts mostly lack 'en' markers (lang gate drops most)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_script"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--keep-script", "latin",
+            "--keep-lang", "en",
+            "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_script"] == 500
+    assert report["stages"]["keep_lang"] < 500
+    assert report["n_output"] <= report["stages"]["keep_lang"]

@@ -25,7 +25,10 @@ with a benchmark table), ``--scrub-spans W`` (cross-doc duplicated-span
 removal, rewrites text). ``--report-only`` computes report.json without
 writing the corpus. ``--dedup-against PRIOR`` drops docs already in a
 prior corpus snapshot (exact digest or MinHash LSH band hit — the prior
-corpus is probed via its dedup_index, never re-shuffled).
+corpus is probed via its dedup_index, never re-shuffled);
+``--write-index DIR`` persists the output corpus's index so the next
+increment can ``--dedup-against-index DIR`` without reading the corpus
+at all.
 ``--mix-report`` appends a per-(source[, split]) doc/token/char census
 of the output corpus to report.json. ``--pack-tokens B`` plans training
 shards (seeded deterministic shuffle order, ~B tokens per shard) and
@@ -111,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
                     "digest or any MinHash LSH band hits the given prior "
                     "corpus (its dedup_index is built on the fly; the "
                     "prior corpus is probed, never re-shuffled)")
+    ap.add_argument("--dedup-against-index", metavar="INDEX_PARQUET",
+                    help="like --dedup-against but probes a PRE-WRITTEN "
+                    "dedup index (from --write-index) — the prior corpus "
+                    "is not even read; cost is O(increment + index "
+                    "partitions touched)")
+    ap.add_argument("--write-index", metavar="DIR",
+                    help="after curation, write the OUTPUT corpus's "
+                    "dedup index (distinct digests + MinHash LSH band "
+                    "keys, doc-id-free) for the next increment's "
+                    "--dedup-against-index")
     ap.add_argument("--quantile-gate", type=float, metavar="P",
                     help="keep docs at/above their own source's P-th "
                     "quality percentile (adaptive per-source threshold; "
@@ -220,9 +233,12 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_neardup", F.col("__drop_id").isNull()
         ).drop("__drop_id")
         flags.append("__keep_neardup")
-    if args.dedup_against:
-        prior = spark.read.parquet(args.dedup_against)
-        idx = DD.dedup_index(prior, id_col=id_c, text_col=text_c)
+    if args.dedup_against or args.dedup_against_index:
+        if args.dedup_against_index:
+            idx = spark.read.parquet(args.dedup_against_index)
+        else:
+            prior = spark.read.parquet(args.dedup_against)
+            idx = DD.dedup_index(prior, id_col=id_c, text_col=text_c)
         keep = DD.incremental_dedup(
             docs, idx, id_col=id_c, text_col=text_c
         ).filter(F.col("keep")).select(F.col(id_c).alias("__inc_id"))
@@ -397,6 +413,18 @@ def main(argv: list[str] | None = None) -> int:
             writer.parquet(args.out)
         out_vals = obs_out.get
 
+    index_entries = None
+    if args.write_index:
+        # index of the OUTPUT corpus (re-read from the persisted flagged
+        # table) — the next increment probes this via
+        # --dedup-against-index without ever reading the corpus itself
+        obs_idx = Observation()
+        idx_out = DD.dedup_index(docs, id_col=id_c, text_col=text_c)
+        idx_out.observe(obs_idx, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(args.write_index)
+        index_entries = int(obs_idx.get["n"])
+
     mix = None
     if args.mix_report:
         # census of the OUTPUT corpus (post every enabled stage) — one
@@ -427,6 +455,8 @@ def main(argv: list[str] | None = None) -> int:
         report["mix"] = mix
     if mix_plan_rows is not None:
         report["mix_plan"] = mix_plan_rows
+    if index_entries is not None:
+        report["index_entries"] = index_entries
     from pathlib import Path
 
     Path(args.out).mkdir(parents=True, exist_ok=True)

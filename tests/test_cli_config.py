@@ -319,3 +319,53 @@ def test_curate_cli_script_and_lang_gates(tmp_path):
     assert report["stages"]["keep_script"] == 500
     assert report["stages"]["keep_lang"] < 500
     assert report["n_output"] <= report["stages"]["keep_lang"]
+
+
+def test_curate_cli_write_index_then_probe(tmp_path):
+    """Continual-crawl loop via a persisted index: run A curates the
+    even-doc prior corpus and writes its dedup index; run B probes the
+    full table against that index WITHOUT reading the prior corpus —
+    every even doc (exact dup) drops, matching --dedup-against."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    prior = tmp_path / "prior.parquet"
+    duckdb.connect().execute(
+        "COPY (SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % 2 = 0) TO '{prior}' (FORMAT PARQUET)"
+    )
+    out_a, idx = tmp_path / "outA", tmp_path / "index"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(prior), "--out", str(out_a),
+            "--write-index", str(idx),
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep_a = json.loads((out_a / "report.json").read_text())
+    assert rep_a["index_entries"] > 250          # digests + band keys
+
+    out_b = tmp_path / "outB"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out_b),
+            "--dedup-against-index", str(idx),
+            "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep_b = json.loads((out_b / "report.json").read_text())
+    assert rep_b["n_input"] == 500
+    assert 0 < rep_b["n_output"] <= 250          # all evens are exact dups
+    assert rep_b["n_output"] == rep_b["stages"]["keep_prior"]

@@ -1228,6 +1228,31 @@ def q_multimodal_meta(spark, sf_dir):
     return image_metadata(media, fake=True)
 
 
+def q_audio_chunks(spark, sf_dir):
+    """Audio plumbing end-to-end: binary payloads → mapInPandas
+    audio_metadata (deterministic fake decode: sr/samples/channels from
+    payload length) → closed-form ASR chunk plan (25 ms windows, last
+    chunk ragged). The oracle recomputes the whole chain from the
+    synthesized payload length, so the Arrow batch path AND the chunk
+    arithmetic are value-checked."""
+    from distributed_crawl_spark.operators.multimodal import (
+        audio_chunk_plan,
+        audio_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(
+            F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string")),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+    return audio_chunk_plan(audio_metadata(media, fake=True), chunk_ms=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_slug": q_url_slug,
@@ -1272,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_filter": q_train_corpus_filter,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "audio_chunks": q_audio_chunks,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
         "decontaminate": q_decontaminate,
@@ -2024,6 +2050,29 @@ def oracle_sql() -> dict[str, str]:
                    16 + (n // 7) % 240 AS height,
                    1 + n % 3 AS channels
             FROM m""",
+        "audio_chunks": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text || '|' || doc_id::VARCHAR)) AS n
+              FROM documents
+            ),
+            a AS (
+              SELECT media_id,
+                     (4 * n * 1000) // (8000 * (1 + n % 6)) AS dur
+              FROM m
+            ),
+            c AS (
+              SELECT media_id, dur,
+                     greatest(CAST(ceil(dur / 25.0) AS INT), 1) AS n_chunks
+              FROM a
+            )
+            SELECT media_id,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_index,
+                   unnest(generate_series(0, n_chunks - 1)) * CAST(25 AS BIGINT)
+                     AS start_ms,
+                   least((unnest(generate_series(0, n_chunks - 1)) + 1) * 25,
+                         dur)::BIGINT AS end_ms
+            FROM c""",
         "corpus_split": """
             WITH b AS (
               SELECT doc_id,

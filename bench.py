@@ -140,7 +140,7 @@ HEADLINE = [
     "host_rank", "anchor_census", "sessionize", "session_stats",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",
-    "multimodal_meta",
+    "multimodal_meta", "audio_chunks",
 ]
 
 

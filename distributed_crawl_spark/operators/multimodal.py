@@ -127,3 +127,81 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         .withColumn("target_width", F.lit(width))
         .withColumn("target_height", F.lit(height))
     )
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decode path — requires an audio library absent from this
+    container. Kept as the documented extension point."""
+    raise NotImplementedError(
+        "no audio decode library in this environment; "
+        "use the deterministic fake decoder (decode_audio_fake)"
+    )
+
+
+def decode_audio_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode → (sample_rate, n_samples, channels):
+    sr ∈ {8k..48k} from length mod 6, n_samples = 4·n_bytes (a 16-bit
+    stereo-ish fiction), channels ∈ {1, 2} — all oracle-reproducible
+    arithmetic on the payload length."""
+    n = len(payload)
+    return 8000 * (1 + n % 6), 4 * n, 1 + n % 2
+
+
+def audio_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas audio metadata extraction (the twin of
+    :func:`image_metadata` for the ``audio`` kind): one Arrow batch in
+    flight, the binary column consumed and NOT emitted so downstream
+    stages shed the blob. duration_ms = floor(n_samples·1000 / sr)."""
+    decode = decode_audio_fake if fake else decode_audio_real
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            meta = [decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "sample_rate": [m[0] for m in meta],
+                    "n_samples": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                    "duration_ms": [
+                        m[1] * 1000 // m[0] for m in meta
+                    ],
+                }
+            )
+
+    return media.mapInPandas(process, AUDIO_META_SCHEMA)
+
+
+def audio_chunk_plan(meta: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
+    """ASR-style chunking plumbing over :func:`audio_metadata` output:
+    one row per fixed-duration window a real transcriber would process
+    — (media_id, chunk_index, start_ms, end_ms), the last chunk ragged.
+    Pure closed-form sequence explode (zero Python, zero shuffle); the
+    real decode stays inside the metadata/transcribe stages."""
+    n_chunks = F.greatest(
+        F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("int"), F.lit(1)
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index")
+    return meta.select("media_id", "duration_ms", idx).select(
+        "media_id",
+        "chunk_index",
+        (F.col("chunk_index").cast("long") * chunk_ms).alias("start_ms"),
+        F.least(
+            (F.col("chunk_index").cast("long") + 1) * chunk_ms,
+            F.col("duration_ms"),
+        ).alias("end_ms"),
+    )

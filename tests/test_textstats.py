@@ -281,3 +281,41 @@ def test_script_profile_argmax_and_tiebreak(spark):
     assert out[4]["n_hangul"] == 2 and out[4]["n_han"] == 2
     assert out[4]["main_script"] == "latin"
     assert out[5]["main_script"] == "arabic" and out[5]["n_arabic"] == 5
+
+
+def test_audio_metadata_and_chunk_plan(spark):
+    """Audio plumbing: fake decode is deterministic arithmetic on the
+    payload length; chunk plan covers [0, duration) with ragged tail;
+    real decode stays a documented stub."""
+    import pytest as _pytest
+
+    from distributed_crawl_spark.operators.multimodal import (
+        AUDIO_META_SCHEMA,
+        audio_chunk_plan,
+        audio_metadata,
+        decode_audio_real,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio_real(b"RIFF")
+
+    media = spark.createDataFrame(
+        [(0, "audio", b"x" * 100, "audio/wav"),
+         (1, "audio", b"", "audio/wav")],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING",
+    )
+    meta = audio_metadata(media, fake=True)
+    assert meta.schema == AUDIO_META_SCHEMA
+    rows = {r.media_id: r for r in meta.collect()}
+    # n=100: sr = 8000*(1+100%6) = 40000, samples = 400, dur = 10ms
+    assert rows[0].sample_rate == 40000 and rows[0].n_samples == 400
+    assert rows[0].duration_ms == 10
+    assert rows[1].n_bytes == 0 and rows[1].duration_ms == 0
+    chunks = audio_chunk_plan(meta, chunk_ms=4).collect()
+    by_media = {}
+    for c in chunks:
+        by_media.setdefault(c.media_id, []).append(c)
+    got = sorted((c.chunk_index, c.start_ms, c.end_ms)
+                 for c in by_media[0])
+    assert got == [(0, 0, 4), (1, 4, 8), (2, 8, 10)]   # ragged tail
+    assert [(c.start_ms, c.end_ms) for c in by_media[1]] == [(0, 0)]

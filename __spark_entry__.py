@@ -555,6 +555,17 @@ def q_dedup_simhash64(spark, sf_dir):
     return DD.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-then-compare semantic
+    dedup — 32 seeded IVF cells, within-cell cosine pairs ≥ 0.4,
+    connected components → min-id canonical pick. Pair cost is
+    Σ|cluster|², never N²; the oracle replays the same chain with a
+    recursive CTE."""
+    return SIM.semdedup(
+        _t(spark, sf_dir, "embeddings"), n_cells=32, threshold=0.4
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming-ball near-dup pairs via pigeonhole block join over
     64-bit two-half fingerprints: agree on ≥1 of 4 SIXTEEN-bit blocks ⇒
@@ -1286,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "semdedup": q_semdedup,
         "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1760,6 +1772,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(cos * 1000) AS BIGINT) AS cos_m
             FROM scored
             QUALIFY rank <= 5""",
+        "semdedup": """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS cell_id, e AS ce FROM v
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32
+            ),
+            asg AS (
+              SELECT vec_id, e, cell_id FROM (
+                SELECT v.vec_id, v.e, c.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                  c.cell_id) AS rn
+                FROM v CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM asg a JOIN asg b
+                ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+            ),
+            ed AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM ed
+              UNION
+              SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src
+            ),
+            comp AS (SELECT id AS vec_id, min(r) AS cid FROM reach GROUP BY 1)
+            SELECT asg.vec_id, asg.cell_id,
+                   coalesce(comp.cid, asg.vec_id) AS component_id,
+                   coalesce(comp.cid, asg.vec_id) = asg.vec_id AS keep
+            FROM asg LEFT JOIN comp USING (vec_id)""",
         "lang_id": f"""
             WITH s AS (
               SELECT doc_id,

@@ -129,6 +129,7 @@ HEADLINE = [
     "hourly_events", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
     "dedup_simhash_pairs", "dedup_components", "dedup_embedding_lsh",
+    "semdedup",
     "ann_topk", "ann_lsh", "ann_ivf",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "unigram_logprob", "script_profile",

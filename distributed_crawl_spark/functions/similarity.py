@@ -469,3 +469,78 @@ def embedding_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.4,
         "id_a", "id_b",
         F.floor(F.col("cos") * scale).cast("long").alias("cos_m"),
     )
+
+
+def semdedup(vectors: DataFrame, n_cells: int = 32, threshold: float = 0.4,
+             centroids: DataFrame | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             materializer=None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the corpus with
+    the IVF coarse quantizer, compare pairs ONLY within a cluster, and
+    keep one representative (the min id) per connected group of
+    near-identical items. The modern training-data dedup step that
+    catches what lexical MinHash/SimHash cannot: paraphrases, translated
+    mirrors, templated rewrites.
+
+    Plan, by construction never N²:
+
+    1. **assign** — :func:`ivf_assign` (nprobe=1): broadcast codebook,
+       map-side argmax, ONE N-row shuffle. ``centroids`` defaults to the
+       seeded deterministic codebook (oracle-reproducible); hand in a
+       :func:`kmeans_codebook` table when cluster quality matters.
+    2. **within-cell pairs** — equi-join on ``cell_id`` (assignment
+       persisted once, both join sides read it): pair cost is
+       Σ|cluster|², bounded by the quantizer's balance, the paper's own
+       cost model. A giant cluster is AQE's skew case; raise
+       ``n_cells`` to split it.
+    3. **canonical pick** — :func:`~.dedup.near_dup_components` over
+       pairs ≥ threshold (pointer-jumped min-label, O(log diameter)
+       rounds), so transitive paraphrase chains collapse to ONE kept
+       doc, not one per adjacent pair.
+
+    Returns one row per input vector: (vec_id, cell_id, component_id,
+    keep) with component_id = vec_id for singletons and keep =
+    (component_id == vec_id).
+    """
+    from .dedup import _resolve_materializer, near_dup_components
+
+    materialize = _resolve_materializer(materializer, "persist")
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(vectors, n_cells, id_col, vec_col)
+    )
+    assigned = materialize(
+        ivf_assign(vectors, cents, nprobe=1, id_col=id_col,
+                   vec_col=vec_col),
+        "semdedup_assigned",
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell_id"
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = near_dup_components(pairs).withColumnRenamed("doc_id", "__cid")
+    return (
+        assigned.select("vec_id", "cell_id")
+        .join(comp, F.col("vec_id") == F.col("__cid"), "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id"))
+            .alias("component_id"),
+            (
+                F.coalesce(F.col("component_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )

@@ -215,3 +215,34 @@ def test_kmeans_codebook_recovers_planted_clusters(spark):
     assert all(len(s) == 1 for s in cells_by_cluster.values()), cells_by_cluster
     assert len(set.union(*cells_by_cluster.values())) == 3
     assert mean_best_cos(trained) >= mean_best_cos(seeded)
+
+
+def test_semdedup_planted_clusters(spark):
+    """Planted paraphrase groups collapse to one kept representative
+    via transitive components; distant vectors all survive."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = (
+        # tight chain around theta=0: a-b close, b-c close (a-c less so)
+        [(0, unit(0.0)), (1, unit(0.05)), (2, unit(0.10))]
+        # a second tight pair far away
+        + [(10, unit(2.0)), (11, unit(2.02))]
+        # isolated singleton
+        + [(20, unit(4.0))]
+    )
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(2.0))],
+        "cell_id LONG, centroid ARRAY<DOUBLE>",
+    )
+    out = {r.vec_id: r for r in SIM.semdedup(
+        df, threshold=0.99, centroids=cents).collect()}
+    assert out[0].keep and out[0].component_id == 0
+    # transitive: 2 joins the 0-component through 1 even if cos(0,2)<thr
+    assert out[1].component_id == 0 and not out[1].keep
+    assert out[2].component_id == 0 and not out[2].keep
+    assert out[10].keep and not out[11].keep and out[11].component_id == 10
+    assert out[20].keep and out[20].component_id == 20

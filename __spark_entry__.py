@@ -566,6 +566,14 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode: 64-dim embeddings → 8 code bytes
+    (16-entry seeded per-subspace codebooks) + reconstruction-cosine
+    distortion. The argmin is ordered-fold L2² in BOTH engines so
+    near-tie code picks can't flip across engines."""
+    return SIM.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming-ball near-dup pairs via pigeonhole block join over
     64-bit two-half fingerprints: agree on ≥1 of 4 SIXTEEN-bit blocks ⇒
@@ -1298,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "semdedup": q_semdedup,
+        "pq_encode": q_pq_encode,
         "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1772,6 +1781,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(cos * 1000) AS BIGINT) AS cos_m
             FROM scored
             QUALIFY rank <= 5""",
+        "pq_encode": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            seeds AS (
+              SELECT e,
+                     row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+                                        vec_id) - 1 AS code_id
+              FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cb AS (
+              SELECT s.sub, code_id,
+                     e[s.sub * 8 + 1 : s.sub * 8 + 8] AS c
+              FROM seeds, (SELECT unnest(range(8)) AS sub) s
+            ),
+            subs AS (
+              SELECT vec_id, s.sub,
+                     e[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+              FROM v, (SELECT unnest(range(8)) AS sub) s
+            ),
+            scored AS (
+              SELECT vec_id, sub, code_id, c,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS d
+              FROM subs JOIN cb USING (sub)
+            ),
+            best AS (
+              SELECT vec_id, sub, code_id, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, code_id) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            agg AS (
+              SELECT vec_id,
+                     string_agg(code_id::VARCHAR, ',' ORDER BY sub)
+                       AS codes,
+                     flatten(list(c ORDER BY sub)) AS recon
+              FROM best GROUP BY vec_id
+            )
+            SELECT v.vec_id, agg.codes,
+                   CAST(floor(list_cosine_similarity(v.e, agg.recon)
+                              * 1000) AS BIGINT) AS recon_cos_m
+            FROM v JOIN agg USING (vec_id)""",
         "semdedup": """
             WITH RECURSIVE v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -544,3 +544,121 @@ def semdedup(vectors: DataFrame, n_cells: int = 32, threshold: float = 0.4,
             ).alias("keep"),
         )
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as an ordered left fold — the same
+    summation order as the DuckDB oracle's list_sum(list_transform),
+    so cross-engine argmin comparisons see identical bits."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def seed_pq_codebooks(vectors: DataFrame, m: int = 8, k: int = 16,
+                      dim: int = 64, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic per-subspace PQ codebooks: the ``k`` corpus vectors
+    with the smallest md5(id) (the :func:`seed_centroids` portable
+    sample), sliced into ``m`` subvectors each — codebook ``sub`` holds
+    slice ``sub`` of every seed, coded 0..k-1 in md5 order. Production
+    trains each subspace with k-means (same swap-in contract as the IVF
+    codebook); the seeded sample keeps the oracle reproducible.
+    Returns (sub, code_id, centroid) — m·k rows, always broadcastable.
+    """
+    d0 = dim // m
+    from pyspark.sql.window import Window
+
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    seeds = (
+        vectors.select(id_col, as_double(F.col(vec_col)).alias("e"))
+        .orderBy(*order)
+        .limit(k)
+        .withColumn(
+            "code_id",
+            F.row_number().over(Window.orderBy(*order)) - 1,
+        )
+    )
+    subs = F.array(*[F.lit(j) for j in range(m)])
+    return seeds.select(
+        F.explode(subs).alias("sub"),
+        "code_id",
+        "e",
+    ).select(
+        "sub",
+        "code_id",
+        F.slice(F.col("e"), F.col("sub") * d0 + 1, d0).alias("centroid"),
+    )
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame | None = None,
+              m: int = 8, k: int = 16, dim: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              scale: int = 1000) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011) — the storage
+    answer for 100-TB embedding tables: each vector becomes ``m`` code
+    ids into ``k``-entry per-subspace codebooks (m=8, k=16 → 4 bytes
+    instead of 256), with the reconstruction cosine reported as the
+    per-vector distortion metric.
+
+    Plan: subvector explode is a pure projection (N·m slim rows, no
+    shuffle); the codebook is m·k rows and BROADCASTS, so scoring is an
+    equi-join on ``sub`` that never exchanges the corpus; per-(vec,
+    sub) argmin is a map-side-combinable min_by; the code/recon
+    assembly is one vec-keyed aggregate. Distances are ordered-fold
+    L2² so the argmin is bit-identical in the DuckDB oracle (sqrt-ing
+    would let two distinct sums round to an equal distance and flip a
+    tiebreak). Returns (vec_id, codes 'c0,...,cm-1', recon_cos_m).
+    """
+    d0 = dim // m
+    cb = (
+        codebooks
+        if codebooks is not None
+        else seed_pq_codebooks(vectors, m, k, dim, id_col, vec_col)
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    subs = v.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub"),
+        "e",
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice(F.col("e"), F.col("sub") * d0 + 1, d0).alias("sv"),
+    )
+    scored = subs.join(F.broadcast(cb), "sub").withColumn(
+        "d", l2sq(F.col("sv"), F.col("centroid"))
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min_by(
+            F.struct("code_id", "centroid"), F.struct("d", "code_id")
+        ).alias("b")
+    )
+    agg = best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", F.col("b.code_id").alias("c")))),
+                lambda s: s.c.cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", F.col("b.centroid").alias("cv")))
+                ),
+                lambda s: s.cv,
+            )
+        ).alias("recon"),
+    )
+    return v.join(agg, "vec_id").select(
+        "vec_id",
+        "codes",
+        F.floor(cosine(F.col("e"), F.col("recon")) * scale)
+        .cast("long")
+        .alias("recon_cos_m"),
+    )

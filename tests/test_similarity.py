@@ -246,3 +246,41 @@ def test_semdedup_planted_clusters(spark):
     assert out[2].component_id == 0 and not out[2].keep
     assert out[10].keep and not out[11].keep and out[11].component_id == 10
     assert out[20].keep and out[20].component_id == 20
+
+
+def test_pq_encode_identity_and_distortion(spark):
+    """A vector that IS a codebook seed reconstructs itself exactly
+    (codes point at its own slices, recon cosine = 1.0); every code is
+    a valid id and distortion is bounded to [-1, 1]."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r.vec_id: r for r in SIM.pq_encode(df, m=8, k=16).collect()}
+    assert len(out) == 40
+    for r in out.values():
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+        assert -1000 <= r.recon_cos_m <= 1000
+    # seed vectors reconstruct exactly: their own slice is distance 0
+    sdf = SIM.seed_pq_codebooks(df, m=8, k=16)
+    seed_codes = {
+        r.code_id
+        for r in sdf.select("code_id").distinct().collect()
+    }
+    assert seed_codes == set(range(16))
+    # find one seed's vec_id by matching slice 0 against the codebook
+    cb0 = {tuple(r.centroid): r.code_id
+           for r in sdf.filter("sub = 0").collect()}
+    for vid, emb in rows:
+        key = tuple(emb[:8])
+        if key in cb0:
+            expect = cb0[key]
+            assert out[vid].codes.startswith(str(expect) + ",")
+            assert out[vid].recon_cos_m == 1000  # floor(1.0*1000)
+            break
+    else:
+        raise AssertionError("no seed vector found in corpus")

@@ -593,6 +593,38 @@ def seed_pq_codebooks(vectors: DataFrame, m: int = 8, k: int = 16,
     )
 
 
+
+def _subvectors(v: DataFrame, m: int, d0: int,
+                id_out: str = "vec_id", sv_out: str = "sv") -> DataFrame:
+    """(id, sub, subvector) long format — a pure projection (explode of
+    an m-literal array + slice), no shuffle."""
+    return v.select(
+        id_out,
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub"),
+        "e",
+    ).select(
+        id_out,
+        "sub",
+        F.slice(F.col("e"), F.col("sub") * d0 + 1, d0).alias(sv_out),
+    )
+
+
+def _pq_best(v: DataFrame, cb: DataFrame, m: int, d0: int) -> DataFrame:
+    """Per-(vector, subspace) nearest codebook entry: broadcast the m·k
+    codebook, equi-join on sub, map-combinable min_by argmin over
+    ordered-fold L2². Returns (vec_id, sub, b=struct(code_id, centroid)).
+    """
+    subs = _subvectors(v, m, d0)
+    scored = subs.join(F.broadcast(cb), "sub").withColumn(
+        "d", l2sq(F.col("sv"), F.col("centroid"))
+    )
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min_by(
+            F.struct("code_id", "centroid"), F.struct("d", "code_id")
+        ).alias("b")
+    )
+
+
 def pq_encode(vectors: DataFrame, codebooks: DataFrame | None = None,
               m: int = 8, k: int = 16, dim: int = 64,
               id_col: str = "vec_id", vec_col: str = "embedding",
@@ -621,23 +653,7 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame | None = None,
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
     )
-    subs = v.select(
-        "vec_id",
-        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub"),
-        "e",
-    ).select(
-        "vec_id",
-        "sub",
-        F.slice(F.col("e"), F.col("sub") * d0 + 1, d0).alias("sv"),
-    )
-    scored = subs.join(F.broadcast(cb), "sub").withColumn(
-        "d", l2sq(F.col("sv"), F.col("centroid"))
-    )
-    best = scored.groupBy("vec_id", "sub").agg(
-        F.min_by(
-            F.struct("code_id", "centroid"), F.struct("d", "code_id")
-        ).alias("b")
-    )
+    best = _pq_best(v, cb, m, d0)
     agg = best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -661,4 +677,68 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame | None = None,
         F.floor(cosine(F.col("e"), F.col("recon")) * scale)
         .cast("long")
         .alias("recon_cos_m"),
+    )
+
+
+def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, n_codes: int = 16, dim: int = 64,
+            codebooks: DataFrame | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            scale: int = 1_000_000) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the IVF-PQ search
+    pattern FAISS runs at billion scale): the database side is the
+    4-byte code stream, the query stays full-precision, and the
+    distance is a table lookup — ``adist(q, x) = Σ_sub
+    lut[q][sub][code_sub(x)]`` with ``lut`` the query's precomputed
+    L2² against every codebook entry.
+
+    Plan: the database codes come from :func:`_pq_best` (broadcast
+    codebook, no corpus exchange beyond the one N·m argmin shuffle);
+    the lookup table is |Q|·m·k rows and BROADCASTS; scoring is an
+    equi-join on (sub, code_id) followed by ONE map-combinable
+    (query, vec) sum and a WindowGroupLimit top-k. Per-subspace
+    partials are floor-quantized to integers BEFORE the sum, so the
+    ranking is summation-order-free and engine-exact (a float Σ over
+    shuffled rows is not) — ties beyond 1e-6 resolution break by
+    vec_id. Returns (query_id, vec_id, rank, adist_q); lower is closer.
+    """
+    d0 = dim // m
+    cb = (
+        codebooks
+        if codebooks is not None
+        else seed_pq_codebooks(vectors, m, n_codes, dim, id_col, vec_col)
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    codes = _pq_best(v, cb, m, d0).select(
+        "vec_id", "sub", F.col("b.code_id").alias("code_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    qsubs = _subvectors(q, m, d0, id_out="query_id")
+    lut = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.floor(l2sq(F.col("sv"), F.col("centroid")) * scale)
+        .cast("long")
+        .alias("part_q"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part_q").alias("adist_q"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adist_q")
     )

@@ -284,3 +284,23 @@ def test_pq_encode_identity_and_distortion(spark):
             break
     else:
         raise AssertionError("no seed vector found in corpus")
+
+
+def test_pq_topk_adc_recalls_planted_near_dup(vec_df):
+    """ADC search over codes: the planted near-identical pair (0, 1)
+    quantizes to nearby (often identical) codes, so vec 1 ranks at the
+    top for query 0; output is deterministic across runs."""
+    out1 = SIM.pq_topk(
+        vec_df, vec_df.filter(F.col("vec_id") == 0),
+        k=5, m=4, n_codes=8, dim=DIM,
+    ).orderBy("rank").collect()
+    ids = [r.vec_id for r in out1]
+    assert len(ids) == 5 and 1 in ids[:3]
+    assert [r.adist_q for r in out1] == sorted(r.adist_q for r in out1)
+    out2 = SIM.pq_topk(
+        vec_df, vec_df.filter(F.col("vec_id") == 0),
+        k=5, m=4, n_codes=8, dim=DIM,
+    ).orderBy("rank").collect()
+    assert [(r.vec_id, r.adist_q) for r in out1] == [
+        (r.vec_id, r.adist_q) for r in out2
+    ]

@@ -1040,6 +1040,51 @@ def q_incremental_dedup(spark, sf_dir):
     return DD.incremental_dedup(docs.filter(b >= 8000), idx)
 
 
+def q_url_strip_tracking(spark, sf_dir):
+    """Tracking-parameter stripping on three deterministic URL shapes:
+    no query at all (doc_id%3==0), mixed kept+tracking params (%3==1 —
+    surviving order must be preserved), and all-tracking (%3==2 — the
+    '?' disappears entirely). The oracle runs the same generic
+    split/filter/rejoin in DuckDB, not a shape-special-case."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        d.cast("string"),
+    )
+    url = (
+        F.when(d % 3 == 0, base)
+        .when(
+            d % 3 == 1,
+            F.concat(
+                base, F.lit("?id="), d.cast("string"),
+                F.lit("&utm_source=s"), (d % 7).cast("string"),
+                F.lit("&page=2&gclid=g"), d.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                base, F.lit("?utm_campaign=c&fbclid=f"), d.cast("string")
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        U.strip_tracking_params(url).alias("clean_url"),
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Shard integrity manifest: doc/token totals + a commutative
+    (order-free) content digest per planned training shard — the
+    reproducibility artifact shipped with a packed corpus. One id join
+    + one combinable shard rollup over the pack_shards plan."""
+    return CU.shard_manifest(
+        _t(spark, sf_dir, "documents"), shard_tokens=2048, n_writers=8
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """Deterministic shuffle + token-budget shard planning: seeded hash
     routes each doc to one of 8 writer lanes (uniform — no skew
@@ -1337,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_plan": q_mix_plan,
         "incremental_dedup": q_incremental_dedup,
         "pack_shards": q_pack_shards,
+        "url_strip_tracking": q_url_strip_tracking,
+        "shard_manifest": q_shard_manifest,
         "dedup_doc_lines": q_dedup_doc_lines,
         "dedup_lines_global": q_dedup_lines_global,
         "quality_quantile_gate": q_quality_quantile_gate,
@@ -2364,6 +2411,69 @@ def oracle_sql() -> dict[str, str]:
                    NOT (n.doc_id IN (SELECT doc_id FROM ex)
                         OR n.doc_id IN (SELECT doc_id FROM nr)) AS keep
             FROM newd n""",
+        "url_strip_tracking": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/p/' || doc_id
+                       AS base,
+                     doc_id % 3 AS shape, doc_id % 7 AS s7
+              FROM documents
+            ),
+            built AS (
+              SELECT doc_id,
+                     CASE shape
+                       WHEN 0 THEN base
+                       WHEN 1 THEN base || '?id=' || doc_id
+                                 || '&utm_source=s' || s7
+                                 || '&page=2&gclid=g' || doc_id
+                       ELSE base || '?utm_campaign=c&fbclid=f' || doc_id
+                     END AS url
+              FROM u
+            ),
+            s AS (
+              SELECT doc_id, url,
+                     substr(url, 1,
+                            CASE WHEN instr(url, '?') > 0
+                                 THEN instr(url, '?') - 1
+                                 ELSE length(url) END) AS base,
+                     list_filter(
+                       string_split(regexp_extract(url, '\\?(.*)', 1), '&'),
+                       p -> length(p) > 0 AND NOT regexp_matches(p,
+                         '^(utm_[^=&]*|fbclid|gclid|msclkid)(=|$)')
+                     ) AS kept
+              FROM built
+            )
+            SELECT doc_id, url,
+                   CASE WHEN instr(url, '?') > 0 AND len(kept) > 0
+                        THEN base || '?' || array_to_string(kept, '&')
+                        ELSE base END AS clean_url
+            FROM s""",
+        "shard_manifest": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST('0x' || substr(md5('p42:' || doc_id::VARCHAR), 1, 12)
+                          AS BIGINT) AS okey,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, text, okey % 8 AS writer, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY okey % 8 ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS offset_tokens
+              FROM t
+            )
+            SELECT writer * 1048576 + offset_tokens // 2048 AS shard_id,
+                   writer,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+                            % 2147483647) % 2147483647 AS BIGINT)
+                     AS content_digest
+            FROM o GROUP BY 1, 2""",
         "pack_shards": """
             WITH t AS (
               SELECT doc_id,

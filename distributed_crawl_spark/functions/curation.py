@@ -604,3 +604,41 @@ def mix_plan(docs: DataFrame,
         "planned_tokens",
         F.expr("CAST((n_tokens * rate_bp) DIV 10000 AS BIGINT)"),
     )
+
+
+def shard_manifest(docs: DataFrame, packed: DataFrame | None = None,
+                   shard_tokens: int = 2048, n_writers: int = 32,
+                   seed: str = "p42", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Shard integrity manifest over a :func:`pack_shards` plan: one
+    row per training shard with doc/token totals and a COMMUTATIVE
+    content digest (Σ md5_int48(text) mod 2³¹−1) — order-free by
+    construction, so the digest is identical no matter which executor
+    wrote the shard or in what order, and a training job can re-derive
+    it from the shard file alone to catch truncated/corrupted/mixed-up
+    shards before a run burns compute on them. The standard
+    reproducibility artifact a 100-TB corpus ships alongside its data.
+
+    One doc-keyed broadcast-free join (packed plan ⋈ texts, both sides
+    keyed by id) + one map-combinable shard rollup. Passing ``packed``
+    reuses an existing plan; otherwise the pack runs in-plan.
+    Returns (shard_id, writer, n_docs, n_tokens, content_digest).
+    """
+    from .dedup import MERSENNE31, md5_int48
+
+    if packed is None:
+        packed = pack_shards(docs, shard_tokens=shard_tokens,
+                             n_writers=n_writers, seed=seed,
+                             id_col=id_col, text_col=text_col)
+    j = packed.select(id_col, "writer", "shard_id", "n_tokens").join(
+        docs.select(
+            id_col,
+            (md5_int48(F.col(text_col)) % MERSENNE31).alias("__d"),
+        ),
+        id_col,
+    )
+    return j.groupBy("shard_id", "writer").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.sum("__d") % MERSENNE31).cast("long").alias("content_digest"),
+    )

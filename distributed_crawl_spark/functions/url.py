@@ -182,3 +182,32 @@ def ensure_scheme(url: Column) -> Column:
     return F.when(
         url.startswith("http://") | url.startswith("https://"), url
     ).otherwise(F.concat(F.lit("https://"), url))
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Remove advertising/attribution query parameters (``utm_*``,
+    ``fbclid``, ``gclid``, ``msclkid``) — frontier canonicalization
+    hygiene: the same page reached from a campaign link and organically
+    must collapse to ONE url-seen entry, or the crawler fetches every
+    page once per marketing channel. Applied before hashing into the
+    seen filter; parameter order of the SURVIVING params is preserved
+    (stripping must not invent a new canonical form that real links
+    never use). Pure codegen: split → higher-order filter → rejoin,
+    zero Python, zero shuffle.
+    """
+    base = F.substring_index(url, "?", 1)
+    qs = F.regexp_extract(url, r"\?(.*)", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (F.length(p) > 0)
+        & (
+            F.regexp_count(
+                p, F.lit(r"^(utm_[^=&]*|fbclid|gclid|msclkid)(=|$)")
+            )
+            == 0
+        ),
+    )
+    return F.when(
+        url.contains("?") & (F.size(kept) > 0),
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)

@@ -324,3 +324,23 @@ def test_mix_plan_bottleneck_and_proportions(spark):
     assert kept.get("srcC", 0) == 0
     assert kept["srcA"] == 10                        # full epoch
     assert 10 <= kept["srcB"] <= 30                  # ~20 of 60 (seeded hash)
+
+
+def test_shard_manifest_digest_is_order_free(spark):
+    """Manifest totals tie out against the pack plan, and the
+    commutative digest is invariant under repartitioning (a shard
+    written by any executor in any order verifies identically)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.content_digest)
+        for r in CU.shard_manifest(docs, n_writers=4).collect()
+    }
+    m2 = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.content_digest)
+        for r in CU.shard_manifest(
+            docs.repartition(13), n_writers=4
+        ).collect()
+    }
+    assert m1 == m2 and len(m1) > 1
+    packed = CU.pack_shards(docs, n_writers=4)
+    assert sum(d for d, _, _ in m1.values()) == packed.count()

@@ -169,3 +169,30 @@ def test_enhanced_filename(spark):
 )
 def test_url_host(spark, url, host):
     assert _col_values(spark, [url], U.url_host(F.col("url"))) == [host]
+
+
+def test_strip_tracking_params_shapes(spark):
+    """Generic stripping: kept-param order preserved, all-tracking
+    query drops the '?', bare urls untouched, name-prefix match only
+    (utm_x strips, xutm_x survives)."""
+    from distributed_crawl_spark.functions.url import strip_tracking_params
+
+    rows = [
+        (0, "https://a.com/p"),
+        (1, "https://a.com/p?id=7&utm_source=s&page=2&gclid=g"),
+        (2, "https://a.com/p?utm_campaign=c&fbclid=f"),
+        (3, "https://a.com/p?xutm_x=1&msclkid=m&q=utm_source"),
+        (4, "https://a.com/p?utm_medium"),          # param without '='
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", strip_tracking_params(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got[0] == "https://a.com/p"
+    assert got[1] == "https://a.com/p?id=7&page=2"
+    assert got[2] == "https://a.com/p"
+    assert got[3] == "https://a.com/p?xutm_x=1&q=utm_source"
+    assert got[4] == "https://a.com/p"

@@ -1040,6 +1040,16 @@ def q_incremental_dedup(spark, sf_dir):
     return DD.incremental_dedup(docs.filter(b >= 8000), idx)
 
 
+def q_pack_examples(spark, sf_dir):
+    """GPT-style fixed-length example packing: writer token streams cut
+    into 512-token examples, docs SPLIT across boundaries (no padding
+    waste) — one span row per (doc × example overlapped), all
+    closed-form arithmetic over pack_shards' running offsets."""
+    return CU.pack_examples(
+        _t(spark, sf_dir, "documents"), seq_len=512, n_writers=8
+    )
+
+
 def q_url_strip_tracking(spark, sf_dir):
     """Tracking-parameter stripping on three deterministic URL shapes:
     no query at all (doc_id%3==0), mixed kept+tracking params (%3==1 —
@@ -1383,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "pack_shards": q_pack_shards,
         "url_strip_tracking": q_url_strip_tracking,
+        "pack_examples": q_pack_examples,
         "shard_manifest": q_shard_manifest,
         "dedup_doc_lines": q_dedup_doc_lines,
         "dedup_lines_global": q_dedup_lines_global,
@@ -2474,6 +2485,39 @@ def oracle_sql() -> dict[str, str]:
                             % 2147483647) % 2147483647 AS BIGINT)
                      AS content_digest
             FROM o GROUP BY 1, 2""",
+        "pack_examples": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('p42:' || doc_id::VARCHAR), 1, 12)
+                          AS BIGINT) AS okey,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, okey % 8 AS writer, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY okey % 8 ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS off
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, writer, n_tokens, off,
+                     unnest(generate_series(off // 512,
+                                            (off + n_tokens - 1) // 512))
+                       AS ex
+              FROM o WHERE n_tokens > 0
+            )
+            SELECT doc_id, writer,
+                   CAST(writer * 1048576 + ex AS BIGINT) AS example_id,
+                   CAST(greatest(ex * 512 - off, 0) AS BIGINT)
+                     AS start_in_doc,
+                   CAST(least((ex + 1) * 512, off + n_tokens)
+                        - greatest(ex * 512, off) AS BIGINT)
+                     AS n_in_example
+            FROM s""",
         "pack_shards": """
             WITH t AS (
               SELECT doc_id,

@@ -136,7 +136,7 @@ HEADLINE = [
     "train_corpus_filter", "corpus_split", "corpus_sample",
     "decontaminate", "span_scrub", "mix_report", "mix_plan",
     "incremental_dedup",
-    "pack_shards", "shard_manifest", "url_strip_tracking",
+    "pack_shards", "pack_examples", "shard_manifest", "url_strip_tracking",
     "dedup_doc_lines", "dedup_lines_global",
     "quality_quantile_gate",
     "host_rank", "anchor_census", "sessionize", "session_stats",

@@ -642,3 +642,58 @@ def shard_manifest(docs: DataFrame, packed: DataFrame | None = None,
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         (F.sum("__d") % MERSENNE31).cast("long").alias("content_digest"),
     )
+
+
+def pack_examples(docs: DataFrame, seq_len: int = 512,
+                  n_writers: int = 32, seed: str = "p42",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Fixed-length training-example packing over the
+    :func:`pack_shards` writer streams — the GPT-style sample layout:
+    each writer lane's token stream is cut into ``seq_len``-token
+    examples and documents are SPLIT across example boundaries (unlike
+    shards, which never split a doc), so no example wastes tokens on
+    padding. Emits one row per (document × example it overlaps):
+
+        (doc_id, writer, example_id, start_in_doc, n_in_example)
+
+    where ``example_id = writer·2²⁰ + (global example index within the
+    lane)`` and ``start_in_doc`` is the 0-based token offset inside the
+    document. A loader reconstructs example ``e`` by concatenating its
+    rows' doc slices in ``start_in_doc``-consistent stream order —
+    Σ n_in_example = seq_len for every example except each lane's last.
+
+    All arithmetic is closed-form over pack_shards' running offsets:
+    the span explode is ``sequence(first_example, last_example)`` — a
+    projection, no new shuffle beyond the lane window pack_shards
+    already pays. Deterministic under repartitioning for the same
+    reason pack_shards is (hash order, not row order). Token-less docs
+    occupy no stream space and emit no rows.
+    """
+    packed = pack_shards(docs, shard_tokens=seq_len, n_writers=n_writers,
+                         seed=seed, id_col=id_col, text_col=text_col)
+    first = F.floor(F.col("offset_tokens") / F.lit(seq_len))
+    last = F.floor(
+        (F.col("offset_tokens") + F.col("n_tokens") - 1) / F.lit(seq_len)
+    )
+    e = F.explode(F.sequence(first, last)).alias("ex")
+    return (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(id_col, "writer", "n_tokens", "offset_tokens", e)
+        .select(
+            id_col,
+            "writer",
+            (F.col("writer") * F.lit(1 << 20) + F.col("ex"))
+            .cast("long").alias("example_id"),
+            F.greatest(
+                F.col("ex") * seq_len - F.col("offset_tokens"), F.lit(0)
+            ).cast("long").alias("start_in_doc"),
+            (
+                F.least(
+                    (F.col("ex") + 1) * seq_len,
+                    F.col("offset_tokens") + F.col("n_tokens"),
+                )
+                - F.greatest(F.col("ex") * seq_len, F.col("offset_tokens"))
+            ).cast("long").alias("n_in_example"),
+        )
+    )

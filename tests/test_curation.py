@@ -344,3 +344,37 @@ def test_shard_manifest_digest_is_order_free(spark):
     assert m1 == m2 and len(m1) > 1
     packed = CU.pack_shards(docs, n_writers=4)
     assert sum(d for d, _, _ in m1.values()) == packed.count()
+
+
+def test_pack_examples_cover_streams_exactly(spark):
+    """Every example except each lane's last holds exactly seq_len
+    tokens with no gaps or overlaps; per-doc spans tile the doc."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = CU.pack_examples(docs, seq_len=128, n_writers=4).collect()
+    by_ex: dict[int, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_ex[r.example_id] = by_ex.get(r.example_id, 0) + r.n_in_example
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.n_in_example > 0 and r.start_in_doc >= 0
+    # per lane: all but the last example are exactly full
+    last_per_writer = {
+        w: max(e for e in by_ex if e >> 20 == w)
+        for w in {e >> 20 for e in by_ex}
+    }
+    for e, tot in by_ex.items():
+        if e != last_per_writer[e >> 20]:
+            assert tot == 128, (e, tot)
+        else:
+            assert 0 < tot <= 128
+    # per doc: spans tile [0, n_tokens) contiguously
+    packed = {r.doc_id: r.n_tokens
+              for r in CU.pack_shards(docs, n_writers=4).collect()}
+    for d, spans in by_doc.items():
+        spans.sort(key=lambda r: r.start_in_doc)
+        assert spans[0].start_in_doc == 0
+        pos = 0
+        for s in spans:
+            assert s.start_in_doc == pos
+            pos += s.n_in_example
+        assert pos == packed[d]

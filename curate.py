@@ -8,9 +8,10 @@
 Composes the engine's training-data operators over a documents table
 (doc_id, text, source, ...) into ONE Catalyst plan with ONE output
 write: near-dup canonicalization (simhash64 or MinHash-LSH pairs →
-connected components → keep cluster minima), the Gopher quality gate,
-PII redaction (rewrites ``text``), deterministic hash splits, and the
-C4-style per-source cap. The flagged table is persisted once; stage
+connected components → keep cluster minima), semantic dedup over an
+embeddings table (``--semdedup``, SemDeDup cluster-then-compare), the
+Gopher quality gate, PII redaction (rewrites ``text``), deterministic
+hash splits, and the C4-style per-source cap. The flagged table is persisted once; stage
 keep counts come from one slim aggregate over it (Spark Observations
 can't ride a node that later branches into the split/cap self-joins)
 and the output count rides an Observation on the single write.
@@ -64,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
                     "min-id document (pair engine per choice)")
     ap.add_argument("--max-hamming", type=int, default=3,
                     help="simhash64 hamming radius (with --neardup simhash)")
+    ap.add_argument("--semdedup", metavar="EMB_PARQUET",
+                    help="semantic dedup (SemDeDup): drop docs whose "
+                    "embedding is a non-canonical member of a "
+                    "near-identical cluster group (vec_id joins doc_id; "
+                    "docs without an embedding are kept)")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.7,
+                    metavar="COS", help="within-cluster cosine above "
+                    "which two docs count as semantic duplicates")
+    ap.add_argument("--semdedup-cells", type=int, default=64, metavar="K",
+                    help="IVF cells for the cluster-then-compare pass "
+                    "(raise to split giant clusters)")
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher document-quality bounds")
     ap.add_argument("--gopher-stopwords", metavar="W1,W2,...",
@@ -233,6 +245,24 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_neardup", F.col("__drop_id").isNull()
         ).drop("__drop_id")
         flags.append("__keep_neardup")
+    if args.semdedup:
+        from distributed_crawl_spark.functions import similarity as SIM
+
+        sd = SIM.semdedup(
+            spark.read.parquet(args.semdedup),
+            n_cells=args.semdedup_cells,
+            threshold=args.semdedup_threshold,
+        ).select(
+            F.col("vec_id").alias("__sd_id"),
+            F.col("keep").alias("__sd_keep"),
+        )
+        docs = docs.join(
+            sd, docs[id_c] == sd["__sd_id"], "left"
+        ).withColumn(
+            "__keep_semdedup",
+            F.coalesce(F.col("__sd_keep"), F.lit(True)),
+        ).drop("__sd_id", "__sd_keep")
+        flags.append("__keep_semdedup")
     if args.dedup_against or args.dedup_against_index:
         if args.dedup_against_index:
             idx = spark.read.parquet(args.dedup_against_index)

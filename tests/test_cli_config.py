@@ -369,3 +369,32 @@ def test_curate_cli_write_index_then_probe(tmp_path):
     assert rep_b["n_input"] == 500
     assert 0 < rep_b["n_output"] <= 250          # all evens are exact dups
     assert rep_b["n_output"] == rep_b["stages"]["keep_prior"]
+
+
+def test_curate_cli_semdedup(tmp_path):
+    """curate.py --semdedup drops non-canonical members of semantic
+    near-identical groups (12 at sf0.001/threshold 0.4); docs without
+    an embedding are kept."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_sd"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--semdedup", "/root/testdata/sf0.001/embeddings.parquet",
+            "--semdedup-threshold", "0.4",
+            "--semdedup-cells", "32",
+            "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    assert report["stages"]["keep_semdedup"] == 488   # 12 semantic dups
+    assert report["n_output"] == 488

@@ -1040,6 +1040,52 @@ def q_incremental_dedup(spark, sf_dir):
     return DD.incremental_dedup(docs.filter(b >= 8000), idx)
 
 
+def q_error_backoff(spark, sf_dir):
+    """Adaptive politeness: per-host failure census (host = user_id
+    mod 37, failure = every 5th event — the synthesize-the-structure
+    trick) → exponential budget backoff (base 1024 halved per failure,
+    shift capped at 6, floor 1). Census is one combinable shuffle; the
+    backoff itself is a pure projection that feeds rank_frontier's
+    host_budgets broadcast hook."""
+    from distributed_crawl_spark.operators.politeness import (
+        error_backoff_budgets,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    failures = (
+        ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string"))
+            .alias("host"),
+            (F.col("event_id") % 5 == 0).cast("long").alias("__f"),
+        )
+        .groupBy("host")
+        .agg(F.sum("__f").alias("n_failures"))
+    )
+    out = error_backoff_budgets(failures, base_budget=1024)
+    return out.join(
+        failures.select("host", "n_failures"), "host"
+    ).select("host", "n_failures", "budget")
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff over two bucket-derived corpus views: buckets
+    <2000 exist only in the old snapshot (removed), 2000–5999 are
+    byte-identical (same), 6000–7999 get a ' v2' suffix in the new
+    snapshot (changed), ≥8000 only exist in the new one (added) — all
+    four statuses exercised; the oracle states them in closed form by
+    bucket while the engine runs the generic digest full-outer join."""
+    docs = _t(spark, sf_dir, "documents")
+    b = CU.split_bucket(F.col("doc_id"))
+    old = docs.filter(b < 8000).select("doc_id", "text")
+    new = docs.filter(b >= 2000).select(
+        "doc_id",
+        F.when(
+            (b >= 6000) & (b < 8000), F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return CU.corpus_diff(old, new)
+
+
 def q_pack_examples(spark, sf_dir):
     """GPT-style fixed-length example packing: writer token streams cut
     into 512-token examples, docs SPLIT across boundaries (no padding
@@ -1394,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "url_strip_tracking": q_url_strip_tracking,
         "pack_examples": q_pack_examples,
+        "corpus_diff": q_corpus_diff,
+        "error_backoff": q_error_backoff,
         "shard_manifest": q_shard_manifest,
         "dedup_doc_lines": q_dedup_doc_lines,
         "dedup_lines_global": q_dedup_lines_global,
@@ -2485,6 +2533,30 @@ def oracle_sql() -> dict[str, str]:
                             % 2147483647) % 2147483647 AS BIGINT)
                      AS content_digest
             FROM o GROUP BY 1, 2""",
+        "error_backoff": """
+            WITH f AS (
+              SELECT 'h' || (user_id % 37) AS host,
+                     CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_failures
+              FROM events GROUP BY 1
+            )
+            SELECT host, n_failures,
+                   CAST(greatest(1, 1024 >> least(n_failures, 6))
+                        AS BIGINT) AS budget
+            FROM f""",
+        "corpus_diff": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                       % 10000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < 2000 THEN 'removed'
+                        WHEN bucket < 6000 THEN 'same'
+                        WHEN bucket < 8000 THEN 'changed'
+                        ELSE 'added' END AS status
+            FROM b""",
         "pack_examples": """
             WITH t AS (
               SELECT doc_id,

@@ -139,7 +139,8 @@ HEADLINE = [
     "pack_shards", "pack_examples", "shard_manifest", "url_strip_tracking",
     "dedup_doc_lines", "dedup_lines_global",
     "quality_quantile_gate",
-    "host_rank", "anchor_census", "sessionize", "session_stats",
+    "host_rank", "anchor_census", "error_backoff", "corpus_diff",
+    "sessionize", "session_stats",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",
     "multimodal_meta", "audio_chunks",

@@ -697,3 +697,34 @@ def pack_examples(docs: DataFrame, seq_len: int = 512,
             ).cast("long").alias("n_in_example"),
         )
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff for continual crawling: classify every doc id
+    across two corpus snapshots as ``added`` / ``removed`` /
+    ``changed`` (same id, different content digest) / ``same`` — the
+    audit table an incremental pipeline publishes with each refresh
+    ("what did this crawl actually change?"), and the input to
+    re-embedding / re-indexing only the changed slice instead of the
+    whole corpus.
+
+    One full-outer join keyed by id (uniform — no skew exposure), both
+    sides pre-collapsed to (id, digest) projections so no text moves
+    through the shuffle. Returns (doc_id, status).
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__od")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__nd")
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("__od").isNull(), F.lit("added"))
+        .when(F.col("__nd").isNull(), F.lit("removed"))
+        .when(F.col("__od") == F.col("__nd"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

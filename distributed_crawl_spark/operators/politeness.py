@@ -112,3 +112,35 @@ def select_round(
     return split_ranked(
         rank_frontier(frontier, host_budget, salt_threshold, max_salts)
     )
+
+
+def error_backoff_budgets(failures: DataFrame, base_budget: int,
+                          floor_budget: int = 1,
+                          max_shift: int = 6) -> DataFrame:
+    """Per-host exponential backoff from failure counts — the adaptive
+    politeness loop a production crawler closes: a host that keeps
+    timing out or 5xx-ing gets its next-round budget halved per
+    failure (``budget = max(floor, base >> min(n_failures,
+    max_shift))``), instead of burning the same slots on a dead or
+    throttling host every round. Complements robots Crawl-delay
+    (declared limits) with OBSERVED behaviour; floor_budget keeps the
+    host probed so recovery is detected.
+
+    Input: (host, n_failures) — e.g. the driver's status table
+    filtered to the last round's failures and counted (one combinable
+    shuffle the caller already pays for its error histogram). This
+    function itself is a pure projection; the output (host, budget)
+    plugs into ``rank_frontier``'s ``host_budgets`` broadcast hook, so
+    the whole backoff path adds ZERO shuffles to a round. Integer
+    shift arithmetic — deterministic and oracle-portable.
+    """
+    shifted = F.expr(
+        f"shiftright(CAST({int(base_budget)} AS BIGINT), "
+        f"CAST(least(n_failures, {int(max_shift)}) AS INT))"
+    )
+    return failures.select(
+        "host",
+        F.greatest(
+            F.lit(floor_budget).cast("long"), shifted.cast("long")
+        ).alias("budget"),
+    )

@@ -129,3 +129,39 @@ def test_budgets_derived_from_source_rollup(spark):
     }
     assert per_host == {"dup.test": 1, "clean.test": 3}
     assert deferred.count() == 4 + 2
+
+
+def test_error_backoff_budgets_composition(spark):
+    """Backoff math (halve per failure, shift cap, floor) and the
+    politeness hook: a failing host's selected slots shrink to its
+    backed-off budget while healthy hosts keep the default."""
+    from distributed_crawl_spark.operators.politeness import (
+        error_backoff_budgets,
+        rank_frontier,
+        split_ranked,
+    )
+
+    failures = spark.createDataFrame(
+        [("ok.com", 0), ("flaky.com", 2), ("dead.com", 50)],
+        ["host", "n_failures"],
+    )
+    budgets = error_backoff_budgets(failures, base_budget=8)
+    got = {r.host: r.budget for r in budgets.collect()}
+    assert got == {"ok.com": 8, "flaky.com": 2, "dead.com": 1}
+
+    frontier = spark.createDataFrame(
+        [
+            (f"https://{h}/p{i}", h, 0, 0, i)
+            for h in got
+            for i in range(10)
+        ],
+        ["url", "host", "level", "attempt", "seq"],
+    )
+    selected, deferred = split_ranked(
+        rank_frontier(frontier, host_budget=4, host_budgets=budgets)
+    )
+    sel = {h: 0 for h in got}
+    for r in selected.collect():
+        sel[r.host] += 1
+    assert sel == {"ok.com": 8, "flaky.com": 2, "dead.com": 1}
+    assert selected.count() + deferred.count() == 30

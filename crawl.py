@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="store ONE crawl_results row per distinct content "
                     "hash (the reference's hash-named-file overwrite "
                     "semantics); crawl flow is unaffected")
+    ap.add_argument("--strip-tracking", action="store_true",
+                    help="strip utm_*/fbclid/gclid/msclkid params from "
+                    "extracted links before dedup and the seen filter "
+                    "(campaign variants collapse to one fetch)")
     ap.add_argument("--config", help="JSON config file (ConfigManager shape); "
                     "CLI flags override file values")
     ap.add_argument("--expire-ttl", type=int, metavar="ROUNDS",
@@ -112,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         seen_filter=args.seen_filter,
         scratch_dir=args.scratch_dir,
         content_dedup=args.content_dedup,
+        strip_tracking=args.strip_tracking,
         extract_mode=args.extract_mode,
     )
     if args.config:

@@ -33,6 +33,12 @@ class CrawlConfig:
     # retries, counters) is unaffected. Default False = log-every-fetch,
     # with exact_duplicates available as a downstream query.
     content_dedup: bool = False
+    # Frontier canonicalization hygiene (engine extension, default off —
+    # reference parity keeps raw link strings, §2.10): strip advertising
+    # params (utm_*/fbclid/gclid/msclkid) from extracted child links
+    # BEFORE batch-dedup and the seen filter, so one page reached via N
+    # campaign variants costs one fetch, not N.
+    strip_tracking: bool = False
     # Text emitted by the extraction stage: 'basic' = the reference's
     # byte-identical whitespace-pipeline text (THE P7 invariant, default);
     # 'markdown' = structure-preserving markdown (the Crawl4AI-path output

@@ -84,6 +84,13 @@ def child_candidates(
     )
 
     links = links.filter(U.is_valid_url(F.col("url")))
+    if cfg.strip_tracking:
+        # canonicalize BEFORE batch-dedup/seen-filter so campaign
+        # variants collapse to one frontier entry (engine extension;
+        # off by default for the reference's raw-string parity)
+        links = links.withColumn(
+            "url", U.strip_tracking_params(F.col("url"))
+        )
     if cfg.block_extensions:
         links = links.filter(~U.has_blocked_extension(F.col("url")))
     if cfg.allowed_domains:

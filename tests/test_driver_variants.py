@@ -188,3 +188,52 @@ def test_markdown_extract_mode_crawl(spark, tmp_path):
     basic_rows = {r.url: r.text for r in basic.results().collect()}
     assert any(md_rows[u] != basic_rows[u] for u in md_rows)
     assert any("[" in t and "](" in t for t in md_rows.values())
+
+
+def test_strip_tracking_collapses_campaign_variants(spark, tmp_path):
+    """strip_tracking=True: a page linked via two utm variants costs ONE
+    fetch of the canonical url; off (default, reference parity) the raw
+    variant strings enqueue separately."""
+    import datetime
+
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    target = "https://st.test/article"
+    seed = "https://st.test/"
+    html = (
+        f'<html><body><a href="{target}?utm_source=mail">a</a>'
+        f'<a href="{target}?utm_source=feed">b</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [
+            {"url": seed, "warc_ts": ts, "html": html.encode(),
+             "text": None, "lang": "en"},
+            {"url": target, "warc_ts": ts,
+             "html": b"<html><body>dest</body></html>",
+             "text": None, "lang": "en"},
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": seed, "seq": 0, "unique_id": None}], schema=SEEDS_SCHEMA
+    )
+
+    def crawl(strip):
+        drv = CrawlDriver(
+            spark, pages, None,
+            CrawlConfig(max_levels=2, max_rounds=3, strip_tracking=strip),
+            str(tmp_path / f"ckpt_strip_{strip}"),
+        )
+        drv.run(seeds)
+        return {r.url for r in drv.seen_set().collect()}
+
+    stripped = crawl(True)
+    raw = crawl(False)
+    assert target in stripped                      # canonical form fetched
+    assert not any("utm_" in u for u in stripped)  # no variant enqueued
+    # parity mode keeps the reference's raw-string behaviour: both
+    # variants enqueue (and 404 against the pages table independently)
+    assert {u for u in raw if "utm_" in u} == {
+        f"{target}?utm_source=mail", f"{target}?utm_source=feed"
+    }

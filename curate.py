@@ -131,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
                     "dedup index (from --write-index) — the prior corpus "
                     "is not even read; cost is O(increment + index "
                     "partitions touched)")
+    ap.add_argument("--diff-against", metavar="CORPUS_PARQUET",
+                    help="append an added/removed/changed/same census of "
+                    "the OUTPUT corpus vs a prior snapshot to report.json "
+                    "(what did this refresh actually change?)")
     ap.add_argument("--write-index", metavar="DIR",
                     help="after curation, write the OUTPUT corpus's "
                     "dedup index (distinct digests + MinHash LSH band "
@@ -443,6 +447,18 @@ def main(argv: list[str] | None = None) -> int:
             writer.parquet(args.out)
         out_vals = obs_out.get
 
+    diff_census = None
+    if args.diff_against:
+        # <= 4-row census of the generic digest full-outer join; the
+        # output side re-reads the persisted flagged table
+        prior_docs = spark.read.parquet(args.diff_against)
+        diff_census = {
+            r["status"]: int(r["n"])
+            for r in CU.corpus_diff(
+                prior_docs, docs, id_col=id_c, text_col=text_c
+            ).groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
     index_entries = None
     if args.write_index:
         # index of the OUTPUT corpus (re-read from the persisted flagged
@@ -487,6 +503,8 @@ def main(argv: list[str] | None = None) -> int:
         report["mix_plan"] = mix_plan_rows
     if index_entries is not None:
         report["index_entries"] = index_entries
+    if diff_census is not None:
+        report["diff"] = diff_census
     from pathlib import Path
 
     Path(args.out).mkdir(parents=True, exist_ok=True)

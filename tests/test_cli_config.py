@@ -398,3 +398,33 @@ def test_curate_cli_semdedup(tmp_path):
     assert report["n_input"] == 500
     assert report["stages"]["keep_semdedup"] == 488   # 12 semantic dups
     assert report["n_output"] == 488
+
+
+def test_curate_cli_diff_against(tmp_path):
+    """--diff-against: report gains the refresh census — docs the gate
+    dropped read as 'removed', survivors as 'same' (no text rewrite
+    stages enabled)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_diff"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--sample", "0.8",
+            "--diff-against",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    diff = report["diff"]
+    assert diff["same"] == report["n_output"]
+    assert diff.get("removed", 0) == 500 - report["n_output"]
+    assert "added" not in diff and "changed" not in diff

@@ -701,6 +701,14 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     ranking is summation-order-free and engine-exact (a float Σ over
     shuffled rows is not) — ties beyond 1e-6 resolution break by
     vec_id. Returns (query_id, vec_id, rank, adist_q); lower is closer.
+
+    Use as a SHORTLIST generator, not a final ranker (measured,
+    BENCH.md): 4-byte codes cannot resolve near-ties, so raw ADC
+    recall@5 is ~0.15 on a near-dup-dense corpus — but a k=100
+    shortlist contains the exact top-5 with recall 1.000 there. The
+    production composition is ``pq_topk(k=100)`` → join the shortlist
+    back to full vectors → exact cosine re-rank: 98% of the corpus is
+    scanned as codes, 2% as floats.
     """
     d0 = dim // m
     cb = (

@@ -583,6 +583,17 @@ def q_pq_topk(spark, sf_dir):
     return SIM.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage PQ search (the measured production composition): ADC
+    shortlist of 100 over 4-byte codes, exact cosine re-rank to top-5
+    on the shortlist only — brute_force_topk's output shape at a 98%
+    compressed scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_topk_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=100
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash hamming-ball near-dup pairs via pigeonhole block join over
     64-bit two-half fingerprints: agree on ≥1 of 4 SIXTEEN-bit blocks ⇒
@@ -1418,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "pq_rerank": q_pq_rerank,
         "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1994,6 +2006,73 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY adist_q, vec_id) AS rank,
                    adist_q
             FROM sc QUALIFY rank <= 5""",
+        "pq_rerank": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            seeds AS (
+              SELECT e,
+                     row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+                                        vec_id) - 1 AS code_id
+              FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cb AS (
+              SELECT s.sub, code_id,
+                     e[s.sub * 8 + 1 : s.sub * 8 + 8] AS c
+              FROM seeds, (SELECT unnest(range(8)) AS sub) s
+            ),
+            subs AS (
+              SELECT vec_id, s.sub,
+                     e[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+              FROM v, (SELECT unnest(range(8)) AS sub) s
+            ),
+            dsc AS (
+              SELECT vec_id, sub, code_id,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS d
+              FROM subs JOIN cb USING (sub)
+            ),
+            codes AS (
+              SELECT vec_id, sub, code_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, code_id) AS rn
+                FROM dsc) WHERE rn = 1
+            ),
+            lut AS (
+              SELECT s.vec_id AS query_id, s.sub, cb.code_id,
+                     CAST(floor(list_sum(list_transform(range(1, 9),
+                       i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i])))
+                       * 1000000) AS BIGINT) AS part_q
+              FROM subs s JOIN cb USING (sub)
+              WHERE s.vec_id < 10
+            ),
+            sc AS (
+              SELECT query_id, vec_id,
+                     CAST(sum(part_q) AS BIGINT) AS adist_q
+              FROM codes JOIN lut USING (sub, code_id)
+              WHERE vec_id != query_id
+              GROUP BY 1, 2
+            ),
+            short AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adist_q, vec_id) AS srn
+                FROM sc) WHERE srn <= 100
+            ),
+            rr AS (
+              SELECT s.query_id, s.vec_id,
+                     list_cosine_similarity(q.e, c.e) AS cos
+              FROM short s
+              JOIN v q ON q.vec_id = s.query_id
+              JOIN v c ON c.vec_id = s.vec_id
+            )
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank,
+                   CAST(floor(cos * 1000) AS BIGINT) AS cos_m
+            FROM rr QUALIFY rank <= 5""",
         "semdedup": """
             WITH RECURSIVE v AS (
               SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -130,7 +130,7 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash64",
     "dedup_simhash_pairs", "dedup_components", "dedup_embedding_lsh",
     "semdedup",
-    "ann_topk", "ann_lsh", "ann_ivf", "pq_encode", "pq_topk",
+    "ann_topk", "ann_lsh", "ann_ivf", "pq_encode", "pq_topk", "pq_rerank",
     "lang_id", "quality_score", "token_count", "doc_fingerprint",
     "unigram_logprob", "script_profile",
     "train_corpus_filter", "corpus_split", "corpus_sample",

@@ -750,3 +750,54 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "adist_q")
     )
+
+
+def pq_topk_rerank(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                   shortlist: int = 100, m: int = 8, n_codes: int = 16,
+                   dim: int = 64,
+                   codebooks: DataFrame | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1000) -> DataFrame:
+    """Two-stage PQ search (the production composition, measured in
+    BENCH.md): ADC over 4-byte codes produces a ``shortlist`` per
+    query (:func:`pq_topk` — 98%+ of the corpus never leaves its
+    compressed form), then ONLY the shortlist rows join back to their
+    full vectors for an exact cosine re-rank. At shortlist=100 on the
+    5k clustered corpus the exact top-5 is recovered completely
+    (recall 1.000) while raw ADC top-5 alone sits at ~0.15.
+
+    Plan: the shortlist is |Q|·shortlist rows — the re-rank join,
+    cosine, and per-query top-k window all run on that bounded set,
+    never the corpus. Returns (query_id, vec_id, rank, cos_m) in
+    :func:`brute_force_topk`'s output shape, so callers can swap the
+    exact scan for this at scale without touching consumers.
+    """
+    from pyspark.sql.window import Window
+
+    short = pq_topk(
+        vectors, queries, k=shortlist, m=m, n_codes=n_codes, dim=dim,
+        codebooks=codebooks, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "vec_id")
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qe"),
+    )
+    scored = (
+        short.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine(F.col("qe"), F.col("e")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "rank",
+            F.floor(F.col("cos") * scale).cast("long").alias("cos_m"),
+        )
+    )

@@ -304,3 +304,21 @@ def test_pq_topk_adc_recalls_planted_near_dup(vec_df):
     assert [(r.vec_id, r.adist_q) for r in out1] == [
         (r.vec_id, r.adist_q) for r in out2
     ]
+
+
+def test_pq_rerank_full_shortlist_equals_exact(vec_df):
+    """With shortlist = corpus size the re-rank IS the exact search —
+    output matches brute_force_topk row for row."""
+    queries = vec_df.filter(F.col("vec_id") < 3)
+    exact = [
+        (r.query_id, r.vec_id, r.rank, r.cos_m)
+        for r in SIM.brute_force_topk(vec_df, queries, k=4)
+        .orderBy("query_id", "rank").collect()
+    ]
+    two_stage = [
+        (r.query_id, r.vec_id, r.rank, r.cos_m)
+        for r in SIM.pq_topk_rerank(
+            vec_df, queries, k=4, shortlist=N, m=4, n_codes=8, dim=DIM
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert two_stage == exact

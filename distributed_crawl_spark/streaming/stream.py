@@ -113,6 +113,53 @@ def stream_extract_pages(
     )
 
 
+def stream_curate(
+    spark: SparkSession,
+    docs_dir: str,
+    min_quality: int | None = 50_000,
+    langs: tuple[str, ...] | None = ("en",),
+    gopher: bool = True,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Streaming quality gate — the 24/7 twin of the batch curation
+    gates (``train_corpus_gopher`` / lang + quality filters): documents
+    landing as files are scored and gated IN FLIGHT, so a continuous
+    crawl can feed training shards without waiting for a nightly batch
+    pass over the accumulated corpus.
+
+    Entirely stateless — language ID, the integer quality score, and the
+    full Gopher rule set (Rae et al. 2021) are closed-form column
+    expressions, so the stream is a projection + filter: append mode, no
+    watermark, no state store, and a drained ``Trigger.AvailableNow``
+    run equals the batch gate on the same files (pytest parity). At
+    scale each micro-batch gates independently with zero shuffle —
+    throughput is bounded by the file source, and the operator composes
+    downstream of :func:`stream_dedup_urls` (dedup first, score second)
+    or upstream of a parquet shard sink.
+
+    Any gate can be disabled (``min_quality=None`` / ``langs=None`` /
+    ``gopher=False``). Returns the document columns plus ``lang`` and
+    ``quality`` for the survivors.
+    """
+    from ..functions import textstats as TS
+
+    schema = spark.read.parquet(docs_dir).schema  # infer once, batch-side
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    text = F.col("text")
+    out = docs.withColumn("lang", TS.lang_id(text)).withColumn(
+        "quality", TS.quality_score_int(text)
+    )
+    if langs is not None:
+        out = out.filter(F.col("lang").isin(*langs))
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= F.lit(min_quality))
+    if gopher:
+        out = out.filter(
+            TS.gopher_keep(TS.gopher_features(text, stopwords=stopwords))
+        )
+    return out
+
+
 def stream_dedup_urls(
     spark: SparkSession,
     pages_dir: str,

@@ -298,3 +298,37 @@ def test_stream_sessions_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+def test_stream_curate_equals_batch_gate(spark, tmp_path):
+    """The streaming quality gate (stateless lang/quality/Gopher
+    projections) drains to exactly the batch gate's survivor set, with
+    identical per-doc lang and quality values. Stopword lexicon adapted
+    to the synthetic corpus exactly as the train_corpus_gopher contract
+    query does (the paper's 8-word list is vacuous on SQL-word soup)."""
+    from distributed_crawl_spark.functions import textstats as TS
+    from distributed_crawl_spark.streaming.stream import stream_curate
+
+    sw = sorted(["a", *TS.LANG_MARKERS["en"]])
+    docs_dir = str(tmp_path / "docs_c")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(docs_dir)
+    stream = stream_curate(
+        spark, docs_dir, min_quality=30_000, langs=("en",), stopwords=sw
+    )
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck_c"), "curated")
+    got = {
+        r.doc_id: (r.lang, r.quality) for r in spark.table("curated").collect()
+    }
+    batch_docs = spark.read.parquet(docs_dir)
+    text = F.col("text")
+    batch = (
+        batch_docs.withColumn("lang", TS.lang_id(text))
+        .withColumn("quality", TS.quality_score_int(text))
+        .filter(F.col("lang") == "en")
+        .filter(F.col("quality") >= 30_000)
+        .filter(TS.gopher_keep(TS.gopher_features(text, stopwords=sw)))
+    )
+    want = {r.doc_id: (r.lang, r.quality) for r in batch.collect()}
+    assert got == want
+    # the gate must actually discriminate on this corpus
+    assert 0 < len(got) < batch_docs.count()

@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="store ONE crawl_results row per distinct content "
                     "hash (the reference's hash-named-file overwrite "
                     "semantics); crawl flow is unaffected")
+    ap.add_argument("--capture-anchors", action="store_true",
+                    help="store each page's (target_url, anchor) pairs as a "
+                    "crawl_results column (same Arrow pass as extraction); "
+                    "--export-dir then also writes anchor_census/ (top-5 "
+                    "inbound anchors per link target)")
     ap.add_argument("--strip-tracking", action="store_true",
                     help="strip utm_*/fbclid/gclid/msclkid params from "
                     "extracted links before dedup and the seen filter "
@@ -118,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         content_dedup=args.content_dedup,
         strip_tracking=args.strip_tracking,
         extract_mode=args.extract_mode,
+        capture_anchors=args.capture_anchors,
     )
     if args.config:
         import os
@@ -193,9 +199,18 @@ def _export(driver, out_dir: str) -> None:
     session_summary(driver, path=os.path.join(out_dir, "summary.json"))
     export_status_csv(driver.current_status(), os.path.join(out_dir, "status.csv"))
     ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d_%H%M%S")
-    export_results_layout(
-        driver.results(), os.path.join(out_dir, "results"), ts
-    )
+    results = driver.results()
+    export_results_layout(results, os.path.join(out_dir, "results"), ts)
+    if "anchors" in results.columns:
+        # capture_anchors ran: census from the stored slim pairs column —
+        # no html re-scan at export time
+        from distributed_crawl_spark.functions.graph import (
+            anchor_census_from_pairs,
+        )
+
+        anchor_census_from_pairs(results).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "anchor_census")
+        )
 
 
 if __name__ == "__main__":

@@ -47,6 +47,13 @@ class CrawlConfig:
     # children, seen set, ordering — is identical either way; only the
     # stored text (and therefore md_hash) changes.
     extract_mode: str = "basic"
+    # Web-graph extension (no reference analog — webcrawleranalyzer.py:139-140
+    # discards anchor text): capture each fetched page's (target_url, anchor)
+    # pairs as an extra crawl_results column, harvested in the SAME Arrow
+    # pass as text/links (html never crosses into Python twice). Feeds the
+    # inbound anchor census at export time (functions/graph.py) without
+    # re-scanning stored html. Default off: parity-mode schema unchanged.
+    capture_anchors: bool = False
 
     # engine scale knobs (SURVEY.md §2.9/§4)
     host_budget: int | None = None  # None = unlimited (parity mode)

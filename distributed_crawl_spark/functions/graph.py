@@ -151,20 +151,41 @@ def anchor_census(pages: DataFrame, k: int = 5,
     (n DESC, anchor ASC) for deterministic, oracle-checkable output.
     Returns (target_url, anchor, n, rank).
     """
-    from pyspark.sql.window import Window
-
     from .text import anchor_pairs_udf
 
     pairs = pages.select(
         F.explode(
             anchor_pairs_udf(F.col(url_col), F.col(html_col))
         ).alias("p")
-    ).select(
-        F.col("p.target_url").alias("target_url"),
-        F.col("p.anchor").alias("anchor"),
     )
-    census = pairs.groupBy("target_url", "anchor").agg(
-        F.count(F.lit(1)).alias("n")
+    return _census_topk(pairs, k)
+
+
+def anchor_census_from_pairs(results: DataFrame, k: int = 5,
+                             pairs_col: str = "anchors") -> DataFrame:
+    """:func:`anchor_census` over PRE-CAPTURED pairs — the crawl-export
+    path. A crawl run with ``CrawlConfig.capture_anchors`` stores each
+    page's (target_url, anchor) pairs as a crawl_results column (harvested
+    in the extract UDF's Arrow pass, operators/fetch.py), so the census at
+    export time is explode → one map-side-combinable shuffle over a slim
+    parquet column — NO html re-scan, no second Python crossing of the
+    page bytes. Output schema and semantics identical to
+    :func:`anchor_census` on the same fetched pages."""
+    pairs = results.select(F.explode(F.col(pairs_col)).alias("p"))
+    return _census_topk(pairs, k)
+
+
+def _census_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared census stage: exploded pair structs → per-target top-k."""
+    from pyspark.sql.window import Window
+
+    census = (
+        pairs.select(
+            F.col("p.target_url").alias("target_url"),
+            F.col("p.anchor").alias("anchor"),
+        )
+        .groupBy("target_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("target_url").orderBy(
         F.col("n").desc(), F.col("anchor")

@@ -101,22 +101,33 @@ class _TextLinkParser(HTMLParser):
                 self._a_buf.append(data)
 
 
-def extract_text_and_hrefs(html: bytes | str | None) -> tuple[str, list[str]]:
-    """Pure-Python core of the invariant; also used by the corpus generator
-    and the pytest oracle. Returns (extracted_text, raw hrefs in doc order)."""
+def _run_parser(html: bytes | str | None) -> _TextLinkParser | None:
+    """Decode + run the shared tokenizer once; None for missing html."""
     if html is None:
-        return "", []
+        return None
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     parser = _TextLinkParser()
     parser.feed(html)
     parser.close()
-    text_content = "".join(parser.parts)
+    return parser
+
+
+def _text_from_parts(parts: list[str]) -> str:
+    text_content = "".join(parts)
     # verbatim whitespace pipeline — hybrid_crawler.py:373-375
     lines = (line.strip() for line in text_content.splitlines())
     chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
-    markdown = "\n".join(chunk for chunk in chunks if chunk)
-    return markdown, parser.hrefs
+    return "\n".join(chunk for chunk in chunks if chunk)
+
+
+def extract_text_and_hrefs(html: bytes | str | None) -> tuple[str, list[str]]:
+    """Pure-Python core of the invariant; also used by the corpus generator
+    and the pytest oracle. Returns (extracted_text, raw hrefs in doc order)."""
+    parser = _run_parser(html)
+    if parser is None:
+        return "", []
+    return _text_from_parts(parser.parts), parser.hrefs
 
 
 def resolve_links(base_url: str, hrefs: list[str], max_links: int | None) -> list[str]:
@@ -149,15 +160,17 @@ def extract_anchor_texts(base_url: str,
     targets — the census downstream counts them — and drops pairs whose
     collapsed anchor text is empty (image/icon links carry no label).
     """
-    if html is None:
+    parser = _run_parser(html)
+    if parser is None:
         return []
-    if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
-    parser = _TextLinkParser()
-    parser.feed(html)
-    parser.close()
+    return _filter_anchor_pairs(base_url, parser.anchor_pairs)
+
+
+def _filter_anchor_pairs(
+    base_url: str, pairs: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
-    for href, text in parser.anchor_pairs:
+    for href, text in pairs:
         if not href or href.startswith("#") or not text:
             continue
         absolute = urljoin(base_url, href)
@@ -194,7 +207,17 @@ EXTRACT_RESULT_TYPE = StructType(
 )
 
 
-def make_extract_udf(max_links: int | None = 10, mode: str = "basic"):
+EXTRACT_ANCHOR_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("anchors", ANCHOR_PAIR_TYPE),
+    ]
+)
+
+
+def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
+                     with_anchors: bool = False):
     """Vectorized extractor: (url, html) → struct(text, links).
 
     One Arrow batch in, one out; resolution/filter/dedup/cap happen in the
@@ -206,21 +229,42 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic"):
     Crawl4AI-path output shape) instead — LINK semantics are identical in
     both modes (same href stream, same resolve/filter/dedup/cap), so the
     crawl graph does not depend on the text mode.
+
+    ``with_anchors=True`` widens the struct with the page's
+    ``(target_url, anchor)`` pairs (same hygiene as
+    :func:`extract_anchor_texts`) captured from the SAME tokenizer pass —
+    html still crosses into Python exactly once, so in-crawl anchor
+    capture costs one extra output column, not a second Arrow exchange
+    of the page bytes.
     """
     if mode not in ("basic", "markdown"):
         raise ValueError(f"unknown extract mode {mode!r}")
 
-    @pandas_udf(EXTRACT_RESULT_TYPE)
+    result_type = EXTRACT_ANCHOR_RESULT_TYPE if with_anchors else EXTRACT_RESULT_TYPE
+
+    @pandas_udf(result_type)
     def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         texts: list[str] = []
         links: list[list[str]] = []
+        anchors: list[list[tuple[str, str]]] = []
         for u, h in zip(url, html):
-            text, hrefs = extract_text_and_hrefs(h)
+            parser = _run_parser(h)
+            text = _text_from_parts(parser.parts) if parser else ""
+            hrefs = parser.hrefs if parser else []
             if mode == "markdown":
                 text = html_to_markdown(h, base_url=u or "")
             texts.append(text)
             links.append(resolve_links(u, hrefs, max_links))
-        return pd.DataFrame({"text": texts, "links": links})
+            if with_anchors:
+                anchors.append(
+                    _filter_anchor_pairs(
+                        u or "", parser.anchor_pairs if parser else []
+                    )
+                )
+        out = {"text": texts, "links": links}
+        if with_anchors:
+            out["anchors"] = anchors
+        return pd.DataFrame(out)
 
     return extract
 

@@ -37,15 +37,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import url as U
-from ..functions.text import make_extract_udf
+from ..functions.text import ANCHOR_PAIR_TYPE, make_extract_udf
+
+# SQL type string for the captured (target_url, anchor) pair column —
+# used to type the empty-array fallback on miss rows.
+_ANCHORS_SQL = ANCHOR_PAIR_TYPE.simpleString()
 
 
 def _with_extract_columns(
     joined: DataFrame, max_links: int | None, extract_links: bool,
-    extract_mode: str = "basic",
+    extract_mode: str = "basic", with_anchors: bool = False,
 ) -> DataFrame:
     extract = make_extract_udf(
-        max_links=max_links if extract_links else 0, mode=extract_mode
+        max_links=max_links if extract_links else 0, mode=extract_mode,
+        with_anchors=with_anchors,
     )
     ex = (
         joined.withColumn(
@@ -83,6 +88,16 @@ def _with_extract_columns(
             F.when(F.coalesce(U.is_geo_blocked(text), F.lit(False)),
                    F.lit("local_geo_blocked")).otherwise(F.lit("pages_table_join")),
         )
+        .withColumns(
+            {
+                "anchors": F.coalesce(
+                    F.col("ex.anchors"),
+                    F.array().cast(_ANCHORS_SQL),
+                )
+            }
+            if with_anchors
+            else {}
+        )
         .drop("ex")
     )
 
@@ -94,10 +109,14 @@ def fetch_hits(
     extract_links: bool = True,
     strategy: str = "broadcast",
     extract_mode: str = "basic",
+    with_anchors: bool = False,
 ) -> DataFrame:
     """Fetch+extract for the HIT rows only (page found): selected frontier
     columns + ok=true, status_code, text, md_hash, page_slug, filename,
-    content_length, last_modified, extracted_links, geo_blocked, method.
+    content_length, last_modified, extracted_links, geo_blocked, method
+    (+ ``anchors`` — the page's (target_url, anchor) pairs — when
+    ``with_anchors``; captured in the SAME Arrow pass as text/links, so
+    in-crawl anchor capture never re-exchanges html).
 
     Misses are NOT in the output — derive them with :func:`fetch_misses`
     against the materialized result (the driver writes hits first, making
@@ -113,10 +132,12 @@ def fetch_hits(
         joined = page_side.join(F.broadcast(selected), "url", "inner")
     else:
         joined = selected.join(page_side, "url", "inner")
-    return _with_extract_columns(joined, max_links, extract_links, extract_mode)
+    return _with_extract_columns(joined, max_links, extract_links, extract_mode,
+                                 with_anchors)
 
 
-def fetch_misses(selected: DataFrame, hit_urls: DataFrame) -> DataFrame:
+def fetch_misses(selected: DataFrame, hit_urls: DataFrame,
+                 with_anchors: bool = False) -> DataFrame:
     """Selected rows whose url has no page: status 404, no content.
     Column set matches :func:`fetch_hits` so the two union cleanly."""
     missed = selected.join(hit_urls.select("url"), "url", "left_anti")
@@ -133,6 +154,9 @@ def fetch_misses(selected: DataFrame, hit_urls: DataFrame) -> DataFrame:
         .withColumn("extracted_links", F.array().cast("array<string>"))
         .withColumn("geo_blocked", F.lit(None).cast("boolean"))
         .withColumn("method", F.lit("pages_table_join"))
+        .withColumns(
+            {"anchors": F.array().cast(_ANCHORS_SQL)} if with_anchors else {}
+        )
     )
 
 
@@ -143,15 +167,18 @@ def fetch_and_extract(
     extract_links: bool = True,
     strategy: str = "shuffle",
     extract_mode: str = "basic",
+    with_anchors: bool = False,
 ) -> DataFrame:
     """One-shot hits+misses (left-join semantics). Convenient for tests and
     single-pass queries; the round driver uses fetch_hits/fetch_misses with
     a materialization in between instead."""
     if strategy == "broadcast":
         hits = fetch_hits(selected, pages, max_links, extract_links, strategy,
-                          extract_mode)
+                          extract_mode, with_anchors)
         return hits.select(*_ordered_cols(hits)).unionByName(
-            fetch_misses(selected, hits).select(*_ordered_cols(hits))
+            fetch_misses(selected, hits, with_anchors).select(
+                *_ordered_cols(hits)
+            )
         )
     page_side = pages.select(
         "url",
@@ -160,7 +187,8 @@ def fetch_and_extract(
         F.lit(True).alias("page_hit"),
     )
     joined = selected.join(page_side, "url", "left")
-    return _with_extract_columns(joined, max_links, extract_links, extract_mode)
+    return _with_extract_columns(joined, max_links, extract_links, extract_mode,
+                                 with_anchors)
 
 
 def _ordered_cols(df: DataFrame) -> list[str]:

@@ -326,6 +326,7 @@ class CrawlDriver:
         hits = fetch_hits(
             selected, self.pages, cfg.max_links, cfg.extract_links,
             strategy=strategy, extract_mode=cfg.extract_mode,
+            with_anchors=cfg.capture_anchors,
         ).withColumn("round", F.lit(round_no))
         hits = hits.observe(
             obs_fetch,
@@ -692,13 +693,18 @@ class CrawlDriver:
 
     def results(self, version: int | None = None) -> DataFrame:
         """Completed pages in the reference's results-store shape (K1/K2:
-        text + metadata columns, one row per fetched URL)."""
-        return self._table("crawl_results", version).select(
+        text + metadata columns, one row per fetched URL; plus the stored
+        ``anchors`` pairs when the crawl ran with capture_anchors)."""
+        stored = self._table("crawl_results", version)
+        cols = [
             "url", "seq", "level", "round", "text", "md_hash", "page_slug",
             "filename", "method", "status_code", "content_length",
             "last_modified", "extracted_links",
             F.col("geo_blocked").cast("string").alias("geo_blocked"),
-        )
+        ]
+        if "anchors" in stored.columns:
+            cols.append("anchors")
+        return stored.select(*cols)
 
     def fetch_log(self) -> DataFrame:
         """Slim per-attempt log — the crawl-ordering evidence (attempt is

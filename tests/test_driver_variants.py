@@ -237,3 +237,45 @@ def test_strip_tracking_collapses_campaign_variants(spark, tmp_path):
     assert {u for u in raw if "utm_" in u} == {
         f"{target}?utm_source=mail", f"{target}?utm_source=feed"
     }
+
+
+def test_capture_anchors_census_parity(spark, tmp_path):
+    """capture_anchors=True stores each fetched page's (target_url, anchor)
+    pairs as a crawl_results column (harvested in the SAME Arrow pass as
+    text/links), and the export-time census over the stored pairs equals
+    anchor_census() recomputed from the fetched pages' raw html. The crawl
+    graph itself is unaffected, and the default schema stays anchor-free."""
+    from distributed_crawl_spark.functions.graph import (
+        anchor_census,
+        anchor_census_from_pairs,
+    )
+
+    plain = _run(spark, tmp_path)
+    cap = _run(spark, tmp_path, seen_filter="cuckoo",
+               cuckoo_buckets=1 << 10, capture_anchors=True)
+
+    assert "anchors" not in plain.results().columns
+    results = cap.results()
+    assert "anchors" in results.columns
+
+    # crawl-graph parity: anchor capture is a pure extra output column
+    assert (
+        {(r.url, r.md_hash) for r in plain.results().collect()}
+        == {(r.url, r.md_hash) for r in results.select("url", "md_hash").collect()}
+    )
+
+    # census parity: stored-pairs census == html-recomputed census over
+    # exactly the fetched pages
+    fetched_pages = corpus.tiny_pages(spark).join(
+        results.select("url"), "url", "left_semi"
+    )
+    from_html = {
+        (r.target_url, r.anchor, r.n, r.rank)
+        for r in anchor_census(fetched_pages, k=3).collect()
+    }
+    from_pairs = {
+        (r.target_url, r.anchor, r.n, r.rank)
+        for r in anchor_census_from_pairs(results, k=3).collect()
+    }
+    assert from_pairs == from_html
+    assert from_pairs, "corpus produced no anchors — fixture regression"

@@ -1221,6 +1221,36 @@ def q_top_ngrams(spark, sf_dir):
     return CU.top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=10)
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (integer-quantized idf, exact
+    BIGINT scores — float tf-idf could never hash-match an oracle).
+    Two combinable censuses + one token join (AQE-splittable skew) +
+    a WindowGroupLimit'd per-doc top-k."""
+    return TS.doc_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization (UAX #15 canonical composition) — the
+    first step of real web-text cleaning. The ASCII corpus is already
+    NFC, so decomposed sequences are planted deterministically
+    (synthesize-the-structure trick, same as multimodal/markdown):
+    doc_id%3 copies of e+COMBINING-ACUTE and doc_id%2 of o+COMBINING-
+    DIAERESIS — both engines then do real composition work on 5/6 of
+    the rows and must agree byte-for-byte."""
+    from distributed_crawl_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.expr("repeat('e\u0301', pmod(doc_id, 3))"),
+            F.expr("repeat('o\u0308', pmod(doc_id, 2))"),
+        ).alias("text"),
+    )
+    return normalize_text(planted)
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Within-doc duplicate-line removal (C4-style cleaner). The
     synthetic corpus has no newlines, so the query first reshapes each
@@ -1461,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "train_corpus_full": q_train_corpus_full,
         "top_ngrams": q_top_ngrams,
+        "doc_keywords": q_doc_keywords,
+        "normalize_nfc": q_normalize_nfc,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -2877,6 +2909,35 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_docs DESC, n_total DESC, gram)
                      AS rank
             FROM c QUALIFY rank <= 10""",
+        "doc_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.tok, tf.tf,
+                     CAST(floor(ln(n.n / df.df) * 1000000) AS BIGINT) AS idf_u
+              FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, idf_u,
+                   CAST(tf * idf_u AS BIGINT) AS score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tf * idf_u DESC, tok) AS rank
+            FROM s QUALIFY rank <= 5""",
+        "normalize_nfc": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' ' || repeat('e' || chr(769), doc_id % 3)
+                          || repeat('o' || chr(776), doc_id % 2) AS text
+              FROM documents
+            )
+            SELECT doc_id, nfc_normalize(text) AS norm_text,
+                   nfc_normalize(text) != text AS changed
+            FROM p""",
         "dedup_doc_lines": """
             WITH l AS (
               SELECT doc_id,

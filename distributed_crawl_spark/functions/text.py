@@ -459,3 +459,37 @@ def truncate_content(text: Column, max_words: int = 4000) -> Column:
             F.lit("\n\n[Content truncated...]"),
         ),
     ).otherwise(text)
+
+
+@pandas_udf(StringType())
+def nfc_normalize_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (canonical composition), Arrow-batched.
+
+    The standard first step of web-text cleaning: scraped pages mix
+    precomposed ('é') and decomposed ('e' + U+0301) forms of the same
+    character, so downstream exact/near dedup, token counting, and
+    fingerprints disagree on byte-identical-looking text until forms
+    are canonicalized. Spark has no built-in normalizer, so this is a
+    sanctioned pandas UDF over stdlib ``unicodedata`` (the same NFC the
+    DuckDB oracle's ``nfc_normalize`` implements — both follow UAX #15,
+    which makes the op contract-checkable)."""
+    import unicodedata
+
+    return text.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc NFC normalization pass: (doc_id, norm_text, changed).
+
+    ``changed`` marks docs whose text was not already in NFC — the audit
+    column (a high changed-rate per source flags an encoding-mangled
+    feed). Pure projection: zero shuffle, one Arrow crossing of the text
+    column."""
+    norm = nfc_normalize_udf(F.col(text_col))
+    return docs.select(
+        id_col,
+        norm.alias("norm_text"),
+        (~norm.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

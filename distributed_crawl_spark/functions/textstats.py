@@ -488,3 +488,57 @@ def script_profile(text: Column) -> dict[str, Column]:
     out = {f"n_{s}": c for s, c in counts.items()}
     out["main_script"] = main
     return out
+
+
+def doc_keywords(docs, k: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Per-document top-``k`` TF-IDF keywords — the classic retrieval /
+    corpus-exploration census ("what is this page about"), used to label
+    clusters, seed topic mixes, and audit what a training slice actually
+    contains. No reference analog (the crawler stores raw text only);
+    engine corpus-analysis extension alongside :func:`top_ngrams`.
+
+    Determinism contract: idf is quantized ONCE per distinct token —
+    ``idf_u = floor(ln(N / df) * 1e6)`` (one double divide + ln on
+    identical inputs is IEEE-identical across engines, same contract as
+    unigram_logprob) — and the score is the exact BIGINT product
+    ``tf * idf_u``. Ties break (score DESC, token ASC).
+
+    Plan at 100 TB: tf census = one map-combinable (doc, token) shuffle;
+    df census rides the tf output with a second map-combinable token
+    shuffle (input already one row per (doc, token)); N is a one-row
+    broadcast cross join (constant); the tf⋈idf join shuffles on token —
+    stopword keys are heavy on the probe side, but the build side is ONE
+    row per token, so AQE's skew-join split handles the head (the build
+    partition replicates; no salting needed); the final per-doc top-k is
+    a row_number window that gets Spark 4's map-side
+    WindowGroupLimit(Partial) — each map task forwards ≤ k rows per doc.
+
+    Returns (doc_id, tok, tf, idf_u, score, rank), rank 1..k per doc;
+    token-less docs are absent (nothing to rank).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.floor(F.log(F.col("n") / F.col("df")) * 1_000_000)
+            .cast("long").alias("idf_u"),
+        )
+    )
+    scored = tf.join(idf, "tok").withColumn(
+        "score", (F.col("tf") * F.col("idf_u")).cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "tok", F.col("tf").cast("long").alias("tf"),
+                "idf_u", "score", "rank")
+    )

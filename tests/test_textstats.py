@@ -319,3 +319,52 @@ def test_audio_metadata_and_chunk_plan(spark):
                  for c in by_media[0])
     assert got == [(0, 0, 4), (1, 4, 8), (2, 8, 10)]   # ragged tail
     assert [(c.start_ms, c.end_ms) for c in by_media[1]] == [(0, 0)]
+
+
+def test_doc_keywords_tfidf_ranking(spark):
+    """Corpus-wide token 'x' (df=N → idf=0) must never outrank a
+    doc-unique token; scores are exact BIGINT tf*idf_u products."""
+    df = spark.createDataFrame(
+        [
+            (0, "x x x x apple apple"),
+            (1, "x banana"),
+            (2, "x x cherry cherry cherry"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = TS.doc_keywords(df, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # unique token wins despite lower tf than the universal 'x'
+    assert rows[(0, 1)].tok == "apple"
+    assert rows[(1, 1)].tok == "banana"
+    assert rows[(2, 1)].tok == "cherry"
+    import math
+
+    idf_unique = math.floor(math.log(3.0 / 1.0) * 1_000_000)
+    assert rows[(0, 1)].idf_u == idf_unique
+    assert rows[(0, 1)].score == 2 * idf_unique  # tf=2 exact product
+    # df=N token: idf_u == 0, so score 0, ranked by token asc after
+    assert rows[(0, 2)].tok == "x" and rows[(0, 2)].score == 0
+    assert out.filter(F.col("rank") > 2).count() == 0
+
+
+def test_normalize_nfc(spark):
+    """Decomposed sequences compose; already-NFC text is flagged
+    unchanged; null text survives."""
+    from distributed_crawl_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "cafe\u0301 o\u0308"),  # decomposed e-acute, o-umlaut
+            (1, "plain ascii"),
+            (2, "caf\u00e9"),  # already composed
+            (3, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.norm_text, r.changed) for r in
+           normalize_text(df).collect()}
+    assert got[0] == ("caf\u00e9 \u00f6", True)
+    assert got[1] == ("plain ascii", False)
+    assert got[2] == ("caf\u00e9", False)
+    assert got[3] == (None, False)

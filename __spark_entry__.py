@@ -1251,6 +1251,37 @@ def q_normalize_nfc(spark, sf_dir):
     return normalize_text(planted)
 
 
+def q_url_trap_filter(spark, sf_dir):
+    """Crawl-trap detection (Mercator frontier hygiene): per-URL repeated-
+    segment / depth / param-count / path-length signals + the is_trap
+    predicate. Trap-shaped URLs are synthesized deterministically from
+    documents (repeated '/sec/cal' runs scaled by doc_id%6, param tails
+    by doc_id%12 on every third doc) so both engines evaluate real
+    calendar-trap and param-explosion cases. Pure projection — array
+    HOFs bounded by each URL's own segment count, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org"),
+        F.expr("repeat('/sec/cal', pmod(doc_id, 6))"),
+        F.lit("/page"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?a=1"),
+                     F.expr("repeat('&b=2', pmod(doc_id, 12))")),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    f = U.trap_features(F.col("url"))
+    return planted.select(
+        "doc_id",
+        f["path_depth"].alias("path_depth"),
+        f["max_seg_repeat"].alias("max_seg_repeat"),
+        f["n_params"].alias("n_params"),
+        f["path_len"].alias("path_len"),
+        U.is_trap(F.col("url")).alias("trap"),
+    )
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Within-doc duplicate-line removal (C4-style cleaner). The
     synthetic corpus has no newlines, so the query first reshapes each
@@ -1493,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "doc_keywords": q_doc_keywords,
         "normalize_nfc": q_normalize_nfc,
+        "url_trap_filter": q_url_trap_filter,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -2928,6 +2960,44 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY tf * idf_u DESC, tok) AS rank
             FROM s QUALIFY rank <= 5""",
+        "url_trap_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.org'
+                       || repeat('/sec/cal', doc_id % 6) || '/page'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?a=1' || repeat('&b=2', doc_id % 12)
+                               ELSE '' END AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS q
+              FROM u
+            ),
+            s AS (
+              SELECT doc_id, path, q,
+                     list_filter(string_split(path, '/'), x -> x != '') AS segs
+              FROM p
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(len(segs) AS BIGINT) AS path_depth,
+                     CAST(CASE WHEN len(segs) > 0
+                               THEN list_max(list_transform(segs,
+                                      s2 -> len(list_filter(segs, x -> x = s2))))
+                               ELSE 0 END AS BIGINT) AS max_seg_repeat,
+                     CAST(CASE WHEN q != '' THEN len(string_split(q, '&'))
+                               ELSE 0 END AS BIGINT) AS n_params,
+                     CAST(length(path) AS BIGINT) AS path_len
+              FROM s
+            )
+            SELECT doc_id, path_depth, max_seg_repeat, n_params, path_len,
+                   (max_seg_repeat >= 3 OR path_depth > 12
+                    OR n_params > 8 OR path_len > 200) AS trap
+            FROM f""",
         "normalize_nfc": """
             WITH p AS (
               SELECT doc_id,

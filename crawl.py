@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="store ONE crawl_results row per distinct content "
                     "hash (the reference's hash-named-file overwrite "
                     "semantics); crawl flow is unaffected")
+    ap.add_argument("--drop-traps", action="store_true",
+                    help="drop trap-shaped child links (repeated path "
+                    "segments, param explosions, unbounded paths) before "
+                    "dedup and the seen filter")
     ap.add_argument("--capture-anchors", action="store_true",
                     help="store each page's (target_url, anchor) pairs as a "
                     "crawl_results column (same Arrow pass as extraction); "
@@ -124,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
         strip_tracking=args.strip_tracking,
         extract_mode=args.extract_mode,
         capture_anchors=args.capture_anchors,
+        drop_traps=args.drop_traps,
     )
     if args.config:
         import os

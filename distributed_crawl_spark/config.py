@@ -39,6 +39,12 @@ class CrawlConfig:
     # BEFORE batch-dedup and the seen filter, so one page reached via N
     # campaign variants costs one fetch, not N.
     strip_tracking: bool = False
+    # Frontier trap hygiene (engine extension, default off = parity):
+    # drop trap-shaped child links (repeated path segments >= 3, depth
+    # > 12, > 8 query params, path > 200 chars — functions/url.is_trap)
+    # before dedup and the seen filter, so calendar traps and session-id
+    # explosions can't monopolize a host's politeness budget.
+    drop_traps: bool = False
     # Text emitted by the extraction stage: 'basic' = the reference's
     # byte-identical whitespace-pipeline text (THE P7 invariant, default);
     # 'markdown' = structure-preserving markdown (the Crawl4AI-path output

@@ -211,3 +211,59 @@ def strip_tracking_params(url: Column) -> Column:
         url.contains("?") & (F.size(kept) > 0),
         F.concat(base, F.lit("?"), F.array_join(kept, "&")),
     ).otherwise(base)
+
+
+def trap_features(url: Column) -> dict[str, Column]:
+    """Crawl-trap signals per URL — the Mercator-style frontier hygiene
+    every production crawler needs (Heydon & Najork 1999): calendar
+    traps and cycle links repeat path segments, session-id/faceted-
+    search explosions stack query params, generated spaces grow
+    unbounded paths. No reference analog (the reference caps by level
+    only, hybrid_crawler.py max_levels); engine crawl-kernel extension.
+
+    Closed-form Column expressions (array HOFs over the split path —
+    bounded by the URL's own segment count, zero shuffle, dialect-
+    portable so the DuckDB oracle checks values):
+
+    - ``path_depth``   — non-empty path segments
+    - ``max_seg_repeat`` — occurrences of the most-repeated segment
+      (/cal/2024/cal/2024/... → 2); the calendar/cycle-trap signal
+    - ``n_params``     — '&'-separated query params
+    - ``path_len``     — path length in chars
+    """
+    path = url_path(url)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    max_rep = F.when(
+        depth > 0,
+        F.array_max(
+            F.transform(
+                segs, lambda s: F.size(F.filter(segs, lambda x: x == s))
+            )
+        ),
+    ).otherwise(F.lit(0))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = (
+        F.when(query != "", F.size(F.split(query, "&"))).otherwise(F.lit(0))
+    )
+    return {
+        "path_depth": depth.cast("long"),
+        "max_seg_repeat": max_rep.cast("long"),
+        "n_params": n_params.cast("long"),
+        "path_len": F.length(path).cast("long"),
+    }
+
+
+def is_trap(url: Column, max_repeat: int = 3, max_depth: int = 12,
+            max_params: int = 8, max_path_len: int = 200) -> Column:
+    """Conservative trap predicate over :func:`trap_features` — meant as
+    a frontier pre-filter (drop before the seen-filter/politeness
+    stages so a trap site can't monopolize its host budget). Thresholds
+    follow common crawler defaults; tune per deployment."""
+    f = trap_features(url)
+    return (
+        (f["max_seg_repeat"] >= max_repeat)
+        | (f["path_depth"] > max_depth)
+        | (f["n_params"] > max_params)
+        | (f["path_len"] > max_path_len)
+    )

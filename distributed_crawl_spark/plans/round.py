@@ -93,6 +93,13 @@ def child_candidates(
         )
     if cfg.block_extensions:
         links = links.filter(~U.has_blocked_extension(F.col("url")))
+    if cfg.drop_traps:
+        # Mercator-style frontier hygiene (engine extension, off by
+        # default for reference parity): drop trap-shaped children
+        # (repeated path segments, param explosions, unbounded paths)
+        # BEFORE batch-dedup/seen-filter so a trap site never reaches
+        # its host's politeness budget
+        links = links.filter(~U.is_trap(F.col("url")))
     if cfg.allowed_domains:
         links = links.filter(
             U.url_netloc(F.col("url")).isin(*cfg.allowed_domains)

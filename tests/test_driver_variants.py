@@ -279,3 +279,45 @@ def test_capture_anchors_census_parity(spark, tmp_path):
     }
     assert from_pairs == from_html
     assert from_pairs, "corpus produced no anchors — fixture regression"
+
+
+def test_drop_traps_frontier_hygiene(spark, tmp_path):
+    """drop_traps=True: a trap-shaped child link never reaches the
+    frontier/seen set (and so never spends politeness budget); default
+    parity mode enqueues it like the reference would."""
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    trap = "https://t.test/cal/2024/cal/2024/cal/2024/p"
+    good = "https://t.test/article"
+    html = (
+        f'<html><body><a href="{trap}">c</a>'
+        f'<a href="{good}">g</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [
+            {"url": "https://t.test/", "warc_ts": None, "html": html.encode(),
+             "text": None, "lang": "en"},
+            {"url": good, "warc_ts": None,
+             "html": b"<html><body>ok</body></html>", "text": None,
+             "lang": "en"},
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": "https://t.test/", "seq": 0, "unique_id": None}],
+        schema=SEEDS_SCHEMA,
+    )
+
+    def crawl(flag):
+        drv = CrawlDriver(
+            spark, pages, None,
+            CrawlConfig(max_levels=2, max_rounds=3, drop_traps=flag),
+            str(tmp_path / f"ckpt_traps_{flag}"),
+        )
+        drv.run(seeds)
+        return {r.url for r in drv.seen_set().collect()}
+
+    hygienic = crawl(True)
+    parity = crawl(False)
+    assert good in hygienic and trap not in hygienic
+    assert trap in parity and good in parity

@@ -196,3 +196,31 @@ def test_strip_tracking_params_shapes(spark):
     assert got[2] == "https://a.com/p"
     assert got[3] == "https://a.com/p?xutm_x=1&q=utm_source"
     assert got[4] == "https://a.com/p"
+
+
+def test_trap_features_and_predicate(spark):
+    from distributed_crawl_spark.functions import url as U
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.test/cal/2024/cal/2024/cal/2024/p"),  # seg repeat 3
+            (1, "https://a.test/a/b/c?x=1&y=2"),                 # benign
+            (2, "https://a.test/p?" + "&".join(f"k{i}=1" for i in range(9))),
+            (3, "https://a.test/" + "/".join("abcdefghijklm")),  # depth 13
+            (4, "https://a.test/"),                              # empty path segs
+        ],
+        "id LONG, url STRING",
+    )
+    f = U.trap_features(F.col("url"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", *[f[k].alias(k) for k in f], U.is_trap(F.col("url")).alias("trap")
+        ).collect()
+    }
+    assert rows[0].max_seg_repeat == 3 and rows[0].trap
+    assert rows[1].n_params == 2 and not rows[1].trap
+    assert rows[2].n_params == 9 and rows[2].trap
+    assert rows[3].path_depth == 13 and rows[3].trap
+    assert rows[4].path_depth == 0 and rows[4].max_seg_repeat == 0
+    assert not rows[4].trap

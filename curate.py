@@ -34,6 +34,8 @@ at all.
 of the output corpus to report.json. ``--pack-tokens B`` plans training
 shards (seeded deterministic shuffle order, ~B tokens per shard) and
 adds writer/shard_id/offset_tokens columns to the output.
+``--normalize-nfc`` unicode-canonicalizes text before EVERY other stage
+(composed/decomposed variants collide in all downstream dedup);
 ``--dedup-lines`` removes within-doc duplicated lines before any other
 stage; ``--dedup-lines-global`` removes lines duplicated across docs
 (keep-first); ``--quantile-gate P`` keeps docs at/above their own
@@ -144,6 +146,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep docs at/above their own source's P-th "
                     "quality percentile (adaptive per-source threshold; "
                     "use binary-representable P like 0.5/0.25/0.75)")
+    ap.add_argument("--normalize-nfc", action="store_true",
+                    help="unicode-NFC-normalize text first, so composed/"
+                    "decomposed variants collide in every dedup stage")
     ap.add_argument("--dedup-lines", action="store_true",
                     help="remove duplicated lines WITHIN each doc "
                     "(keep first occurrence, preserve order; rewrites "
@@ -205,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
     in_cols = docs.columns
     id_c, text_c, src_c = args.id_col, args.text_col, args.source_col
 
+    if args.normalize_nfc:
+        # very first stage: canonicalize unicode BEFORE any hashing/dedup
+        # stage so composed/decomposed variants of the same text collide
+        from distributed_crawl_spark.functions.text import nfc_normalize_udf
+
+        docs = docs.withColumn(text_c, nfc_normalize_udf(F.col(text_c)))
     if args.dedup_lines:
         # first stage: every downstream filter/gate scores the cleaned text
         docs = docs.withColumn(text_c, TS.dedup_lines(F.col(text_c)))

@@ -428,3 +428,50 @@ def test_curate_cli_diff_against(tmp_path):
     assert diff["same"] == report["n_output"]
     assert diff.get("removed", 0) == 500 - report["n_output"]
     assert "added" not in diff and "changed" not in diff
+
+
+def test_curate_cli_normalize_nfc(tmp_path, spark):
+    """curate.py --normalize-nfc runs FIRST: a decomposed-unicode twin of
+    a previously-published (composed) doc collides in the
+    --dedup-against digest stage, and the surviving text is NFC."""
+    import json
+    import subprocess
+    import sys
+    import unicodedata
+
+    import pandas as pd
+
+    prior = tmp_path / "prior.parquet"
+    docs = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {"doc_id": [100], "text": ["caf\u00e9 au lait noir et doux"],
+         "source": ["a"]}
+    ).to_parquet(prior)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "cafe\u0301 au lait noir et doux",  # decomposed twin
+                "totally different words entirely here",
+            ],
+            "source": ["a", "a"],
+        }
+    ).to_parquet(docs)
+    out = tmp_path / "curated_nfc"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs), "--out", str(out),
+            "--normalize-nfc", "--dedup-against", str(prior),
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 2 and report["n_output"] == 1
+    df = pd.concat(
+        [pd.read_parquet(p) for p in sorted(out.glob("part-*.parquet"))]
+    )
+    assert df.doc_id.tolist() == [2]
+    assert all(unicodedata.is_normalized("NFC", t) for t in df.text)

@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="store ONE crawl_results row per distinct content "
                     "hash (the reference's hash-named-file overwrite "
                     "semantics); crawl flow is unaffected")
+    ap.add_argument("--pages-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="pages-table source: parquet (default) or WARC "
+                    "segment files (.warc/.warc.gz dir or glob — Common "
+                    "Crawl layout, one task per segment)")
     ap.add_argument("--drop-traps", action="store_true",
                     help="drop trap-shaped child links (repeated path "
                     "segments, param explosions, unbounded paths) before "
@@ -112,7 +117,12 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = SparkSession.builder.appName("crawl").getOrCreate()
 
-    pages = spark.read.parquet(args.pages)
+    if args.pages_format == "warc":
+        from distributed_crawl_spark.sources.warc import read_warc, warc_pages
+
+        pages = warc_pages(read_warc(spark, args.pages))
+    else:
+        pages = spark.read.parquet(args.pages)
     robots = spark.read.parquet(args.robots) if args.robots else None
     cli_kw = dict(
         max_levels=args.max_levels,

@@ -1,0 +1,122 @@
+"""WARC source: record-grammar parsing, gzip members, pages adapter,
+and end-to-end crawl over a WARC-sourced pages table."""
+
+from __future__ import annotations
+
+import gzip
+
+from distributed_crawl_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    warc_pages,
+)
+
+
+def _record(url: str, body: bytes, warc_type: str = "response",
+            status: int = 200, ctype: str = "text/html",
+            date: str = "2026-01-02T03:04:05Z") -> bytes:
+    http = (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n\r\n".encode()
+        + body
+    )
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def _warcinfo() -> bytes:
+    payload = b"software: test\r\n"
+    head = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+BODY_A = b"<html><body><a href='https://w.test/b'>b</a>hello</body></html>"
+BODY_B = b"<html><body>leaf page</body></html>"
+
+
+def test_iter_warc_records_grammar():
+    blob = (
+        _warcinfo()
+        + _record("https://w.test/a", BODY_A)
+        + _record("https://w.test/css", b"x", ctype="text/css")
+        + _record("https://w.test/b", BODY_B)
+    )
+    recs = list(iter_warc_records(blob))
+    # warcinfo skipped; css record still parsed (filtering is the
+    # adapter's job); bodies byte-exact
+    assert [r["url"] for r in recs] == [
+        "https://w.test/a", "https://w.test/css", "https://w.test/b"
+    ]
+    assert recs[0]["html"] == BODY_A
+    assert recs[0]["status"] == 200
+    assert recs[0]["content_type"] == "text/html"
+    assert str(recs[0]["warc_ts"]) == "2026-01-02 03:04:05"
+    # truncated tail: stops cleanly, keeps complete records
+    assert len(list(iter_warc_records(blob + b"WARC/1.0\r\ngarbage"))) == 3
+
+
+def test_read_warc_gz_members_and_adapter(spark, tmp_path):
+    """Multi-member .warc.gz (one gzip member per record — the Common
+    Crawl layout) and a plain .warc in the same directory; the adapter
+    keeps only 200 text/html rows in PAGES_SCHEMA shape."""
+    gz = b"".join(
+        gzip.compress(r)
+        for r in (
+            _warcinfo(),
+            _record("https://w.test/a", BODY_A),
+            _record("https://w.test/404", b"gone", status=404),
+        )
+    )
+    (tmp_path / "seg-00000.warc.gz").write_bytes(gz)
+    (tmp_path / "seg-00001.warc").write_bytes(
+        _record("https://w.test/b", BODY_B)
+        + _record("https://w.test/css", b"x", ctype="text/css")
+    )
+
+    raw = read_warc(spark, str(tmp_path)).orderBy("url")
+    rows = raw.collect()
+    assert [r.url for r in rows] == [
+        "https://w.test/404", "https://w.test/a", "https://w.test/b",
+        "https://w.test/css",
+    ]
+    assert all(r.warc_file for r in rows)
+
+    pages = warc_pages(raw)
+    got = {r.url: bytes(r.html) for r in pages.collect()}
+    assert got == {"https://w.test/a": BODY_A, "https://w.test/b": BODY_B}
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_crawl_over_warc_pages(spark, tmp_path):
+    """End-to-end: WARC segments → pages table → CrawlDriver follows the
+    link from /a to /b (link extraction over WARC-sourced html bytes)."""
+    from distributed_crawl_spark.config import CrawlConfig
+    from distributed_crawl_spark.schema import SEEDS_SCHEMA
+    from distributed_crawl_spark.streaming.driver import CrawlDriver
+
+    (tmp_path / "seg.warc.gz").write_bytes(
+        gzip.compress(_record("https://w.test/a", BODY_A))
+        + gzip.compress(_record("https://w.test/b", BODY_B))
+    )
+    pages = warc_pages(read_warc(spark, str(tmp_path / "seg.warc.gz")))
+    seeds = spark.createDataFrame(
+        [{"url": "https://w.test/a", "seq": 0, "unique_id": None}],
+        schema=SEEDS_SCHEMA,
+    )
+    drv = CrawlDriver(
+        spark, pages, None,
+        CrawlConfig(max_levels=2, max_rounds=3),
+        str(tmp_path / "ckpt"),
+    )
+    drv.run(seeds)
+    results = {r.url: r.status_code for r in drv.fetch_log().collect()}
+    assert results == {"https://w.test/a": 200, "https://w.test/b": 200}

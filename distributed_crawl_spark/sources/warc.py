@@ -63,17 +63,11 @@ def _parse_warc_ts(value: str) -> datetime | None:
     return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
 
-def iter_warc_records(blob: bytes) -> Iterator[dict]:
-    """Yield dicts for the ``response`` records of one (decompressed)
-    WARC stream: url, warc_ts, status, content_type, html (body bytes).
-
-    Pure-bytes parser over the record grammar — no third-party WARC lib
-    (none ships in the runtime), and the subset needed for page
-    ingestion is ~40 lines. Records that are not ``response`` type, or
-    whose payload is not an HTTP message, are skipped; a malformed tail
-    stops iteration rather than raising (truncated segment files are a
-    fact of life at crawl scale — callers count rows, not exceptions).
-    """
+def _iter_raw_records(blob: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Walk one (decompressed) WARC stream: yield (named-fields, payload)
+    per record. A malformed tail stops iteration rather than raising —
+    truncated segment files are a fact of life at crawl scale; callers
+    count rows, not exceptions."""
     data = _inflate(blob)
     pos = 0
     n = len(data)
@@ -101,6 +95,19 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
         pos = body_start + length
         while data[pos:pos + 2] == b"\r\n":
             pos += 2
+        yield fields, payload
+
+
+def iter_warc_records(blob: bytes) -> Iterator[dict]:
+    """Yield dicts for the ``response`` records of one (decompressed)
+    WARC stream: url, warc_ts, status, content_type, html (body bytes).
+
+    Pure-bytes parser over the record grammar — no third-party WARC lib
+    (none ships in the runtime), and the subset needed for page
+    ingestion is ~40 lines. Records that are not ``response`` type, or
+    whose payload is not an HTTP message, are skipped.
+    """
+    for fields, payload in _iter_raw_records(blob):
         if fields.get("warc-type") != "response":
             continue
         url = fields.get("warc-target-uri")
@@ -183,4 +190,86 @@ def warc_pages(warc_df: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("string").alias("lang"),
         )
+    )
+
+
+def iter_wet_records(blob: bytes) -> Iterator[dict]:
+    """Yield dicts for the ``conversion`` records of one WET stream
+    (Common Crawl's pre-extracted text sidecar): url, warc_ts, text.
+    WET payloads are plain UTF-8 text — no HTTP envelope."""
+    for fields, payload in _iter_raw_records(blob):
+        if fields.get("warc-type") != "conversion":
+            continue
+        url = fields.get("warc-target-uri")
+        if not url:
+            continue
+        yield {
+            "url": url,
+            "warc_ts": _parse_warc_ts(fields.get("warc-date", "")),
+            "text": payload.decode("utf-8", errors="replace"),
+        }
+
+
+WET_COLUMNS = "url string, warc_ts timestamp, text string, warc_file string"
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET segment files → (url, warc_ts, text, warc_file) — the direct
+    documents-table feed when the pipeline starts from Common Crawl's
+    pre-extracted text instead of raw html. Same one-task-per-file
+    parallelism as :func:`read_warc` (same unsplittable-gzip format)."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for rec in iter_wet_records(bytes(blob)):
+                    rec["warc_file"] = fpath
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "text", "warc_file"]
+            )
+
+    return files.mapInPandas(parse, WET_COLUMNS)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Common Crawl CDXJ index files → one row per capture:
+    (surt, capture_ts, url, status, mime, digest, warc_filename,
+    warc_offset, warc_length).
+
+    CDXJ line grammar: ``<SURT key> <14-digit ts> <JSON>``. The parse is
+    ENTIRELY JVM-side — ``spark.read.text`` + regexp split +
+    ``from_json`` — so index scans (the "which segments hold my URLs"
+    planning join that makes selective WARC fetch possible at 100 TB)
+    never touch Python. ``.gz`` text is one task per file (unsplittable),
+    matching the index's own sharding (300 shards/crawl).
+    """
+    from pyspark.sql import functions as F
+
+    meta = (
+        "url string, status string, mime string, digest string, "
+        "filename string, offset string, length string"
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\S+) (\d{14}) ", 1).alias("surt"),
+        F.regexp_extract("value", r"^(\S+) (\d{14}) ", 2).alias("ts_raw"),
+        F.from_json(
+            F.regexp_extract("value", r"^\S+ \d{14} (.*)$", 1), meta
+        ).alias("m"),
+    ).filter(F.col("surt") != "")
+    return parsed.select(
+        "surt",
+        F.to_timestamp(F.col("ts_raw"), "yyyyMMddHHmmss").alias("capture_ts"),
+        F.col("m.url").alias("url"),
+        F.col("m.status").cast("int").alias("status"),
+        F.col("m.mime").alias("mime"),
+        F.col("m.digest").alias("digest"),
+        F.col("m.filename").alias("warc_filename"),
+        F.col("m.offset").cast("long").alias("warc_offset"),
+        F.col("m.length").cast("long").alias("warc_length"),
     )

@@ -120,3 +120,75 @@ def test_crawl_over_warc_pages(spark, tmp_path):
     drv.run(seeds)
     results = {r.url: r.status_code for r in drv.fetch_log().collect()}
     assert results == {"https://w.test/a": 200, "https://w.test/b": 200}
+
+
+def _wet_record(url: str, text: str,
+                date: str = "2026-01-02T03:04:05Z") -> bytes:
+    payload = text.encode()
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_read_wet(spark, tmp_path):
+    """WET conversion records (plain-text payload, no HTTP envelope) →
+    the documents-table feed; response records in the same stream are
+    ignored by the WET view and vice versa."""
+    from distributed_crawl_spark.sources.warc import read_wet
+
+    (tmp_path / "seg.warc.wet.gz").write_bytes(
+        gzip.compress(_wet_record("https://w.test/a", "hello text a"))
+        + gzip.compress(_record("https://w.test/raw", BODY_A))
+        + gzip.compress(_wet_record("https://w.test/b", "b text"))
+    )
+    rows = read_wet(spark, str(tmp_path)).orderBy("url").collect()
+    assert [(r.url, r.text) for r in rows] == [
+        ("https://w.test/a", "hello text a"),
+        ("https://w.test/b", "b text"),
+    ]
+    assert str(rows[0].warc_ts) == "2026-01-02 03:04:05"
+
+
+def test_read_cdx(spark, tmp_path):
+    """CDXJ index lines parse fully JVM-side into typed capture rows;
+    malformed lines are dropped."""
+    import json
+
+    from distributed_crawl_spark.sources.warc import read_cdx
+
+    def line(surt, ts, **kw):
+        return f"{surt} {ts} {json.dumps(kw)}"
+
+    (tmp_path / "cdx-00000").write_text(
+        "\n".join(
+            [
+                line("test,w)/a", "20260102030405",
+                     url="https://w.test/a", status="200",
+                     mime="text/html", digest="ABC",
+                     filename="crawl/seg-0.warc.gz",
+                     offset="123", length="456"),
+                "garbage line without timestamp",
+                line("test,w)/b", "20260102030406",
+                     url="https://w.test/b", status="404",
+                     mime="text/html", digest="DEF",
+                     filename="crawl/seg-1.warc.gz",
+                     offset="0", length="9"),
+            ]
+        )
+    )
+    rows = read_cdx(spark, str(tmp_path / "cdx-00000")).orderBy(
+        "surt"
+    ).collect()
+    assert len(rows) == 2
+    a = rows[0]
+    assert (a.surt, a.url, a.status, a.warc_offset, a.warc_length) == (
+        "test,w)/a", "https://w.test/a", 200, 123, 456
+    )
+    assert str(a.capture_ts) == "2026-01-02 03:04:05"
+    assert rows[1].status == 404

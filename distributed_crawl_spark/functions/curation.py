@@ -427,7 +427,8 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
                    text_col: str = "text",
                    source_col: str = "source",
                    lane_threshold: int = 500_000,
-                   max_lanes: int = 32) -> DataFrame:
+                   max_lanes: int = 32,
+                   quality_col: str | None = None) -> DataFrame:
     """Corpus balancing: keep at most ``k`` documents per source, best
     quality first (the C4-style per-domain cap that stops one mega-site
     from dominating a training mix). Ranking = (quality_score_int DESC,
@@ -462,9 +463,15 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
 
     from .textstats import quality_score_int
 
+    # quality_col: reuse a precomputed ranking column (callers that
+    # already scored the corpus — or benchmarks isolating the window
+    # stage — skip the text pass entirely; text_col is then unused)
     scored = docs.select(
         id_col, source_col,
-        quality_score_int(F.col(text_col)).alias("quality"),
+        (
+            F.col(quality_col) if quality_col is not None
+            else quality_score_int(F.col(text_col))
+        ).alias("quality"),
     )
     order = [F.desc("quality"), F.asc(id_col)]
     heavy = (

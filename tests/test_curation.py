@@ -378,3 +378,19 @@ def test_pack_examples_cover_streams_exactly(spark):
             assert s.start_in_doc == pos
             pos += s.n_in_example
         assert pos == packed[d]
+
+
+def test_per_source_cap_quality_col_passthrough(spark):
+    """A precomputed ranking column yields the identical cap output as
+    scoring the text in-plan (and lets callers/benchmarks skip the text
+    pass)."""
+    from distributed_crawl_spark.functions.textstats import quality_score_int
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "word " * (i % 7 + 1)) for i in range(60)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    pre = docs.withColumn("q", quality_score_int(F.col("text")))
+    a = sorted(map(tuple, CU.per_source_cap(docs, k=4).collect()))
+    b = sorted(map(tuple, CU.per_source_cap(pre, k=4, quality_col="q").collect()))
+    assert a == b and len(a) == 12

@@ -28,18 +28,19 @@ from distributed_crawl_spark.session import build_session
 
 
 def make_corpus(spark, n_docs: int, scratch: str):
-    """doc_id | source | text: even ids -> the 'head' source (50% of the
-    corpus), odd ids -> 1000 uniform tail sources. Text is a short
-    deterministic per-doc string so quality scoring is cheap and the
-    window stage dominates the measurement."""
+    """doc_id | source | quality: even ids -> the 'head' source (50% of
+    the corpus), odd ids -> 1000 uniform tail sources. Quality is
+    PRE-SCORED (a deterministic hash int) and persisted, and the timed
+    plans pass ``quality_col='quality'`` — so the measured block is the
+    census + window stage(s) alone, not the text-scoring projection
+    that used to dominate wall and dilute the stage contrast."""
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.when(F.col("id") % 2 == 0, F.lit("head"))
         .otherwise(F.concat(F.lit("tail-"), F.pmod(F.xxhash64("id"), F.lit(1000))))
         .alias("source"),
-        # Short text: quality scoring stays negligible so the window
-        # sort is the stage the task probe actually measures.
-        F.concat(F.lit("w "), F.col("id").cast("string")).alias("text"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(10_000))
+        .cast("long").alias("quality"),
     )
     docs.write.mode("overwrite").parquet(scratch)
     return spark.read.parquet(scratch)
@@ -78,7 +79,8 @@ def time_plan(docs, lane_threshold: int, probe: StageProbe,
               k: int = 100) -> tuple[float, float, int]:
     before = probe.stage_ids()
     t0 = time.monotonic()
-    n = CU.per_source_cap(docs, k=k, lane_threshold=lane_threshold).count()
+    n = CU.per_source_cap(docs, k=k, lane_threshold=lane_threshold,
+                          quality_col="quality").count()
     wall = time.monotonic() - t0
     return wall, probe.max_task_ms(before), n
 
@@ -97,8 +99,10 @@ def main() -> None:
     threshold = max(n_docs // (2 * lanes), 1)
 
     # Output equivalence first: the two-stage plan must be exact.
-    a = CU.per_source_cap(docs, k=100, lane_threshold=SINGLE)
-    b = CU.per_source_cap(docs, k=100, lane_threshold=threshold)
+    a = CU.per_source_cap(docs, k=100, lane_threshold=SINGLE,
+                          quality_col="quality")
+    b = CU.per_source_cap(docs, k=100, lane_threshold=threshold,
+                          quality_col="quality")
     diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     assert diff == 0, f"two-stage output diverged: {diff} rows"
 

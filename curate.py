@@ -58,6 +58,10 @@ import json
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="PySpark corpus curation")
     ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--docs-format", choices=["parquet", "wet"],
+                    default="parquet",
+                    help="wet = Common Crawl WET segments: doc_id=url, "
+                    "source=host, text from conversion records")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -206,7 +210,15 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = SparkSession.builder.appName("curate").getOrCreate()
 
-    docs = spark.read.parquet(args.docs)
+    if args.docs_format == "wet":
+        from distributed_crawl_spark.sources.warc import (
+            read_wet,
+            wet_documents,
+        )
+
+        docs = wet_documents(read_wet(spark, args.docs))
+    else:
+        docs = spark.read.parquet(args.docs)
     in_cols = docs.columns
     id_c, text_c, src_c = args.id_col, args.text_col, args.source_col
 

@@ -273,3 +273,22 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         F.col("m.offset").cast("long").alias("warc_offset"),
         F.col("m.length").cast("long").alias("warc_length"),
     )
+
+
+def wet_documents(wet_df: DataFrame) -> DataFrame:
+    """Adapter to the curation pipeline's documents contract:
+    (doc_id, text, source) with doc_id = the capture URL (string ids work
+    through every id-generic stage: digest dedup, minhash/simhash pairs,
+    component min-pick, hash splits/lanes) and source = the URL's host —
+    the per-domain key the cap/mix/rollup stages balance on. Feed
+    ``curate.py --docs-format wet`` or any functions.* operator
+    directly."""
+    from pyspark.sql import functions as F
+
+    from ..functions.url import url_host
+
+    return wet_df.select(
+        F.col("url").alias("doc_id"),
+        "text",
+        url_host(F.col("url")).alias("source"),
+    )

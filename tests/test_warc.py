@@ -192,3 +192,47 @@ def test_read_cdx(spark, tmp_path):
     )
     assert str(a.capture_ts) == "2026-01-02 03:04:05"
     assert rows[1].status == 404
+
+
+def test_curate_cli_over_wet(spark, tmp_path):
+    """Common Crawl text straight into the curation pipeline:
+    curate.py --docs-format wet with a minhash near-dup stage — the
+    duplicated capture is dropped, string doc_ids flow through every
+    id-generic stage, and the output keeps (doc_id, text, source)."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    body = ("spark engine rows tables joins shuffles windows caps "
+            "gates lanes budgets census digests components ") * 4
+    (tmp_path / "seg.warc.wet.gz").write_bytes(
+        gzip.compress(_wet_record("https://a.test/x", body))
+        + gzip.compress(_wet_record("https://b.test/y", body))  # dup
+        + gzip.compress(_wet_record("https://c.test/z",
+                                    "entirely different unique words "
+                                    "that share nothing with the pair"))
+    )
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(tmp_path / "seg.warc.wet.gz"),
+            "--docs-format", "wet",
+            "--out", str(out),
+            "--neardup", "minhash",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 3 and report["n_output"] == 2
+    df = pd.concat(
+        [pd.read_parquet(p) for p in sorted(out.glob("part-*.parquet"))]
+    )
+    kept = set(df.doc_id)
+    # min-string-id canonical pick keeps a.test, drops the b.test dup
+    assert kept == {"https://a.test/x", "https://c.test/z"}
+    assert set(df.source) == {"a.test", "c.test"}

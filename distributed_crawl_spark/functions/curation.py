@@ -426,7 +426,7 @@ def span_scrub(docs: DataFrame, w: int = 20, min_docs: int = 2,
 def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
                    text_col: str = "text",
                    source_col: str = "source",
-                   lane_threshold: int = 500_000,
+                   lane_threshold: int = 100_000_000,
                    max_lanes: int = 32,
                    quality_col: str | None = None) -> DataFrame:
     """Corpus balancing: keep at most ``k`` documents per source, best
@@ -454,10 +454,15 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
     (Spark 3.5+) already rewrites ``row_number() <= k`` into a map-side
     ``WindowGroupLimit(Partial)`` BEFORE the exchange, so even the
     single-window plan shuffles at most k rows per source per map task —
-    the head source's reduce partition is bounded by k·n_map_tasks, not
-    by its document count. The lane stage is therefore cheap insurance
-    for extreme map-task counts (10^5 maps × k=100 → 10^7-row reduce
-    task without lanes), not the difference between broken and working.
+    a source's reduce partition is bounded by k · (map tasks it spans)
+    ≈ k · count/rows_per_map_task, NOT by its document count: a 10^8-doc
+    head source leaves only ~10^4 residue rows at k=100. The isolated
+    window-stage measurement (BENCH.md zipf section) confirms the lane
+    pass is pure overhead below that scale, so the default threshold
+    engages lanes only at 10^8+ docs/source — the regime where the
+    residue (or a ranking function Catalyst can't push a group limit
+    through) genuinely needs them. Set ``lane_threshold`` low explicitly
+    when using such ranking extensions or Spark < 3.5.
     """
     from pyspark.sql.window import Window
 
@@ -486,20 +491,28 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
             ).alias("__n_lanes"),
         )
     )
+    # Lane stage runs over HEAVY-source rows only: light sources skip
+    # straight to the final window (their stage-1 top-k would equal the
+    # final top-k anyway, so output is provably unchanged — and the
+    # common corpus, where heavy rows are a minority, pays the lane
+    # pass only on that minority instead of windowing everything twice;
+    # measured as the difference between +54% and near-free overhead,
+    # BENCH.md zipf section).
     w_lane = Window.partitionBy(source_col, "__lane").orderBy(*order)
-    pre = (
-        scored.join(F.broadcast(heavy), source_col, "left")
+    pre_heavy = (
+        scored.join(F.broadcast(heavy), source_col)
         .withColumn(
             "__lane",
-            F.when(
-                F.col("__n_lanes").isNotNull(),
-                F.pmod(F.xxhash64(F.col(id_col)), F.col("__n_lanes")).cast("int"),
-            ).otherwise(F.lit(0)),
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__n_lanes")).cast("int"),
         )
         .withColumn("__lane_rn", F.row_number().over(w_lane))
         .filter(F.col("__lane_rn") <= k)
         .drop("__lane", "__lane_rn", "__n_lanes")
     )
+    pre_light = scored.join(
+        F.broadcast(heavy.select(source_col)), source_col, "left_anti"
+    )
+    pre = pre_light.unionByName(pre_heavy)
     w = Window.partitionBy(source_col).orderBy(*order)
     return (
         pre.withColumn("rank_in_source", F.row_number().over(w))

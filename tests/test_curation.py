@@ -394,3 +394,19 @@ def test_per_source_cap_quality_col_passthrough(spark):
     a = sorted(map(tuple, CU.per_source_cap(docs, k=4).collect()))
     b = sorted(map(tuple, CU.per_source_cap(pre, k=4, quality_col="q").collect()))
     assert a == b and len(a) == 12
+
+
+def test_per_source_cap_lane_stage_equivalence(spark):
+    """Force the lane pre-stage with a tiny threshold: output must be
+    row-identical to the single-window plan (any global top-k row is
+    top-k within its own lane), heavy and light sources mixed."""
+    docs = spark.createDataFrame(
+        [(i, "head" if i % 4 else f"tail{i % 5}", "w " * (i % 11 + 1))
+         for i in range(400)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    single = sorted(map(tuple, CU.per_source_cap(docs, k=7).collect()))
+    laned = sorted(map(tuple, CU.per_source_cap(
+        docs, k=7, lane_threshold=20, max_lanes=8
+    ).collect()))
+    assert single == laned

@@ -1282,6 +1282,59 @@ def q_url_trap_filter(spark, sf_dir):
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML → crawl entries, 100% JVM-side (decode + regexp +
+    posexplode — no UDF). Sitemap bodies are synthesized
+    deterministically from documents (every 10th doc is a
+    <sitemapindex> of 3 child sitemaps, the rest <urlset>s of
+    doc_id%7+1 page locs, with whitespace padding inside <loc> to
+    exercise the protocol's trim)."""
+    from distributed_crawl_spark.operators.robots import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.org"))
+    n = (F.col("doc_id") % 7 + 1).cast("int")
+    urlset = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.lit("<loc> "), base, F.lit("/d/"),
+                    F.col("doc_id").cast("string"), F.lit("/"),
+                    i.cast("string"), F.lit(" </loc>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda i: F.concat(
+                    F.lit("<loc>"), base, F.lit("/sitemap-"),
+                    F.col("doc_id").cast("string"), F.lit("-"),
+                    i.cast("string"), F.lit(".xml</loc>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 10 == 0, index).otherwise(urlset)
+    pages = docs.select(
+        F.concat(base, F.lit("/sitemap-"),
+                 F.col("doc_id").cast("string"), F.lit(".xml"))
+        .alias("url"),
+        F.encode(xml, "utf-8").alias("html"),
+    )
+    return sitemap_entries(pages)
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Within-doc duplicate-line removal (C4-style cleaner). The
     synthetic corpus has no newlines, so the query first reshapes each
@@ -1525,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "normalize_nfc": q_normalize_nfc,
         "url_trap_filter": q_url_trap_filter,
+        "sitemap_parse": q_sitemap_parse,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -2998,6 +3052,47 @@ def oracle_sql() -> dict[str, str]:
                    (max_seg_repeat >= 3 OR path_depth > 12
                     OR n_params > 8 OR path_len > 200) AS trap
             FROM f""",
+        "sitemap_parse": """
+            WITH x AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.org' AS base,
+                     CAST(doc_id % 7 + 1 AS INT) AS n
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, base,
+                     base || '/sitemap-' || doc_id::VARCHAR || '.xml'
+                       AS sitemap_url,
+                     CASE WHEN doc_id % 10 = 0 THEN
+                       '<sitemapindex>' || array_to_string(
+                         list_transform(generate_series(1, 3),
+                           i -> '<loc>' || base || '/sitemap-'
+                                || doc_id::VARCHAR || '-' || i::VARCHAR
+                                || '.xml</loc>'), '')
+                       || '</sitemapindex>'
+                     ELSE
+                       '<urlset>' || array_to_string(
+                         list_transform(generate_series(1, n),
+                           i -> '<loc> ' || base || '/d/'
+                                || doc_id::VARCHAR || '/' || i::VARCHAR
+                                || ' </loc>'), '')
+                       || '</urlset>'
+                     END AS xml
+              FROM x
+            ),
+            l AS (
+              SELECT sitemap_url,
+                     CASE WHEN contains(xml, '<sitemapindex')
+                          THEN 'sitemap' ELSE 'url' END AS kind,
+                     regexp_extract_all(xml,
+                       '<loc>\\s*([^<]+?)\\s*</loc>', 1) AS locs
+              FROM b
+            )
+            SELECT sitemap_url, kind,
+                   unnest(locs) AS url,
+                   CAST(unnest(generate_series(0, len(locs) - 1)) AS BIGINT)
+                     AS pos
+            FROM l""",
         "normalize_nfc": """
             WITH p AS (
               SELECT doc_id,

@@ -154,3 +154,39 @@ def test_sitemap_seeds_discovery(spark):
         ("a.com", "https://a.com/sitemap.xml"),
         ("a.com", "https://cdn.a.com/s2.xml"),
     }
+
+
+def test_sitemap_entries_parsing(spark):
+    """sitemap_entries: urlset vs sitemapindex kinds, whitespace-trimmed
+    locs in document order, non-sitemap bodies parse to zero entries."""
+    from pyspark.sql import functions as F
+
+    from distributed_crawl_spark.operators.robots import sitemap_entries
+
+    urlset = (b"<?xml version='1.0'?><urlset>"
+              b"<loc>  https://s.test/a  </loc>"
+              b"<loc>https://s.test/b</loc></urlset>")
+    index = (b"<sitemapindex><loc>https://s.test/sm-1.xml</loc>"
+             b"</sitemapindex>")
+    plain = b"<html><body>not a sitemap</body></html>"
+    pages = spark.createDataFrame(
+        [("https://s.test/sitemap.xml", urlset),
+         ("https://s.test/sitemap-index.xml", index),
+         ("https://s.test/page", plain)],
+        "url STRING, html BINARY",
+    )
+    rows = sitemap_entries(pages).orderBy("sitemap_url", "pos").collect()
+    assert [(r.sitemap_url, r.kind, r.url, r.pos) for r in rows] == [
+        ("https://s.test/sitemap-index.xml", "sitemap",
+         "https://s.test/sm-1.xml", 0),
+        ("https://s.test/sitemap.xml", "url", "https://s.test/a", 0),
+        ("https://s.test/sitemap.xml", "url", "https://s.test/b", 1),
+    ]
+    # pure projection: zero exchanges in the plan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sitemap_entries(pages).explain("formatted")
+    assert "Exchange" not in buf.getvalue()

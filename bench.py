@@ -140,6 +140,7 @@ HEADLINE = [
     "dedup_doc_lines", "dedup_lines_global",
     "quality_quantile_gate",
     "host_rank", "anchor_census", "error_backoff", "corpus_diff",
+    "doc_keywords", "normalize_nfc", "url_trap_filter", "sitemap_parse",
     "sessionize", "session_stats",
     "source_rollup",
     "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",

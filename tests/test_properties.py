@@ -224,3 +224,51 @@ def test_mix_plan_matches_python_oracle(spark, docs, weights):
             assert r.rate_bp == 0
         assert r.planned_tokens == (toks[s] * r.rate_bp) // 10000
     assert out[s_star].rate_bp == 10000
+
+
+@given(st.lists(
+    st.tuples(
+        st.from_regex(r"https://[a-z]{1,8}\.test/[a-z0-9/]{0,20}",
+                      fullmatch=True),
+        st.binary(max_size=200),
+    ),
+    min_size=1, max_size=6,
+))
+@settings(max_examples=25, deadline=None)
+def test_warc_roundtrip_property(records):
+    """Synthesize a WARC stream from arbitrary (url, body) pairs →
+    iter_warc_records recovers urls in order and bodies byte-exactly,
+    for both the plain and the member-gzipped encodings."""
+    import gzip as _gz
+
+    from distributed_crawl_spark.sources.warc import iter_warc_records
+
+    def rec(url, body):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    blob = b"".join(rec(u, b) for u, b in records)
+    for encoded in (blob, b"".join(_gz.compress(rec(u, b))
+                                   for u, b in records)):
+        got = list(iter_warc_records(encoded))
+        assert [r["url"] for r in got] == [u for u, _ in records]
+        assert [r["html"] for r in got] == [b for _, b in records]
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_nfc_kernel_idempotent(t):
+    """NFC is a projection: applying it twice equals once, and the
+    changed flag is exactly 'was not already NFC' (UAX #15 invariant the
+    DuckDB oracle relies on)."""
+    import unicodedata
+
+    once = unicodedata.normalize("NFC", t)
+    assert unicodedata.normalize("NFC", once) == once
+    assert (once != t) == (not unicodedata.is_normalized("NFC", t))

@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop trap-shaped child links (repeated path "
                     "segments, param explosions, unbounded paths) before "
                     "dedup and the seen filter")
+    ap.add_argument("--honor-nofollow", action="store_true",
+                    help="drop rel=nofollow links (and all links of pages "
+                    "with meta robots nofollow) from the crawl graph")
     ap.add_argument("--capture-anchors", action="store_true",
                     help="store each page's (target_url, anchor) pairs as a "
                     "crawl_results column (same Arrow pass as extraction); "
@@ -139,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         extract_mode=args.extract_mode,
         capture_anchors=args.capture_anchors,
         drop_traps=args.drop_traps,
+        honor_nofollow=args.honor_nofollow,
     )
     if args.config:
         import os

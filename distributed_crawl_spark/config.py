@@ -45,6 +45,11 @@ class CrawlConfig:
     # before dedup and the seen filter, so calendar traps and session-id
     # explosions can't monopolize a host's politeness budget.
     drop_traps: bool = False
+    # Link-hygiene directives (engine extension, default off = parity):
+    # drop rel="nofollow" links, and ALL links of pages declaring
+    # <meta name="robots" content="...nofollow...">, from the crawl
+    # graph. Captured in the same tokenizer pass as extraction.
+    honor_nofollow: bool = False
     # Text emitted by the extraction stage: 'basic' = the reference's
     # byte-identical whitespace-pipeline text (THE P7 invariant, default);
     # 'markdown' = structure-preserving markdown (the Crawl4AI-path output

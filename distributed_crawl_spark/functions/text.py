@@ -51,6 +51,11 @@ class _TextLinkParser(HTMLParser):
         self._skip = 0
         self.parts: list[str] = []
         self.hrefs: list[str] = []
+        # nofollow capture (additive — default link semantics untouched):
+        # per-href rel=nofollow flag, parallel to hrefs; plus the page's
+        # <meta name=robots> content (first occurrence wins, like browsers)
+        self.href_nofollow: list[bool] = []
+        self.meta_robots: str | None = None
         # anchor capture (additive — never feeds the text invariant):
         # (href, whitespace-collapsed anchor text) per closed <a href>
         self.anchor_pairs: list[tuple[str, str]] = []
@@ -61,13 +66,21 @@ class _TextLinkParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in self._SKIP:
             self._skip += 1
+        elif tag == "meta" and self.meta_robots is None:
+            d = {k: v for k, v in attrs}
+            if (d.get("name") or "").lower() == "robots":
+                self.meta_robots = (d.get("content") or "").lower()
         elif tag == "a":
             href = None
+            rel = ""
             for k, v in attrs:
-                if k == "href" and v is not None:
+                if k == "href" and v is not None and href is None:
                     href = v
-                    self.hrefs.append(v)
-                    break
+                elif k == "rel" and v is not None:
+                    rel = v
+            if href is not None:
+                self.hrefs.append(href)
+                self.href_nofollow.append("nofollow" in rel.lower().split())
             # only the OUTERMOST <a> owns the anchor text (nested <a>
             # is invalid html; browsers implicitly close — we nest-count
             # so the close of an inner tag doesn't cut the buffer short)
@@ -77,10 +90,13 @@ class _TextLinkParser(HTMLParser):
             self._a_depth += 1
 
     def handle_startendtag(self, tag, attrs):
-        # <a href=... /> self-closing still carries an href (empty text)
+        # <a href=... /> self-closing still carries an href (empty text);
+        # <meta ... /> written self-closing must still be captured
         if tag == "a":
             self.handle_starttag(tag, attrs)
             self.handle_endtag(tag)
+        elif tag == "meta":
+            self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
         if tag in self._SKIP and self._skip:
@@ -217,7 +233,8 @@ EXTRACT_ANCHOR_RESULT_TYPE = StructType(
 
 
 def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
-                     with_anchors: bool = False):
+                     with_anchors: bool = False,
+                     honor_nofollow: bool = False):
     """Vectorized extractor: (url, html) → struct(text, links).
 
     One Arrow batch in, one out; resolution/filter/dedup/cap happen in the
@@ -236,6 +253,12 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
     html still crosses into Python exactly once, so in-crawl anchor
     capture costs one extra output column, not a second Arrow exchange
     of the page bytes.
+
+    ``honor_nofollow=True`` applies the web's link-hygiene directives
+    (engine extension, off by default for reference raw-link parity):
+    ``rel="nofollow"`` links are dropped from the crawl graph, and a
+    page-level ``<meta name="robots" content="...nofollow...">`` drops
+    ALL of the page's links — both captured in the same tokenizer pass.
     """
     if mode not in ("basic", "markdown"):
         raise ValueError(f"unknown extract mode {mode!r}")
@@ -251,6 +274,16 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
             parser = _run_parser(h)
             text = _text_from_parts(parser.parts) if parser else ""
             hrefs = parser.hrefs if parser else []
+            if honor_nofollow and parser:
+                meta = (parser.meta_robots or "").replace(",", " ").split()
+                if "nofollow" in meta:
+                    hrefs = []
+                else:
+                    hrefs = [
+                        href for href, nf
+                        in zip(parser.hrefs, parser.href_nofollow)
+                        if not nf
+                    ]
             if mode == "markdown":
                 text = html_to_markdown(h, base_url=u or "")
             texts.append(text)

@@ -47,10 +47,11 @@ _ANCHORS_SQL = ANCHOR_PAIR_TYPE.simpleString()
 def _with_extract_columns(
     joined: DataFrame, max_links: int | None, extract_links: bool,
     extract_mode: str = "basic", with_anchors: bool = False,
+    honor_nofollow: bool = False,
 ) -> DataFrame:
     extract = make_extract_udf(
         max_links=max_links if extract_links else 0, mode=extract_mode,
-        with_anchors=with_anchors,
+        with_anchors=with_anchors, honor_nofollow=honor_nofollow,
     )
     ex = (
         joined.withColumn(
@@ -110,6 +111,7 @@ def fetch_hits(
     strategy: str = "broadcast",
     extract_mode: str = "basic",
     with_anchors: bool = False,
+    honor_nofollow: bool = False,
 ) -> DataFrame:
     """Fetch+extract for the HIT rows only (page found): selected frontier
     columns + ok=true, status_code, text, md_hash, page_slug, filename,
@@ -133,7 +135,7 @@ def fetch_hits(
     else:
         joined = selected.join(page_side, "url", "inner")
     return _with_extract_columns(joined, max_links, extract_links, extract_mode,
-                                 with_anchors)
+                                 with_anchors, honor_nofollow)
 
 
 def fetch_misses(selected: DataFrame, hit_urls: DataFrame,
@@ -168,13 +170,14 @@ def fetch_and_extract(
     strategy: str = "shuffle",
     extract_mode: str = "basic",
     with_anchors: bool = False,
+    honor_nofollow: bool = False,
 ) -> DataFrame:
     """One-shot hits+misses (left-join semantics). Convenient for tests and
     single-pass queries; the round driver uses fetch_hits/fetch_misses with
     a materialization in between instead."""
     if strategy == "broadcast":
         hits = fetch_hits(selected, pages, max_links, extract_links, strategy,
-                          extract_mode, with_anchors)
+                          extract_mode, with_anchors, honor_nofollow)
         return hits.select(*_ordered_cols(hits)).unionByName(
             fetch_misses(selected, hits, with_anchors).select(
                 *_ordered_cols(hits)
@@ -188,7 +191,7 @@ def fetch_and_extract(
     )
     joined = selected.join(page_side, "url", "left")
     return _with_extract_columns(joined, max_links, extract_links, extract_mode,
-                                 with_anchors)
+                                 with_anchors, honor_nofollow)
 
 
 def _ordered_cols(df: DataFrame) -> list[str]:

@@ -327,6 +327,7 @@ class CrawlDriver:
             selected, self.pages, cfg.max_links, cfg.extract_links,
             strategy=strategy, extract_mode=cfg.extract_mode,
             with_anchors=cfg.capture_anchors,
+            honor_nofollow=cfg.honor_nofollow,
         ).withColumn("round", F.lit(round_no))
         hits = hits.observe(
             obs_fetch,

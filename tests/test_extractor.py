@@ -240,3 +240,60 @@ def test_anchor_pairs_edge_cases():
     text, hrefs = extract_text_and_hrefs(html)
     assert "intro" in text and "hidden" not in text
     assert hrefs[0] == "/d/1" and "/icon/1" in hrefs
+
+
+def test_parser_nofollow_and_meta_capture():
+    """Additive captures: per-href rel=nofollow flags and the first
+    <meta name=robots> content — raw hrefs/text untouched."""
+    from distributed_crawl_spark.functions.text import _run_parser
+
+    html = (
+        '<html><head><meta name="ROBOTS" content="noindex, NOFOLLOW">'
+        '<meta name="robots" content="all"></head><body>'
+        '<a href="/a" rel="nofollow">a</a>'
+        '<a href="/b" rel="ugc nofollow">b</a>'
+        '<a href="/c" rel="author">c</a>'
+        '<a href="/d">d</a>'
+        "<p>text stays</p></body></html>"
+    )
+    p = _run_parser(html)
+    assert p.hrefs == ["/a", "/b", "/c", "/d"]
+    assert p.href_nofollow == [True, True, False, False]
+    assert p.meta_robots == "noindex, nofollow"  # first wins, lowercased
+    # self-closing meta also captured
+    p2 = _run_parser('<meta name="robots" content="nofollow" />x')
+    assert p2.meta_robots == "nofollow"
+
+
+def test_extract_udf_honor_nofollow(spark):
+    """honor_nofollow drops rel=nofollow links; meta robots nofollow
+    drops ALL links; default keeps raw parity. Text identical in all
+    modes."""
+    from distributed_crawl_spark.functions.text import make_extract_udf
+
+    base = "https://n.test/"
+    rows = [
+        (base, ('<a href="/x" rel="nofollow">x</a>'
+                '<a href="/y">y</a>hello').encode()),
+        (base + "m", ('<meta name="robots" content="nofollow">'
+                      '<a href="/z">z</a>world').encode()),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, html BINARY")
+
+    def run(flag):
+        udf = make_extract_udf(max_links=10, honor_nofollow=flag)
+        return {
+            r.url: (r.ex.text, list(r.ex.links))
+            for r in df.select(
+                "url", udf(F.col("url"), F.col("html")).alias("ex")
+            ).collect()
+        }
+
+    raw = run(False)
+    hygienic = run(True)
+    assert raw[base][1] == ["https://n.test/x", "https://n.test/y"]
+    assert hygienic[base][1] == ["https://n.test/y"]
+    assert raw[base + "m"][1] == ["https://n.test/z"]
+    assert hygienic[base + "m"][1] == []
+    for u in raw:
+        assert raw[u][0] == hygienic[u][0]  # text invariant unaffected

@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--honor-nofollow", action="store_true",
                     help="drop rel=nofollow links (and all links of pages "
                     "with meta robots nofollow) from the crawl graph")
+    ap.add_argument("--honor-noindex", action="store_true",
+                    help="crawl meta-robots-noindex pages (links still "
+                    "followed) but never store their content")
     ap.add_argument("--capture-anchors", action="store_true",
                     help="store each page's (target_url, anchor) pairs as a "
                     "crawl_results column (same Arrow pass as extraction); "
@@ -143,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         capture_anchors=args.capture_anchors,
         drop_traps=args.drop_traps,
         honor_nofollow=args.honor_nofollow,
+        honor_noindex=args.honor_noindex,
     )
     if args.config:
         import os

@@ -50,6 +50,12 @@ class CrawlConfig:
     # <meta name="robots" content="...nofollow...">, from the crawl
     # graph. Captured in the same tokenizer pass as extraction.
     honor_nofollow: bool = False
+    # Storage-policy twin of honor_nofollow (engine extension, default
+    # off): pages declaring <meta name="robots" content="...noindex...">
+    # are crawled (status completed, links followed per nofollow rules)
+    # but their content is NEVER written to crawl_results — the
+    # noindex contract. Withheld count = RoundStats.noindex_skipped.
+    honor_noindex: bool = False
     # Text emitted by the extraction stage: 'basic' = the reference's
     # byte-identical whitespace-pipeline text (THE P7 invariant, default);
     # 'markdown' = structure-preserving markdown (the Crawl4AI-path output

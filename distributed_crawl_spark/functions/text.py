@@ -234,7 +234,8 @@ EXTRACT_ANCHOR_RESULT_TYPE = StructType(
 
 def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
                      with_anchors: bool = False,
-                     honor_nofollow: bool = False):
+                     honor_nofollow: bool = False,
+                     with_meta: bool = False):
     """Vectorized extractor: (url, html) → struct(text, links).
 
     One Arrow batch in, one out; resolution/filter/dedup/cap happen in the
@@ -254,6 +255,10 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
     capture costs one extra output column, not a second Arrow exchange
     of the page bytes.
 
+    ``with_meta=True`` widens the struct with the page's first
+    ``<meta name=robots>`` content (lowercased; None when absent) — the
+    driver's honor_noindex storage policy reads it; same single pass.
+
     ``honor_nofollow=True`` applies the web's link-hygiene directives
     (engine extension, off by default for reference raw-link parity):
     ``rel="nofollow"`` links are dropped from the crawl graph, and a
@@ -263,13 +268,21 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
     if mode not in ("basic", "markdown"):
         raise ValueError(f"unknown extract mode {mode!r}")
 
-    result_type = EXTRACT_ANCHOR_RESULT_TYPE if with_anchors else EXTRACT_RESULT_TYPE
+    # result struct grows with the capture flags (anchors, meta) so the
+    # parity-mode schema stays exactly (text, links)
+    fields = list(EXTRACT_RESULT_TYPE.fields)
+    if with_anchors:
+        fields.append(StructField("anchors", ANCHOR_PAIR_TYPE))
+    if with_meta:
+        fields.append(StructField("meta_robots", StringType()))
+    result_type = StructType(fields)
 
     @pandas_udf(result_type)
     def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
         texts: list[str] = []
         links: list[list[str]] = []
         anchors: list[list[tuple[str, str]]] = []
+        metas: list[str | None] = []
         for u, h in zip(url, html):
             parser = _run_parser(h)
             text = _text_from_parts(parser.parts) if parser else ""
@@ -294,9 +307,13 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
                         u or "", parser.anchor_pairs if parser else []
                     )
                 )
+            if with_meta:
+                metas.append(parser.meta_robots if parser else None)
         out = {"text": texts, "links": links}
         if with_anchors:
             out["anchors"] = anchors
+        if with_meta:
+            out["meta_robots"] = metas
         return pd.DataFrame(out)
 
     return extract

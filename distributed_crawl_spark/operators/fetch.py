@@ -47,11 +47,12 @@ _ANCHORS_SQL = ANCHOR_PAIR_TYPE.simpleString()
 def _with_extract_columns(
     joined: DataFrame, max_links: int | None, extract_links: bool,
     extract_mode: str = "basic", with_anchors: bool = False,
-    honor_nofollow: bool = False,
+    honor_nofollow: bool = False, with_meta: bool = False,
 ) -> DataFrame:
     extract = make_extract_udf(
         max_links=max_links if extract_links else 0, mode=extract_mode,
         with_anchors=with_anchors, honor_nofollow=honor_nofollow,
+        with_meta=with_meta,
     )
     ex = (
         joined.withColumn(
@@ -99,6 +100,9 @@ def _with_extract_columns(
             if with_anchors
             else {}
         )
+        .withColumns(
+            {"meta_robots": F.col("ex.meta_robots")} if with_meta else {}
+        )
         .drop("ex")
     )
 
@@ -112,6 +116,7 @@ def fetch_hits(
     extract_mode: str = "basic",
     with_anchors: bool = False,
     honor_nofollow: bool = False,
+    with_meta: bool = False,
 ) -> DataFrame:
     """Fetch+extract for the HIT rows only (page found): selected frontier
     columns + ok=true, status_code, text, md_hash, page_slug, filename,
@@ -135,7 +140,7 @@ def fetch_hits(
     else:
         joined = selected.join(page_side, "url", "inner")
     return _with_extract_columns(joined, max_links, extract_links, extract_mode,
-                                 with_anchors, honor_nofollow)
+                                 with_anchors, honor_nofollow, with_meta)
 
 
 def fetch_misses(selected: DataFrame, hit_urls: DataFrame,

@@ -108,6 +108,9 @@ ROUND_METRICS_SCHEMA = StructType(
         # storage parity; 0 unless CrawlConfig.content_dedup and in
         # histories written before round 4)
         StructField("content_deduped", LongType(), False),
+        # noindex pages withheld from storage (0 unless honor_noindex and
+        # in histories written before round 4)
+        StructField("noindex_skipped", LongType(), False),
         StructField("seconds", DoubleType(), False),  # round wall time (A6)
         # next-frontier size from the same Observations (drain check runs
         # no count job); 0 in histories written before round 3

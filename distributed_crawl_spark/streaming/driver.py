@@ -66,6 +66,8 @@ class RoundStats:
     # D3 storage parity: dup-content rows withheld from the crawl_results
     # append this round (0 unless CrawlConfig.content_dedup)
     content_deduped: int = 0
+    # noindex pages withheld from storage (0 unless CrawlConfig.honor_noindex)
+    noindex_skipped: int = 0
     seconds: float = 0.0  # round wall time — feeds rate/ETA (A6)
     # deferred + retries + new — derived from the same Observations, so
     # the drain check needs NO standalone frontier count job (the between-
@@ -328,6 +330,7 @@ class CrawlDriver:
             strategy=strategy, extract_mode=cfg.extract_mode,
             with_anchors=cfg.capture_anchors,
             honor_nofollow=cfg.honor_nofollow,
+            with_meta=cfg.honor_noindex,
         ).withColumn("round", F.lit(round_no))
         hits = hits.observe(
             obs_fetch,
@@ -342,7 +345,9 @@ class CrawlDriver:
         # extraction still runs exactly once). Under 'keep' (default) the
         # single direct append stands.
         n_content_deduped = 0
-        if cfg.geo_block_policy == "skip" or cfg.content_dedup:
+        n_noindex = 0
+        if (cfg.geo_block_policy == "skip" or cfg.content_dedup
+                or cfg.honor_noindex):
             attempted = staging.write_scratch("_round_hits", hits)
             m_fetch = obs_fetch.get
             n_ok = int(m_fetch["n_ok"] or 0)
@@ -354,6 +359,22 @@ class CrawlDriver:
             else:
                 ok, geo_skipped = attempted, attempted.limit(0)
             storable = ok
+            if cfg.honor_noindex:
+                # noindex contract: the page was crawled (counters/children
+                # above see the full `ok` set) but its content never lands
+                # in the durable store. Count rides the same append job.
+                is_noindex = F.coalesce(
+                    F.col("meta_robots"), F.lit("")
+                ).rlike(r"\bnoindex\b")
+                obs_noindex = Observation()
+                storable = (
+                    storable.observe(
+                        obs_noindex,
+                        F.sum(is_noindex.cast("long")).alias("n_noindex"),
+                    )
+                    .filter(~is_noindex)
+                    .drop("meta_robots")  # results schema stays parity
+                )
             if cfg.content_dedup:
                 # D3 storage parity (hybrid_crawler.py:539-544): the
                 # reference names each stored file by content hash, so its
@@ -384,8 +405,12 @@ class CrawlDriver:
                     obs_store, F.count(F.lit(1)).alias("n_stored")
                 )
             staging.write_append("crawl_results", storable)
+            if cfg.honor_noindex:
+                n_noindex = int(obs_noindex.get["n_noindex"] or 0)
             if cfg.content_dedup:
-                n_content_deduped = n_ok - int(obs_store.get["n_stored"] or 0)
+                n_content_deduped = (
+                    n_ok - n_noindex - int(obs_store.get["n_stored"] or 0)
+                )
         else:
             attempted = staging.write_append("crawl_results", hits)
             m_fetch = obs_fetch.get
@@ -535,6 +560,7 @@ class CrawlDriver:
             geo_blocked_skipped=n_geo_skipped,
             new_frontier=n_new,
             content_deduped=n_content_deduped,
+            noindex_skipped=n_noindex,
             seconds=round(_time.monotonic() - t0, 3),
             frontier_size=n_deferred + n_new + (n_miss - n_failed),
         )

@@ -321,3 +321,56 @@ def test_drop_traps_frontier_hygiene(spark, tmp_path):
     parity = crawl(False)
     assert good in hygienic and trap not in hygienic
     assert trap in parity and good in parity
+
+
+def test_honor_noindex_storage_policy(spark, tmp_path):
+    """honor_noindex: a meta-robots-noindex page is crawled — status
+    completed, its links followed — but its content never reaches
+    crawl_results; withheld count lands in RoundStats.noindex_skipped.
+    Default mode stores it like the reference would."""
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    child = "https://ni.test/child"
+    seed = "https://ni.test/"
+    html = (
+        '<meta name="robots" content="noindex, follow">'
+        f'<a href="{child}">c</a>indexable? no'
+    ).encode()
+    pages = spark.createDataFrame(
+        [
+            {"url": seed, "warc_ts": None, "html": html,
+             "text": None, "lang": "en"},
+            {"url": child, "warc_ts": None,
+             "html": b"<html><body>plain child</body></html>",
+             "text": None, "lang": "en"},
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": seed, "seq": 0, "unique_id": None}], schema=SEEDS_SCHEMA
+    )
+
+    def crawl(flag):
+        drv = CrawlDriver(
+            spark, pages, None,
+            CrawlConfig(max_levels=2, max_rounds=3, honor_noindex=flag),
+            str(tmp_path / f"ckpt_ni_{flag}"),
+        )
+        drv.run(seeds)
+        return drv
+
+    plain, honoring = crawl(False), crawl(True)
+
+    stored = {r.url for r in honoring.results().collect()}
+    assert stored == {child}                      # noindex page withheld
+    assert {r.url for r in plain.results().collect()} == {seed, child}
+
+    # crawl flow identical: same statuses, child still discovered
+    assert (
+        {(r.url, r.status) for r in plain.current_status().collect()}
+        == {(r.url, r.status) for r in honoring.current_status().collect()}
+    )
+    assert sum(m.noindex_skipped for m in honoring.metrics().collect()) == 1
+    assert all(m.noindex_skipped == 0 for m in plain.metrics().collect())
+    # parity schema: no meta_robots column leaks into the results shape
+    assert "meta_robots" not in honoring.results().columns

@@ -1282,6 +1282,45 @@ def q_url_trap_filter(spark, sf_dir):
     )
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup groups: pages synthesized in groups of 3
+    (doc_id%3==1 declares an absolute <link rel=canonical>, ==2 a
+    RELATIVE one — exercising the UDF's absolutization — and ==0 none,
+    i.e. self-canonical). The Spark side REALLY parses the html through
+    the with_meta extract struct; the oracle knows the planted structure
+    in closed form."""
+    from distributed_crawl_spark.functions.text import make_extract_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(3))).cast("string")
+    link = (
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit('<link rel="canonical" href="https://canon.test/d/'),
+                     g, F.lit('">')),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.lit('<link rel="canonical" href="/d/'), g,
+                     F.lit('"/>')),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), link,
+                    F.lit("</head><body>x</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://canon.test/d/"), did).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    extract = make_extract_udf(max_links=0, with_meta=True)
+    parsed = pages.select(
+        "url",
+        extract(F.col("url"), F.col("html")).alias("ex"),
+    ).select("url", F.col("ex.canonical_url").alias("canonical_url"))
+    return DD.canonical_groups(parsed)
+
+
 def q_sitemap_parse(spark, sf_dir):
     """Sitemap XML → crawl entries, 100% JVM-side (decode + regexp +
     posexplode — no UDF). Sitemap bodies are synthesized
@@ -1579,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_nfc": q_normalize_nfc,
         "url_trap_filter": q_url_trap_filter,
         "sitemap_parse": q_sitemap_parse,
+        "canonical_dedup": q_canonical_dedup,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -3052,6 +3092,23 @@ def oracle_sql() -> dict[str, str]:
                    (max_seg_repeat >= 3 OR path_depth > 12
                     OR n_params > 8 OR path_len > 200) AS trap
             FROM f""",
+        "canonical_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://canon.test/d/' || doc_id::VARCHAR AS self,
+                     'https://canon.test/d/'
+                       || (doc_id - doc_id % 3)::VARCHAR AS canon
+              FROM documents
+            ),
+            e AS (
+              SELECT CASE WHEN doc_id % 3 = 0 THEN self ELSE canon END
+                       AS canonical_url,
+                     self AS url
+              FROM u
+            )
+            SELECT canonical_url, min(url) AS keeper_url,
+                   count(*) AS n_pages
+            FROM e GROUP BY 1""",
         "sitemap_parse": """
             WITH x AS (
               SELECT doc_id,

@@ -872,3 +872,30 @@ def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
         (F.col("__n") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("long").alias("n_removed"),
     )
+
+
+def canonical_groups(pages_meta, url_col: str = "url",
+                     canonical_col: str = "canonical_url"):
+    """Canonical-URL dedup groups — the web's own duplication signal:
+    a page declaring ``<link rel=canonical>`` claims another URL as the
+    authoritative copy (print views, tracking variants, mirrors,
+    pagination). Grouping fetched pages by their effective canonical
+    (declared target, else self) yields the dedup clusters search
+    engines honor BEFORE any content comparison — free precision on top
+    of the hash/minhash families.
+
+    One map-combinable shuffle on the canonical key. Returns
+    (canonical_url, keeper_url = min member URL, n_pages); n_pages > 1
+    marks a group whose non-keeper members a curator drops or redirects.
+    Input = any table carrying (url, canonical_url), e.g. crawl_results
+    from a run with CrawlConfig.honor_noindex (the with_meta extract).
+    """
+    eff = F.coalesce(F.col(canonical_col), F.col(url_col))
+    return (
+        pages_meta.select(eff.alias("canonical_url"), F.col(url_col).alias("u"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("u").alias("keeper_url"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+    )

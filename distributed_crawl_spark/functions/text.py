@@ -56,6 +56,9 @@ class _TextLinkParser(HTMLParser):
         # <meta name=robots> content (first occurrence wins, like browsers)
         self.href_nofollow: list[bool] = []
         self.meta_robots: str | None = None
+        # <link rel="canonical" href=...> — the page's self-declared
+        # canonical URL (first occurrence wins, like search engines)
+        self.canonical: str | None = None
         # anchor capture (additive — never feeds the text invariant):
         # (href, whitespace-collapsed anchor text) per closed <a href>
         self.anchor_pairs: list[tuple[str, str]] = []
@@ -70,6 +73,10 @@ class _TextLinkParser(HTMLParser):
             d = {k: v for k, v in attrs}
             if (d.get("name") or "").lower() == "robots":
                 self.meta_robots = (d.get("content") or "").lower()
+        elif tag == "link" and self.canonical is None:
+            d = {k: v for k, v in attrs}
+            if "canonical" in (d.get("rel") or "").lower().split():
+                self.canonical = d.get("href") or None
         elif tag == "a":
             href = None
             rel = ""
@@ -91,11 +98,11 @@ class _TextLinkParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         # <a href=... /> self-closing still carries an href (empty text);
-        # <meta ... /> written self-closing must still be captured
+        # void <meta>/<link> written self-closing must still be captured
         if tag == "a":
             self.handle_starttag(tag, attrs)
             self.handle_endtag(tag)
-        elif tag == "meta":
+        elif tag in ("meta", "link"):
             self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
@@ -256,8 +263,10 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
     of the page bytes.
 
     ``with_meta=True`` widens the struct with the page's first
-    ``<meta name=robots>`` content (lowercased; None when absent) — the
-    driver's honor_noindex storage policy reads it; same single pass.
+    ``<meta name=robots>`` content (lowercased; None when absent) and
+    its ``<link rel=canonical>`` target (absolutized against the page
+    url) — the driver's honor_noindex storage policy and canonical-group
+    dedup read them; same single pass.
 
     ``honor_nofollow=True`` applies the web's link-hygiene directives
     (engine extension, off by default for reference raw-link parity):
@@ -275,6 +284,7 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
         fields.append(StructField("anchors", ANCHOR_PAIR_TYPE))
     if with_meta:
         fields.append(StructField("meta_robots", StringType()))
+        fields.append(StructField("canonical_url", StringType()))
     result_type = StructType(fields)
 
     @pandas_udf(result_type)
@@ -283,6 +293,7 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
         links: list[list[str]] = []
         anchors: list[list[tuple[str, str]]] = []
         metas: list[str | None] = []
+        canonicals: list[str | None] = []
         for u, h in zip(url, html):
             parser = _run_parser(h)
             text = _text_from_parts(parser.parts) if parser else ""
@@ -309,11 +320,14 @@ def make_extract_udf(max_links: int | None = 10, mode: str = "basic",
                 )
             if with_meta:
                 metas.append(parser.meta_robots if parser else None)
+                c = parser.canonical if parser else None
+                canonicals.append(urljoin(u or "", c) if c else None)
         out = {"text": texts, "links": links}
         if with_anchors:
             out["anchors"] = anchors
         if with_meta:
             out["meta_robots"] = metas
+            out["canonical_url"] = canonicals
         return pd.DataFrame(out)
 
     return extract

@@ -101,7 +101,12 @@ def _with_extract_columns(
             else {}
         )
         .withColumns(
-            {"meta_robots": F.col("ex.meta_robots")} if with_meta else {}
+            {
+                "meta_robots": F.col("ex.meta_robots"),
+                "canonical_url": F.col("ex.canonical_url"),
+            }
+            if with_meta
+            else {}
         )
         .drop("ex")
     )

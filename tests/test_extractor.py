@@ -297,3 +297,15 @@ def test_extract_udf_honor_nofollow(spark):
     assert hygienic[base + "m"][1] == []
     for u in raw:
         assert raw[u][0] == hygienic[u][0]  # text invariant unaffected
+
+
+def test_parser_canonical_capture():
+    from distributed_crawl_spark.functions.text import _run_parser
+
+    html = ('<head><link rel="stylesheet" href="/s.css">'
+            '<link rel="Canonical" href="/real">'
+            '<link rel="canonical" href="/second"></head>')
+    p = _run_parser(html)
+    assert p.canonical == "/real"  # first canonical wins, rel token-matched
+    assert _run_parser('<link rel="canonical" href="x"/>ok').canonical == "x"
+    assert _run_parser("<p>none</p>").canonical is None

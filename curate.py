@@ -58,10 +58,12 @@ import json
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="PySpark corpus curation")
     ap.add_argument("--docs", required=True, help="documents parquet path")
-    ap.add_argument("--docs-format", choices=["parquet", "wet"],
+    ap.add_argument("--docs-format", choices=["parquet", "wet", "jsonl"],
                     default="parquet",
-                    help="wet = Common Crawl WET segments: doc_id=url, "
-                    "source=host, text from conversion records")
+                    help="wet = Common Crawl WET segments (doc_id=url, "
+                    "source=host, text from conversion records); jsonl = "
+                    "JSON-lines files ((doc_id, text, source, ...) objects, "
+                    ".gz ok — the format --out-format jsonl emits)")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -217,6 +219,8 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = wet_documents(read_wet(spark, args.docs))
+    elif args.docs_format == "jsonl":
+        docs = spark.read.json(args.docs)
     else:
         docs = spark.read.parquet(args.docs)
     in_cols = docs.columns

@@ -475,3 +475,38 @@ def test_curate_cli_normalize_nfc(tmp_path, spark):
     )
     assert df.doc_id.tolist() == [2]
     assert all(unicodedata.is_normalized("NFC", t) for t in df.text)
+
+
+def test_curate_cli_jsonl_roundtrip(tmp_path):
+    """curate.py round-trips its own jsonl interchange: a corpus exported
+    with --out-format jsonl re-enters via --docs-format jsonl."""
+    import json
+    import subprocess
+    import sys
+
+    out1 = tmp_path / "stage1"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out1), "--out-format", "jsonl",
+            "--sample", "0.5",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    n1 = json.loads((out1 / "report.json").read_text())["n_output"]
+
+    out2 = tmp_path / "stage2"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(out1 / "*.json.gz"), "--docs-format", "jsonl",
+            "--out", str(out2), "--report-only",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads((out2 / "report.json").read_text())["n_input"] == n1

@@ -32,6 +32,7 @@ from distributed_crawl_spark.functions import events as EV
 from distributed_crawl_spark.functions import graph as GR
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
+from distributed_crawl_spark.functions import text as T
 from distributed_crawl_spark.functions import url as U
 from distributed_crawl_spark.functions.text import (
     clean_markdown,
@@ -1546,6 +1547,58 @@ def q_audio_chunks(spark, sf_dir):
     return audio_chunk_plan(audio_metadata(media, fake=True), chunk_ms=25)
 
 
+def q_surt_key(spark, sf_dir):
+    """SURT index keys (web-archive canonical sort key; CDX field 1) on
+    deliberately messy synthesized URLs — mixed-case scheme/host/path,
+    a leading WWW. (doc_id%3==0), an explicit :8080 port (%5==0), a
+    query whose param order must survive verbatim (%4==0), and a
+    fragment to drop (%6==0). The oracle states the expected key in
+    closed form from the same (source, doc_id) recipe. Zero shuffle —
+    pure codegen regex/split/reverse projections."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.org"),
+        F.when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/D/"),
+        (d % 7).cast("string"),
+        F.lit("/Page-"),
+        d.cast("string"),
+        F.when(d % 4 == 0, F.lit("?B=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), U.surt_key(url).alias("surt")
+    )
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """ftfy-style mojibake repair: every document gets a known non-ASCII
+    tail (' café — ' + doc_id%3 Cyrillic 'я's), the whole
+    string is mangled by the sloppy-cp1252 corrupter (the exact
+    UTF-8-read-as-windows-1252 error legacy pipelines produce), and the
+    repair UDF must recover the original byte-for-byte — the oracle
+    states the clean form in closed form. Two Arrow crossings, zero
+    shuffle; the repaired column hash-matching DuckDB proves the
+    corrupt→repair round trip is the identity."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" café — "),
+        F.repeat(F.lit("я"), (d % 3).cast("int")),
+    )
+    mangled = T.mojibake_text_udf(planted)
+    return docs.select(
+        "doc_id",
+        T.fix_mojibake_udf(mangled).alias("fixed"),
+        (T.fix_mojibake_udf(mangled) != mangled).alias("was_mangled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_slug": q_url_slug,
@@ -1619,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_filter": q_url_trap_filter,
         "sitemap_parse": q_sitemap_parse,
         "canonical_dedup": q_canonical_dedup,
+        "surt_key": q_surt_key,
+        "fix_mojibake": q_fix_mojibake,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -3054,6 +3109,28 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY doc_id
                                       ORDER BY tf * idf_u DESC, tok) AS rank
             FROM s QUALIFY rank <= 5""",
+        "surt_key": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                         ELSE 'http://' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || source || '.Example.org'
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+                   || '/D/' || (doc_id % 7) || '/Page-' || doc_id
+                   || (CASE WHEN doc_id % 4 = 0 THEN '?B=2&a=1' ELSE '' END)
+                   || (CASE WHEN doc_id % 6 = 0 THEN '#Sec' ELSE '' END)
+                     AS url,
+                   'org,example,' || lower(source) || ')/d/'
+                   || (doc_id % 7) || '/page-' || doc_id
+                   || (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END)
+                     AS surt
+            FROM documents""",
+        "fix_mojibake": """
+            SELECT doc_id,
+                   text || ' café — '
+                        || repeat('я', CAST(doc_id % 3 AS INT)) AS fixed,
+                   true AS was_mangled
+            FROM documents""",
         "url_trap_filter": """
             WITH u AS (
               SELECT doc_id,

@@ -544,6 +544,81 @@ def nfc_normalize_udf(text: pd.Series) -> pd.Series:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mojibake repair (the ftfy step of C4/OSCAR-style pipelines)
+# ---------------------------------------------------------------------------
+# "Sloppy windows-1252": cp1252 where defined, latin-1 for the five
+# undefined 0x80-0x9F bytes — the de-facto decoder legacy web servers
+# applied to UTF-8 bytes, and therefore the exact inverse a repairer
+# needs. The two tables below are bijective over chr(0)..chr(255)'s image
+# (every cp1252 0x80-0x9F char is ≥ U+0100, so no mapping collides).
+_SLOPPY_DECODE: list[str] = [
+    (bytes([b]).decode("cp1252") if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+     else chr(b)) if 0x80 <= b <= 0x9F else chr(b)
+    for b in range(256)
+]
+_SLOPPY_ENCODE: dict[str, int] = {c: b for b, c in enumerate(_SLOPPY_DECODE)}
+
+
+def _mojibake_fix_once(s: str) -> str | None:
+    """One repair pass: re-encode via sloppy-cp1252 and strict-decode as
+    UTF-8. Returns the repaired string, or None when ``s`` is not a
+    consistent double-encoding (any char > U+00FF outside the cp1252
+    page, or bytes that aren't valid UTF-8) — the precision contract:
+    natural single-encoded text virtually never survives BOTH gates,
+    because its 0x80-0xFF bytes don't form UTF-8 sequences."""
+    if s.isascii():
+        return None
+    try:
+        b = bytes(_SLOPPY_ENCODE[c] for c in s)
+    except KeyError:
+        return None
+    try:
+        t = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return t if t != s else None
+
+
+@pandas_udf(StringType())
+def fix_mojibake_udf(text: pd.Series) -> pd.Series:
+    """Repair UTF-8-decoded-as-cp1252 mojibake ('cafÃ©' →
+    'café'), the ftfy pass every web-text pipeline runs before
+    dedup/quality: mangled and clean variants of one page otherwise
+    count as distinct documents. Up to 3 passes so double-mangled text
+    (encoded, decoded wrong, re-encoded, decoded wrong again) also
+    heals; each pass is gated by the strict round-trip check in
+    :func:`_mojibake_fix_once`, so already-clean text — including the
+    ASCII fast path — passes through untouched. Sanctioned pandas UDF
+    (codec work is per-code-point); pre-filter with a marker regex
+    (``'[ÂÃÐâ]'``) when the mangled rate is low."""
+
+    def fix(s):
+        if s is None:
+            return None
+        for _ in range(3):
+            t = _mojibake_fix_once(s)
+            if t is None:
+                return s
+            s = t
+        return s
+
+    return text.map(fix)
+
+
+@pandas_udf(StringType())
+def mojibake_text_udf(text: pd.Series) -> pd.Series:
+    """The CORRUPTER (test/oracle synthesis only): UTF-8 bytes decoded as
+    sloppy-cp1252 — produces exactly the mangling
+    :func:`fix_mojibake_udf` repairs, so contract queries can plant
+    known-broken text whose fixed form the oracle states in closed
+    form."""
+    return text.map(
+        lambda s: None if s is None
+        else "".join(_SLOPPY_DECODE[b] for b in s.encode("utf-8"))
+    )
+
+
 def normalize_text(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per-doc NFC normalization pass: (doc_id, norm_text, changed).
 

@@ -213,6 +213,33 @@ def strip_tracking_params(url: Column) -> Column:
     ).otherwise(base)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the web-archive
+    canonical sort key (first field of Common Crawl's CDX index):
+    ``com,example)/path?query``. Host labels are reversed and
+    comma-joined, so a plain lexicographic sort clusters every capture of
+    a domain — and all its subdomains — contiguously; that property is
+    what makes CDX range scans ("give me all of *.example.com") and
+    per-domain index merges work on a sorted, sharded 100-TB index.
+
+    Canonicalization subset (the engine's documented contract, applied
+    identically by :func:`~distributed_crawl_spark.sinks.warc.cdx_lines`):
+    everything lowercased; scheme and fragment dropped; one leading
+    ``www.`` and any ``:port`` dropped from the host; path+query kept
+    verbatim (empty path → ``/``). Pure codegen expressions — index-key
+    generation over a 10^10-row capture table never leaves the JVM.
+    """
+    host = F.lower(url_netloc(url))
+    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
+    )
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.concat(rev, F.lit(")"), rest)
+
+
 def trap_features(url: Column) -> dict[str, Column]:
     """Crawl-trap signals per URL — the Mercator-style frontier hygiene
     every production crawler needs (Heydon & Najork 1999): calendar

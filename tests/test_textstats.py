@@ -368,3 +368,77 @@ def test_normalize_nfc(spark):
     assert got[1] == ("plain ascii", False)
     assert got[2] == ("caf\u00e9", False)
     assert got[3] == (None, False)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (functions/text.py fix_mojibake_udf)
+# ---------------------------------------------------------------------------
+
+def test_mojibake_fix_classics():
+    from distributed_crawl_spark.functions.text import _mojibake_fix_once
+
+    # the canonical utf8-read-as-cp1252 signatures
+    assert _mojibake_fix_once("cafÃ©") == "café"      # cafÃ© → café
+    assert _mojibake_fix_once("â€™") == "’"      # â€™ → ’
+    # clean text is left alone (both gates)
+    assert _mojibake_fix_once("ascii only") is None
+    assert _mojibake_fix_once("café crème") is None        # genuine latin-1 range
+    assert _mojibake_fix_once("я汉") is None                # > U+00FF, no cp1252 image
+
+
+def test_mojibake_udf_double_mangle_heals(spark):
+    from distributed_crawl_spark.functions.text import (
+        _SLOPPY_DECODE,
+        fix_mojibake_udf,
+    )
+    from pyspark.sql import functions as F
+
+    def mangle(s: str) -> str:
+        return "".join(_SLOPPY_DECODE[b] for b in s.encode("utf-8"))
+
+    clean = "naïve café — ях 汉字 ok"
+    rows = [
+        (1, mangle(clean)),            # single mangle
+        (2, mangle(mangle(clean))),    # double mangle
+        (3, clean),                    # already clean
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["fixed"]
+        for r in df.select(
+            "id", fix_mojibake_udf(F.col("text")).alias("fixed")
+        ).collect()
+    }
+    assert got[1] == clean and got[2] == clean and got[3] == clean
+    assert got[4] == "plain ascii" and got[5] is None
+
+
+def test_mojibake_roundtrip_property():
+    """For any string that is itself clean (not repair-eligible),
+    corrupt → repair is the identity — the contract-query invariant."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from distributed_crawl_spark.functions.text import (
+        _SLOPPY_DECODE,
+        _mojibake_fix_once,
+    )
+
+    def fix(s: str) -> str:
+        for _ in range(3):
+            t = _mojibake_fix_once(s)
+            if t is None:
+                return s
+            s = t
+        return s
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=40))
+    def check(s):
+        assume(_mojibake_fix_once(s) is None)  # s itself is clean
+        mangled = "".join(_SLOPPY_DECODE[b] for b in s.encode("utf-8"))
+        assert fix(mangled) == s
+
+    check()

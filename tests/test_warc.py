@@ -236,3 +236,109 @@ def test_curate_cli_over_wet(spark, tmp_path):
     # min-string-id canonical pick keeps a.test, drops the b.test dup
     assert kept == {"https://a.test/x", "https://c.test/z"}
     assert set(df.source) == {"a.test", "c.test"}
+
+
+# ---------------------------------------------------------------------------
+# WARC sink: write → read round trip, true-offset CDX, determinism
+# ---------------------------------------------------------------------------
+
+def _sink_pages(spark):
+    import datetime as dt
+
+    rows = [
+        # binary-unsafe body (NULs, 0xFF, CRLFs) — member framing must
+        # rely on Content-Length, never on byte scanning
+        ("https://w.test/bin", dt.datetime(2026, 1, 2, 3, 4, 5),
+         200, "application/octet-stream", b"\xff\x00\r\n\r\nraw\x80"),
+        ("https://w.test/a", dt.datetime(2026, 1, 2, 3, 4, 6, 250000),
+         200, "text/html", b"<html>alpha</html>"),
+        ("https://sub.w.test/b", dt.datetime(2026, 1, 3, 0, 0, 0),
+         404, "text/html", b"gone"),
+        ("https://q.test/p?x=1&y=2", dt.datetime(2026, 2, 1, 12, 0, 0),
+         200, "text/plain", b"plain text body"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, status int, "
+              "content_type string, html binary")
+
+
+def test_write_warc_round_trip(spark, tmp_path):
+    from distributed_crawl_spark.sinks.warc import write_warc
+
+    pages = _sink_pages(spark)
+    out = str(tmp_path / "segs")
+    manifest = write_warc(pages, out, n_shards=2).toPandas()
+    assert len(manifest) == 4 and manifest["warc_offset"].min() > 0
+
+    got = read_warc(spark, out).drop("warc_file").toPandas()
+    want = pages.toPandas()
+    for df in (got, want):
+        df.sort_values("url", inplace=True, ignore_index=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["status"]) == list(want["status"])
+    assert list(got["content_type"]) == list(want["content_type"])
+    assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
+    # timestamps round-trip including sub-second precision
+    assert list(got["warc_ts"]) == list(want["warc_ts"])
+
+
+def test_write_warc_random_access_and_cdx(spark, tmp_path):
+    import gzip as gz
+    import json as js
+
+    from distributed_crawl_spark.sinks.warc import cdx_lines, write_warc
+    from distributed_crawl_spark.sources.warc import read_cdx
+
+    pages = _sink_pages(spark)
+    out = str(tmp_path / "segs")
+    manifest = write_warc(pages, out, n_shards=2)
+    mpdf = manifest.toPandas()
+
+    # (offset, length) random access: seek straight to one member,
+    # inflate it alone, and get exactly that capture — the property a
+    # wayback/selective-refetch planner depends on
+    for r in mpdf.itertuples(index=False):
+        with open(f"{out}/{r.warc_filename}", "rb") as fh:
+            fh.seek(r.warc_offset)
+            blob = fh.read(r.warc_length)
+        recs = list(iter_warc_records(gz.decompress(blob)))
+        assert [x["url"] for x in recs] == [r.url]
+        assert recs[0]["status"] == r.status
+
+    # CDXJ lines parse back through read_cdx with every field intact
+    cdx_dir = str(tmp_path / "cdx")
+    cdx_lines(manifest).sort("line").write.mode("overwrite").text(cdx_dir)
+    idx = read_cdx(spark, cdx_dir).toPandas().sort_values(
+        "url", ignore_index=True)
+    mpdf = mpdf.sort_values("url", ignore_index=True)
+    assert list(idx["url"]) == list(mpdf["url"])
+    assert list(idx["warc_offset"]) == list(mpdf["warc_offset"])
+    assert list(idx["warc_length"]) == list(mpdf["warc_length"])
+    assert list(idx["digest"]) == list(mpdf["digest"])
+    assert list(idx["status"]) == list(mpdf["status"])
+    # SURT keys: reversed host, www/port/scheme/fragment dropped
+    by_url = dict(zip(idx["url"], idx["surt"]))
+    assert by_url["https://sub.w.test/b"] == "test,w,sub)/b"
+    assert by_url["https://q.test/p?x=1&y=2"] == "test,q)/p?x=1&y=2"
+
+    # raw line sanity: "<surt> <14-digit ts> <json>"
+    line = spark.read.text(cdx_dir).toPandas()["value"].iloc[0]
+    surt, ts14, meta = line.split(" ", 2)
+    assert len(ts14) == 14 and ts14.isdigit()
+    assert js.loads(meta)["filename"].startswith("part-")
+
+
+def test_write_warc_deterministic(spark, tmp_path):
+    from pathlib import Path
+
+    from distributed_crawl_spark.sinks.warc import write_warc
+
+    pages = _sink_pages(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(pages.repartition(5), a, n_shards=2).count()
+    write_warc(pages.coalesce(1), b, n_shards=2).count()
+    fa = sorted(Path(a).glob("*.warc.gz"))
+    fb = sorted(Path(b).glob("*.warc.gz"))
+    assert [f.name for f in fa] == [f.name for f in fb] and fa
+    for x, y in zip(fa, fb):
+        assert x.read_bytes() == y.read_bytes()

@@ -1599,6 +1599,29 @@ def q_fix_mojibake(spark, sf_dir):
     )
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Host-scoped boilerplate removal (CCNet/trafilatura chrome
+    filter): every doc gets a per-source nav header (in 100% of the
+    host's docs → removed everywhere), unique 8-word body lines (kept),
+    and a 'Promo day' line on even doc_ids (≈50% of each host's docs —
+    sits exactly on the frac=0.5 boundary, so odd-sized hosts keep it
+    and even-sized hosts drop it; both engines must agree from the same
+    census). All shuffles uniform; host totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    lined = F.concat(
+        F.lit("Home | About | "), F.col("source"), F.lit("\n"),
+        F.array_join(
+            F.transform(CU.span_chunks(F.col("text"), 8), lambda s: s.chunk),
+            "\n",
+        ),
+        F.when(d % 2 == 0, F.lit("\nPromo day")).otherwise(F.lit("")),
+    )
+    return DD.host_boilerplate(
+        docs.select("doc_id", "source", lined.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_slug": q_url_slug,
@@ -1674,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "surt_key": q_surt_key,
         "fix_mojibake": q_fix_mojibake,
+        "boilerplate_lines": q_boilerplate_lines,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -3131,6 +3155,52 @@ def oracle_sql() -> dict[str, str]:
                         || repeat('я', CAST(doc_id % 3 AS INT)) AS fixed,
                    true AS was_mangled
             FROM documents""",
+        "boilerplate_lines": f"""
+            WITH w AS (
+              SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok,
+                     unnest(range(1, len({_TOKS_SQL}) + 1)) AS i
+              FROM documents
+            ),
+            chunk AS (
+              SELECT doc_id, source, CAST((i - 1) // 8 + 1 AS INT) AS pos,
+                     string_agg(tok, ' ' ORDER BY i) AS ln
+              FROM w GROUP BY doc_id, source, (i - 1) // 8
+            ),
+            maxp AS (SELECT doc_id, max(pos) AS mp FROM chunk GROUP BY doc_id),
+            l AS (
+              SELECT doc_id, source, 0 AS pos,
+                     'Home | About | ' || source AS ln
+              FROM documents
+              UNION ALL
+              SELECT doc_id, source, pos, ln FROM chunk
+              UNION ALL
+              SELECT d.doc_id, d.source, m.mp + 1 AS pos, 'Promo day' AS ln
+              FROM documents d JOIN maxp m USING (doc_id)
+              WHERE d.doc_id % 2 = 0
+            ),
+            nd AS (SELECT source, count(*) AS n FROM documents
+                   GROUP BY source),
+            c AS (
+              SELECT source, ln, count(DISTINCT doc_id) AS cnt
+              FROM l GROUP BY source, ln
+            ),
+            bp AS (
+              SELECT c.source, c.ln FROM c JOIN nd USING (source)
+              WHERE cnt >= 2 AND cnt >= 0.5 * n
+            ),
+            k AS (
+              SELECT l.doc_id, count(*) AS n_kept,
+                     string_agg(l.ln, chr(10) ORDER BY l.pos) AS clean_text
+              FROM l ANTI JOIN bp
+                ON l.source = bp.source AND l.ln = bp.ln
+              GROUP BY l.doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN k USING (doc_id)""",
         "url_trap_filter": """
             WITH u AS (
               SELECT doc_id,

@@ -37,7 +37,9 @@ adds writer/shard_id/offset_tokens columns to the output.
 ``--normalize-nfc`` unicode-canonicalizes text before EVERY other stage
 (composed/decomposed variants collide in all downstream dedup);
 ``--dedup-lines`` removes within-doc duplicated lines before any other
-stage; ``--dedup-lines-global`` removes lines duplicated across docs
+stage; ``--boilerplate [FRAC]`` removes host-scoped chrome lines
+(present in >= FRAC of a source's docs) from all of that source's docs;
+``--dedup-lines-global`` removes lines duplicated across docs
 (keep-first); ``--quantile-gate P`` keeps docs at/above their own
 source's P-th quality percentile; ``--lm-gate P`` drops docs below the
 corpus-wide P-th percentile of self-trained unigram log-probability.
@@ -159,6 +161,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="remove duplicated lines WITHIN each doc "
                     "(keep first occurrence, preserve order; rewrites "
                     "the text column)")
+    ap.add_argument("--boilerplate", type=float, nargs="?", const=0.5,
+                    metavar="FRAC",
+                    help="remove lines appearing in >= FRAC (default 0.5) "
+                         "of a source's docs from ALL of that source's "
+                         "docs (host-scoped chrome filter; runs before "
+                         "the cross-doc keep-first line dedup)")
     ap.add_argument("--dedup-lines-global", action="store_true",
                     help="remove lines duplicated ACROSS docs, keeping "
                     "only the first (doc_id, pos) occurrence corpus-wide "
@@ -235,6 +243,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup_lines:
         # first stage: every downstream filter/gate scores the cleaned text
         docs = docs.withColumn(text_c, TS.dedup_lines(F.col(text_c)))
+    if args.boilerplate is not None:
+        bp = DD.host_boilerplate(
+            docs, id_col=id_c, text_col=text_c, host_col=src_c,
+            frac=args.boilerplate,
+        ).select(
+            F.col(id_c).alias("__bp_id"),
+            F.col("clean_text").alias("__bp_text"),
+        )
+        docs = docs.join(
+            bp, docs[id_c] == bp["__bp_id"], "left"
+        ).withColumn(
+            text_c, F.coalesce(F.col("__bp_text"), F.col(text_c))
+        ).drop("__bp_id", "__bp_text")
     if args.dedup_lines_global:
         gl = DD.global_line_dedup(docs, id_col=id_c, text_col=text_c).select(
             F.col(id_c).alias("__gl_id"),

@@ -874,6 +874,89 @@ def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def host_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", host_col: str = "source",
+                     sep: str = "\n", frac: float = 0.5,
+                     min_docs: int = 2, min_chars: int = 1) -> DataFrame:
+    """Host-scoped boilerplate-line removal (the CCNet/trafilatura
+    chrome filter): a line that appears in at least ``frac`` of a host's
+    documents (and in ≥ ``min_docs`` of them) is navigation / footer /
+    cookie-banner chrome by construction, and is removed from EVERY
+    document of that host. Complements :func:`global_line_dedup` —
+    keep-first preserves one copy of a line that might be content;
+    this operator deletes all copies of lines that the host's own page
+    population proves are template chrome, the standard pre-step before
+    quality scoring (boilerplate inflates stopword/length signals).
+
+    Frequencies are per-host on purpose: "Subscribe to our newsletter"
+    is chrome on the host that stamps it on every page and content in a
+    blog post quoting it elsewhere.
+
+    Plan — all shuffles keyed by (host, digest) or doc id, uniform at
+    any corpus size:
+      1. per-host doc totals — groupBy(host), map-combinable, one row
+         per host: broadcast to the census join.
+      2. line census — distinct (host, digest, doc) then count: the
+         "every page of the host" line contributes one row per map
+         task after the distinct, never a skewed reduce.
+      3. boilerplate filter + left-anti join of the exploded lines on
+         (host, digest); hot digests are AQE skew-join territory.
+      4. per-doc reassembly — sort_array(collect_list) bounded by the
+         doc's own line count.
+
+    Lines whose trimmed length is < ``min_chars`` bypass the census and
+    are always kept (spacer lines are structure, not chrome). Returns
+    (doc_id, clean_text, n_kept, n_removed) for every input doc.
+    """
+    host_totals = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    lines = docs.select(
+        id_col,
+        host_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln"),
+    ).withColumn(
+        "eligible", F.length(F.trim(F.col("ln"))) >= min_chars
+    ).withColumn("digest", F.md5(F.col("ln")))
+    census = (
+        lines.filter("eligible")
+        .select(host_col, "digest", id_col)
+        .distinct()
+        .groupBy(host_col, "digest")
+        .agg(F.count(F.lit(1)).alias("__n_line"))
+    )
+    chrome = (
+        census.join(F.broadcast(host_totals), host_col)
+        .filter(
+            (F.col("__n_line") >= F.lit(min_docs))
+            & (F.col("__n_line") >= F.lit(frac) * F.col("__n_docs"))
+        )
+        .select(host_col, "digest")
+    )
+    kept = lines.join(chrome, [host_col, "digest"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s.ln,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("__n"),
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("__n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+    )
+
+
 def canonical_groups(pages_meta, url_col: str = "url",
                      canonical_col: str = "canonical_url"):
     """Canonical-URL dedup groups — the web's own duplication signal:

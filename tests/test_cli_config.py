@@ -510,3 +510,43 @@ def test_curate_cli_jsonl_roundtrip(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads((out2 / "report.json").read_text())["n_input"] == n1
+
+
+def test_curate_cli_boilerplate(tmp_path):
+    """curate.py --boilerplate: host-scoped chrome lines vanish from the
+    output texts while per-doc body lines survive."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "source": ["a"] * 3 + ["b"] * 3,
+            "text": [f"NAV A\nbody a{i}" for i in range(3)]
+            + [f"NAV B\nbody b{i}" for i in range(3)],
+        }
+    ).to_parquet(src)
+    out = tmp_path / "curated_bp"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(src),
+            "--out", str(out),
+            "--boilerplate",
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 6 and report["n_output"] == 6
+    df = pd.concat(
+        [pd.read_parquet(p) for p in sorted(out.glob("part-*.parquet"))]
+    ).sort_values("doc_id", ignore_index=True)
+    assert list(df["text"]) == [
+        "body a0", "body a1", "body a2", "body b0", "body b1", "body b2"
+    ]

@@ -385,3 +385,38 @@ def test_global_line_dedup_fully_scrubbed_doc_survives(spark):
     assert out[1]["clean_text"] == "dup line"
     assert out[2]["clean_text"] == ""
     assert out[2]["n_kept"] == 0 and out[2]["n_removed"] == 1
+
+
+def test_host_boilerplate_removal(spark):
+    from distributed_crawl_spark.functions.dedup import host_boilerplate
+
+    nav = "Home | About"
+    rows = [
+        # host A: nav on all 3 docs (removed everywhere), "promo" on 2/3
+        # (>= 0.5 -> removed), unique bodies kept, a spacer line " "
+        # is ineligible (min_chars) even though it's on every page
+        (1, "a", f"{nav}\n \nbody one\npromo"),
+        (2, "a", f"{nav}\n \nbody two\npromo"),
+        (3, "a", f"{nav}\n \nbody three"),
+        # host B: the SAME nav line on only 1 of 2 docs -> content there
+        # (per-host scoping); min_docs=2 also protects the singleton
+        (4, "b", f"{nav}\nquote of the day"),
+        (5, "b", "different page"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate(
+            spark.createDataFrame(
+                rows, "doc_id long, source string, text string"
+            )
+        ).collect()
+    }
+    assert out[1]["clean_text"] == " \nbody one"
+    assert out[2]["clean_text"] == " \nbody two"
+    assert out[3]["clean_text"] == " \nbody three"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (2, 2)
+    # host B keeps the nav line — it is not chrome THERE
+    assert out[4]["clean_text"] == f"{nav}\nquote of the day"
+    assert out[5]["clean_text"] == "different page"
+    # every doc row survives even if all lines were removable
+    assert set(out) == {1, 2, 3, 4, 5}

@@ -101,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="after the crawl: write summary.json (K5), "
                     "status.csv (K6), and the partitioned results layout "
                     "(K3, parquet by (host_bucket, round)) under DIR")
+    ap.add_argument("--export-warc", type=int, nargs="?", const=4,
+                    metavar="SHARDS",
+                    help="with --export-dir: also archive the fetched "
+                    "pages (raw html joined back from the pages table) as "
+                    "DIR/warc/part-*.warc.gz segments plus a sorted CDXJ "
+                    "index DIR/warc_cdx/ with true member offsets "
+                    "(default 4 shards)")
     ap.add_argument("--stream-seeds", metavar="DIR",
                     help="continuous-ingestion mode: consume seed FILES "
                     "(one URL per line) landing in DIR as a stream — each "
@@ -185,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         print(json.dumps(driver.progress()))
         if args.export_dir:
-            _export(driver, args.export_dir)
+            _export(driver, args.export_dir, warc_shards=args.export_warc)
         return 0
 
     if args.resume:
@@ -202,13 +209,14 @@ def main(argv: list[str] | None = None) -> int:
     for s in stats:
         print(json.dumps(s.__dict__))
     if args.export_dir:
-        _export(driver, args.export_dir)
+        _export(driver, args.export_dir, warc_shards=args.export_warc)
     return 0
 
 
-def _export(driver, out_dir: str) -> None:
+def _export(driver, out_dir: str, warc_shards: int | None = None) -> None:
     """K5/K6/K3 post-crawl exports in one place (also used after
-    --stream-seeds)."""
+    --stream-seeds); ``warc_shards`` additionally archives the fetched
+    pages as WARC segments + CDX index (see --export-warc)."""
     import datetime
     import os
 
@@ -233,6 +241,25 @@ def _export(driver, out_dir: str) -> None:
 
         anchor_census_from_pairs(results).write.mode("overwrite").parquet(
             os.path.join(out_dir, "anchor_census")
+        )
+    if warc_shards:
+        # archive-what-you-fetched: raw html joined back from the pages
+        # table for every stored result URL, written as .warc.gz segments
+        # (one gzip member per record) + a sorted CDXJ index with true
+        # member offsets — replayable by read_warc/read_cdx
+        from distributed_crawl_spark.sinks.warc import cdx_lines, write_warc
+
+        fetched = driver.pages.join(
+            results.select("url").distinct(), "url"
+        ).select("url", "warc_ts", "html")
+        manifest = write_warc(
+            fetched, os.path.join(out_dir, "warc"), n_shards=warc_shards
+        )
+        # global sort = range partition: every output file is sorted AND
+        # the files themselves are in key order (Common Crawl's own
+        # 300-sharded index layout), so binary-search range scans work
+        cdx_lines(manifest).sort("line").write.mode("overwrite").text(
+            os.path.join(out_dir, "warc_cdx")
         )
 
 

@@ -34,6 +34,7 @@ at all.
 of the output corpus to report.json. ``--pack-tokens B`` plans training
 shards (seeded deterministic shuffle order, ~B tokens per shard) and
 adds writer/shard_id/offset_tokens columns to the output.
+``--fix-mojibake`` repairs utf8-read-as-cp1252 double encodings first;
 ``--normalize-nfc`` unicode-canonicalizes text before EVERY other stage
 (composed/decomposed variants collide in all downstream dedup);
 ``--dedup-lines`` removes within-doc duplicated lines before any other
@@ -154,6 +155,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep docs at/above their own source's P-th "
                     "quality percentile (adaptive per-source threshold; "
                     "use binary-representable P like 0.5/0.25/0.75)")
+    ap.add_argument("--fix-mojibake", action="store_true",
+                    help="repair utf8-read-as-cp1252 mojibake in text "
+                         "(ftfy pass; runs with --normalize-nfc in the "
+                         "very first stage, before any hashing)")
     ap.add_argument("--normalize-nfc", action="store_true",
                     help="unicode-NFC-normalize text first, so composed/"
                     "decomposed variants collide in every dedup stage")
@@ -234,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
     in_cols = docs.columns
     id_c, text_c, src_c = args.id_col, args.text_col, args.source_col
 
+    if args.fix_mojibake:
+        # repair double-encodings BEFORE NFC: mojibake bytes aren't a
+        # normalization form, they're a different (wrong) string entirely
+        from distributed_crawl_spark.functions.text import fix_mojibake_udf
+
+        docs = docs.withColumn(text_c, fix_mojibake_udf(F.col(text_c)))
     if args.normalize_nfc:
         # very first stage: canonicalize unicode BEFORE any hashing/dedup
         # stage so composed/decomposed variants of the same text collide

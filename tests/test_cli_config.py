@@ -550,3 +550,44 @@ def test_curate_cli_boilerplate(tmp_path):
     assert list(df["text"]) == [
         "body a0", "body a1", "body a2", "body b0", "body b1", "body b2"
     ]
+
+
+def test_curate_cli_fix_mojibake(tmp_path):
+    """curate.py --fix-mojibake repairs double-encoded text before any
+    downstream stage (digest dedup sees the clean form)."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["a", "a"],
+            # doc 1 is clean; doc 2 is the SAME text mangled utf8→cp1252
+            "text": ["naïve café body", "naÃ¯ve cafÃ© body"],
+        }
+    ).to_parquet(src)
+    prior = tmp_path / "prior.parquet"
+    pd.DataFrame(
+        {"doc_id": [99], "source": ["a"], "text": ["naïve café body"]}
+    ).to_parquet(prior)
+    out = tmp_path / "curated_fix"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(src),
+            "--out", str(out),
+            "--fix-mojibake",
+            # prior holds only the CLEAN text: doc 2 survives the digest
+            # anti-join unless the repair ran first
+            "--dedup-against", str(prior),
+            "--cores", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 2 and report["n_output"] == 0

@@ -342,3 +342,52 @@ def test_write_warc_deterministic(spark, tmp_path):
     assert [f.name for f in fa] == [f.name for f in fb] and fa
     for x, y in zip(fa, fb):
         assert x.read_bytes() == y.read_bytes()
+
+
+def test_crawl_export_warc_full_circle(spark, tmp_path):
+    """WARC in → crawl → WARC out: the exported archive holds exactly
+    the fetched pages' raw bytes, and its CDX index parses back with
+    offsets that really locate each record."""
+    import gzip as gz
+
+    import crawl as crawl_cli
+    from distributed_crawl_spark.config import CrawlConfig
+    from distributed_crawl_spark.schema import SEEDS_SCHEMA
+    from distributed_crawl_spark.sources.warc import read_cdx
+    from distributed_crawl_spark.streaming.driver import CrawlDriver
+
+    (tmp_path / "seg.warc.gz").write_bytes(
+        gzip.compress(_record("https://w.test/a", BODY_A))
+        + gzip.compress(_record("https://w.test/b", BODY_B))
+        + gzip.compress(_record("https://w.test/unseeded", b"<html>x</html>"))
+    )
+    pages = warc_pages(read_warc(spark, str(tmp_path / "seg.warc.gz")))
+    seeds = spark.createDataFrame(
+        [{"url": "https://w.test/a", "seq": 0, "unique_id": None}],
+        schema=SEEDS_SCHEMA,
+    )
+    drv = CrawlDriver(
+        spark, pages, None,
+        CrawlConfig(max_levels=2, max_rounds=3),
+        str(tmp_path / "ckpt"),
+    )
+    drv.run(seeds)
+    out = tmp_path / "export"
+    crawl_cli._export(drv, str(out), warc_shards=2)
+
+    # the archive holds the two CRAWLED pages (a + its child b), not the
+    # never-reached third record
+    arch = read_warc(spark, str(out / "warc")).toPandas()
+    assert sorted(arch["url"]) == ["https://w.test/a", "https://w.test/b"]
+    by_url = {u: bytes(h) for u, h in zip(arch["url"], arch["html"])}
+    assert by_url["https://w.test/a"] == BODY_A
+    assert by_url["https://w.test/b"] == BODY_B
+
+    # CDX offsets are live: seek+inflate one member → that url
+    idx = read_cdx(spark, str(out / "warc_cdx")).collect()
+    assert len(idx) == 2
+    for r in idx:
+        with open(out / "warc" / r.warc_filename, "rb") as fh:
+            fh.seek(r.warc_offset)
+            blob = fh.read(r.warc_length)
+        assert [x["url"] for x in iter_warc_records(gz.decompress(blob))] == [r.url]

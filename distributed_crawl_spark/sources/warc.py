@@ -141,6 +141,24 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
         }
 
 
+def _parse_warc_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """binaryFile (path, content) batches → page rows; shared by the
+    batch and streaming readers."""
+    for pdf in batches:
+        rows = []
+        for fpath, blob in zip(pdf["path"], pdf["content"]):
+            for rec in iter_warc_records(bytes(blob)):
+                rec["warc_file"] = fpath
+                rows.append(rec)
+        yield pd.DataFrame(
+            rows,
+            columns=["url", "warc_ts", "status", "content_type",
+                     "html", "warc_file"],
+        )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC segment files → (url, warc_ts, status, content_type, html,
     warc_file), one row per ``response`` record.
@@ -153,21 +171,29 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    return files.mapInPandas(_parse_warc_batches, WARC_PAGE_COLUMNS)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for fpath, blob in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(blob)):
-                    rec["warc_file"] = fpath
-                    rows.append(rec)
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_ts", "status", "content_type",
-                         "html", "warc_file"],
-            )
 
-    return files.mapInPandas(parse, WARC_PAGE_COLUMNS)
+def stream_warc(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """CONTINUOUS WARC ingestion: segment files landing in ``path``
+    become a pages STREAM — the §2.13 twin of :func:`read_warc`, for
+    the drop-dir a fetch fleet (or a Common Crawl mirror sync) feeds.
+    Parallelism is identical to the batch reader (one task per
+    segment; the file is the unit of both gzip decompression and
+    micro-batch progress tracking), so a segment is processed exactly
+    once across restarts via the streaming checkpoint. Compose with
+    ``stream_extract_pages``-style projections or ``foreachBatch`` into
+    the crawl driver; ``max_files_per_trigger=1`` gives deterministic
+    one-segment batches under ``Trigger.AvailableNow`` for tests."""
+    reader = spark.readStream.format("binaryFile")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).load(path).select("path", "content")
+    return files.mapInPandas(_parse_warc_batches, WARC_PAGE_COLUMNS)
 
 
 def warc_pages(warc_df: DataFrame) -> DataFrame:
@@ -272,6 +298,64 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
         F.col("m.filename").alias("warc_filename"),
         F.col("m.offset").cast("long").alias("warc_offset"),
         F.col("m.length").cast("long").alias("warc_length"),
+    )
+
+
+def cdx_fetch_plan(cdx: DataFrame, wanted: DataFrame,
+                   url_col: str = "url",
+                   merge_gap: int = 0) -> DataFrame:
+    """Selective re-fetch planner — the join that makes a 100-TB archive
+    randomly accessible: given a CDX index (:func:`read_cdx` shape) and
+    a ``wanted`` URL list, emit per-record byte coordinates PLUS merged
+    contiguous byte ranges per segment file, so a fetcher issues one
+    ranged GET per run of adjacent members instead of one per record
+    (members written by :func:`~distributed_crawl_spark.sinks.warc.
+    write_warc` are back-to-back; ``merge_gap`` > 0 also bridges small
+    holes — cheaper to over-read a few KB than to open a new request).
+
+    Plan shape: one hash join on url (uniform), a per-url latest-capture
+    pick (map-combinable max_by), then ONE window per (file) ordered by
+    offset — bounded by a segment's own record count (~10^4-10^5 for a
+    1 GB segment), never by corpus size; files are the parallelism.
+
+    Returns (warc_filename, warc_offset, warc_length, url, range_id,
+    range_offset, range_length) — group by (warc_filename, range_id)
+    for the GET list; rows within a range are the members to parse out
+    of that one read.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    latest = (
+        cdx.join(wanted.select(F.col(url_col).alias("url")).distinct(),
+                 "url")
+        .groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("warc_filename", "warc_offset", "warc_length"),
+                "capture_ts",
+            ).alias("w")
+        )
+        .select("url", "w.warc_filename", "w.warc_offset", "w.warc_length")
+    )
+    by_off = Window.partitionBy("warc_filename").orderBy("warc_offset")
+    gap = F.col("warc_offset") - (
+        F.lag(F.col("warc_offset") + F.col("warc_length")).over(by_off)
+    )
+    marked = latest.withColumn(
+        "__new_range",
+        F.when(gap.isNull() | (gap > merge_gap), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "range_id", F.sum("__new_range").over(
+            by_off.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    rng = Window.partitionBy("warc_filename", "range_id")
+    return marked.select(
+        "warc_filename", "warc_offset", "warc_length", "url", "range_id",
+        F.min("warc_offset").over(rng).alias("range_offset"),
+        (F.max(F.col("warc_offset") + F.col("warc_length")).over(rng)
+         - F.min("warc_offset").over(rng)).alias("range_length"),
     )
 
 

@@ -391,3 +391,73 @@ def test_crawl_export_warc_full_circle(spark, tmp_path):
             fh.seek(r.warc_offset)
             blob = fh.read(r.warc_length)
         assert [x["url"] for x in iter_warc_records(gz.decompress(blob))] == [r.url]
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """Streaming WARC ingestion drains to exactly the batch reader's
+    rows, one micro-batch per segment file."""
+    from distributed_crawl_spark.sources.warc import stream_warc
+    from distributed_crawl_spark.streaming.stream import run_available_now
+
+    seg_dir = tmp_path / "drop"
+    seg_dir.mkdir()
+    (seg_dir / "s1.warc.gz").write_bytes(
+        gzip.compress(_record("https://w.test/a", BODY_A))
+    )
+    (seg_dir / "s2.warc.gz").write_bytes(
+        gzip.compress(_record("https://w.test/b", BODY_B))
+        + gzip.compress(_record("https://w.test/c", b"<html>c</html>"))
+    )
+    stream = stream_warc(spark, str(seg_dir), max_files_per_trigger=1)
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck"), "warc_drain")
+    got = spark.sql(
+        "SELECT url, status, content_type FROM warc_drain ORDER BY url"
+    ).collect()
+    want = (
+        read_warc(spark, str(seg_dir))
+        .select("url", "status", "content_type").sort("url").collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_cdx_fetch_plan_merges_ranges(spark, tmp_path):
+    """Planner picks the latest capture per url and coalesces adjacent
+    members of one segment into single byte ranges."""
+    import datetime as dt
+
+    from distributed_crawl_spark.sources.warc import cdx_fetch_plan
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 2, 1)
+    cdx_rows = [
+        # f1: three back-to-back members (100..150..210), then a hole,
+        # then one more at 400
+        ("u1", t0, "f1", 100, 50),
+        ("u2", t0, "f1", 150, 60),
+        ("u3", t0, "f1", 210, 40),
+        ("u4", t0, "f1", 400, 30),
+        # u1 has a LATER capture in f2 — the plan must use that one
+        ("u1", t1, "f2", 0, 77),
+        # not wanted
+        ("u9", t0, "f1", 500, 10),
+    ]
+    cdx = spark.createDataFrame(
+        [(u, ts, "s", None, None, f, o, ln) for (u, ts, f, o, ln) in cdx_rows],
+        "url string, capture_ts timestamp, surt string, status int, "
+        "digest string, warc_filename string, warc_offset long, "
+        "warc_length long",
+    )
+    wanted = spark.createDataFrame(
+        [("u1",), ("u2",), ("u3",), ("u4",)], "url string"
+    )
+    plan = cdx_fetch_plan(cdx, wanted).collect()
+    by_url = {r.url: r for r in plan}
+    assert by_url["u1"].warc_filename == "f2"          # latest capture
+    assert "u9" not in by_url and len(plan) == 4
+    # u2+u3 coalesce into one range [150, 250); u4 is its own range
+    assert (by_url["u2"].range_offset, by_url["u2"].range_length) == (150, 100)
+    assert by_url["u3"].range_id == by_url["u2"].range_id
+    assert (by_url["u4"].range_offset, by_url["u4"].range_length) == (400, 30)
+    assert by_url["u4"].range_id != by_url["u2"].range_id
+    assert (by_url["u1"].range_offset, by_url["u1"].range_length) == (0, 77)

@@ -1622,6 +1622,16 @@ def q_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-linear-classifier quality gate (DCLM/fineweb-edu model
+    step) with deterministic stub weights: bucket = md5_48(token) mod
+    2^16, weight = Knuth-mix milli-units in [-1000,1000], keep iff the
+    integer mean comparison score_int >= thr_milli·n_tokens. Zero shuffle —
+    one closed-form aggregate per doc; the trained-weights path (same
+    results via explode + broadcast weight join) is pytest-verified."""
+    return TS.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_slug": q_url_slug,
@@ -1698,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_key": q_surt_key,
         "fix_mojibake": q_fix_mojibake,
         "boilerplate_lines": q_boilerplate_lines,
+        "quality_classifier": q_quality_classifier,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -3154,6 +3165,18 @@ def oracle_sql() -> dict[str, str]:
                    text || ' café — '
                         || repeat('я', CAST(doc_id % 3 AS INT)) AS fixed,
                    true AS was_mangled
+            FROM documents""",
+        "quality_classifier": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform({_TOKS_SQL},
+                        t -> (({_MD5I48.format(x='t')} % 65536)
+                              * 2654435761) % {P31} % 2001 - 1000))
+                        AS BIGINT) AS score_int,
+                   CAST(list_sum(list_transform({_TOKS_SQL},
+                        t -> (({_MD5I48.format(x='t')} % 65536)
+                              * 2654435761) % {P31} % 2001 - 1000))
+                        AS BIGINT) >= 0 AS keep
             FROM documents""",
         "boilerplate_lines": f"""
             WITH w AS (

@@ -161,6 +161,92 @@ def doc_fingerprint(text: Column) -> Column:
     return result
 
 
+CLASSIFIER_DIM = 1 << 16
+
+
+def feature_bucket(tok: Column, dim: int = CLASSIFIER_DIM) -> Column:
+    """Hashing-trick feature index: md5-derived 48-bit hash mod dim —
+    the fastText/VW bucket every linear text classifier hashes into."""
+    return md5_int48(tok) % F.lit(dim)
+
+
+def stub_classifier_weight(bucket: Column) -> Column:
+    """Deterministic stand-in weights in [-1000, 1000] milli-units —
+    a Knuth-mix of the bucket index, NOT a trained model (the container
+    has no model artifacts); the Spark plumbing is identical for real
+    weights via :func:`quality_classifier`'s ``weights`` table path,
+    and the closed form is what makes the stub oracle-checkable."""
+    knuth = F.lit(2654435761)
+    return (bucket * knuth) % F.lit(MERSENNE31) % F.lit(2001) - F.lit(1000)
+
+
+def classifier_score_int(text: Column, dim: int = CLASSIFIER_DIM) -> Column:
+    """Σ stub-weight(bucket(token)) as a closed-form aggregate over the
+    token array — zero shuffle, zero Python; |score| ≤ 1000·n_tokens so
+    every intermediate fits BIGINT."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + stub_classifier_weight(feature_bucket(t, dim)),
+    )
+
+
+def quality_classifier(docs, weights=None, dim: int = CLASSIFIER_DIM,
+                       threshold_milli: int = 0,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Model-based quality gate (the DCLM / fineweb-edu classifier
+    step): a hashed linear text classifier scores every document and
+    ``keep`` marks those whose MEAN token score clears
+    ``threshold_milli`` — compared in integers as
+    ``score_int ≥ threshold_milli·n_tokens`` (score_int is already a
+    milli-unit sum) so the gate is exact and hash-stable (no float
+    mean).
+
+    Two physical paths, same result:
+
+    - ``weights=None`` — weights come from the closed-form stub: one
+      codegen projection per doc, ZERO shuffle at any corpus size (the
+      100-TB default: scoring is embarrassingly parallel).
+    - ``weights`` = a (bucket, w_milli) DataFrame of TRAINED weights —
+      explode tokens → bucket → broadcast-join the ≤dim-row weight
+      table → per-doc sum (map-combinable). This is the path a real
+      fastText/logreg export plugs into; unseen buckets score 0.
+
+    Returns (id, n_tokens, score_int, keep) for every input doc.
+    """
+    text = F.col(text_col)
+    if weights is None:
+        return docs.select(
+            id_col,
+            F.size(tokens(text)).cast("long").alias("n_tokens"),
+            classifier_score_int(text, dim).alias("score_int"),
+        ).withColumn(
+            "keep",
+            F.col("score_int") >= F.lit(threshold_milli) * F.col("n_tokens"),
+        )
+    ex = docs.select(
+        id_col, F.explode(tokens(text)).alias("tok")
+    ).select(id_col, feature_bucket(F.col("tok"), dim).alias("bucket"))
+    scored = (
+        ex.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
+            .cast("long").alias("score_int"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("score_int"), F.lit(0)).alias("score_int"),
+        (
+            F.coalesce(F.col("score_int"), F.lit(0))
+            >= F.lit(threshold_milli) * F.coalesce(F.col("n_tokens"), F.lit(0))
+        ).alias("keep"),
+    )
+
+
 def quality_score_int(text: Column) -> Column:
     """Hash-stable INTEGER composite quality in [0, 100000] (≈ score ×
     1000): built ONLY from floor-scaled integer ratios — unlike

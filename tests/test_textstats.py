@@ -442,3 +442,43 @@ def test_mojibake_roundtrip_property():
         assert fix(mangled) == s
 
     check()
+
+
+def test_quality_classifier_paths_agree(spark):
+    """The zero-shuffle stub path and the trained-weights-table path
+    (explode + broadcast join) produce identical scores when the table
+    materializes the stub formula — the plumbing proof that a real
+    fastText/logreg export slots in without touching callers."""
+    from pyspark.sql import functions as F
+
+    from distributed_crawl_spark.functions import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta"), (3, "zeta")],
+        "doc_id long, text string",
+    )
+    weights = spark.range(TS.CLASSIFIER_DIM).select(
+        F.col("id").alias("bucket"),
+        TS.stub_classifier_weight(F.col("id")).cast("int").alias("w_milli"),
+    )
+    stub = {r.doc_id: r for r in TS.quality_classifier(docs).collect()}
+    real = {
+        r.doc_id: r
+        for r in TS.quality_classifier(docs, weights=weights).collect()
+    }
+    assert set(stub) == set(real) == {1, 2, 3}
+    for d in stub:
+        assert (stub[d].n_tokens, stub[d].score_int, stub[d].keep) == (
+            real[d].n_tokens, real[d].score_int, real[d].keep
+        )
+    # threshold moves the gate: +1001 milli mean is unreachable (weights
+    # cap at 1000), -1001 keeps everything
+    none_kept = TS.quality_classifier(docs, threshold_milli=1001)
+    all_kept = TS.quality_classifier(docs, threshold_milli=-1001)
+    assert not [r for r in none_kept.collect() if r.keep]
+    assert all(r.keep for r in all_kept.collect())
+    # an unseen bucket scores 0 in the table path (sparse real models)
+    sparse = TS.quality_classifier(
+        docs, weights=weights.filter(F.lit(False))
+    ).collect()
+    assert all(r.score_int == 0 and r.keep for r in sparse)

@@ -42,7 +42,10 @@ stage; ``--boilerplate [FRAC]`` removes host-scoped chrome lines
 (present in >= FRAC of a source's docs) from all of that source's docs;
 ``--dedup-lines-global`` removes lines duplicated across docs
 (keep-first); ``--quantile-gate P`` keeps docs at/above their own
-source's P-th quality percentile; ``--lm-gate P`` drops docs below the
+source's P-th quality percentile; ``--classifier-gate T`` keeps docs
+whose hashed-linear-classifier mean token score reaches T milli-units
+(``--classifier-weights`` plugs in a trained (bucket, w_milli) table);
+``--lm-gate P`` drops docs below the
 corpus-wide P-th percentile of self-trained unigram log-probability.
 ``--mix-weights SRC=W,...`` derives the per-source sample rates from
 integer mix weights (mix_plan over the docs the other gates keep: the
@@ -177,6 +180,14 @@ def main(argv: list[str] | None = None) -> int:
                     "only the first (doc_id, pos) occurrence corpus-wide "
                     "(CCNet/RefinedWeb line filter; rewrites the text "
                     "column)")
+    ap.add_argument("--classifier-gate", type=int, metavar="THR_MILLI",
+                    help="hashed-linear-classifier quality gate: keep "
+                         "docs whose mean token score (milli-units) "
+                         "reaches THR_MILLI (stub weights unless "
+                         "--classifier-weights points at a trained "
+                         "(bucket, w_milli) parquet)")
+    ap.add_argument("--classifier-weights", metavar="PARQUET",
+                    help="trained weight table for --classifier-gate")
     ap.add_argument("--lm-gate", type=float, metavar="P",
                     help="drop docs below the corpus-wide P-th percentile "
                     "of mean unigram log-probability (self-trained LM "
@@ -359,6 +370,21 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_quantile", F.col("__qg_id").isNotNull()
         ).drop("__qg_id")
         flags.append("__keep_quantile")
+    if args.classifier_gate is not None:
+        w = (
+            spark.read.parquet(args.classifier_weights)
+            if args.classifier_weights else None
+        )
+        keep = TS.quality_classifier(
+            docs, weights=w, threshold_milli=args.classifier_gate,
+            id_col=id_c, text_col=text_c,
+        ).filter(F.col("keep")).select(F.col(id_c).alias("__cg_id"))
+        docs = docs.join(
+            keep, docs[id_c] == keep["__cg_id"], "left"
+        ).withColumn(
+            "__keep_classifier", F.col("__cg_id").isNotNull()
+        ).drop("__cg_id")
+        flags.append("__keep_classifier")
     if args.lm_gate is not None:
         keep = TS.unigram_logprob_gate(
             docs, p=args.lm_gate, id_col=id_c, text_col=text_c,

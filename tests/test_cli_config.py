@@ -591,3 +591,28 @@ def test_curate_cli_fix_mojibake(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     report = json.loads((out / "report.json").read_text())
     assert report["n_input"] == 2 and report["n_output"] == 0
+
+
+def test_curate_cli_classifier_gate(tmp_path):
+    """curate.py --classifier-gate: the model gate's keep count lands in
+    report.json and the output matches the stage count."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_cg"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--classifier-gate", "0",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 500
+    assert report["stages"]["keep_classifier"] == report["n_output"]
+    assert 0 < report["n_output"] < 500

@@ -41,6 +41,9 @@ QUERIES = [
     "dedup_lines_global",   # keep-first line dedup (3 uniform shuffles)
     "unigram_logprob",      # census -> broadcast scoring (2 shuffles)
     "anchor_census",        # Arrow parse + census + top-k window
+    # round-4 session-4 additions:
+    "doc_keywords",         # tf+df censuses + token join + window top-k
+    "normalize_nfc",        # one Arrow pass, zero shuffle
 ]
 
 

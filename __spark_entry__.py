@@ -1632,6 +1632,45 @@ def q_quality_classifier(spark, sf_dir):
     return TS.quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 (Raffel et al. 2020) line+doc rules on synthesized structure:
+    8-word lines get terminal punctuation by (pos+doc_id)%4 (one in four
+    lines has none → removed), planted javascript/cookie-banner lines
+    (%5/%11), a code line with '{' (%13 — line loses terminal punct AND
+    the doc fails the brace rule), and a lorem-ipsum sentence (%17 —
+    line itself is clean, only the DOC gate trips, separating the two
+    rule tiers). Zero shuffle — split → HOF filter → rejoin, all
+    codegen; DuckDB runs the same lambda."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    chunks = F.transform(
+        CU.span_chunks(F.col("text"), 8),
+        lambda s: F.concat(
+            s.chunk,
+            F.when((s.pos + d) % 4 == 0, F.lit("."))
+            .when((s.pos + d) % 4 == 1, F.lit("!"))
+            .when((s.pos + d) % 4 == 2, F.lit('?"'))
+            .otherwise(F.lit("")),
+        ),
+    )
+    lined = F.concat(
+        F.array_join(chunks, "\n"),
+        F.when(d % 5 == 0,
+               F.lit("\nplease enable javascript to continue."))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.lit("\nthis site uses cookies for analytics."))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nif (x) { return; }"))
+        .otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.lit("\nLorem ipsum dolor sit amet, consectetur "
+                     "adipiscing elit."))
+        .otherwise(F.lit("")),
+    )
+    return CU.c4_clean(docs.select("doc_id", lined.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_slug": q_url_slug,
@@ -1709,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "boilerplate_lines": q_boilerplate_lines,
         "quality_classifier": q_quality_classifier,
+        "c4_clean": q_c4_clean,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "source_rollup": q_source_rollup,
@@ -3178,6 +3218,67 @@ def oracle_sql() -> dict[str, str]:
                               * 2654435761) % {P31} % 2001 - 1000))
                         AS BIGINT) >= 0 AS keep
             FROM documents""",
+        "c4_clean": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+                     unnest(range(1, len({_TOKS_SQL}) + 1)) AS i
+              FROM documents
+            ),
+            chunk AS (
+              SELECT doc_id, CAST((i - 1) // 8 + 1 AS INT) AS pos,
+                     string_agg(tok, ' ' ORDER BY i) AS ln
+              FROM w GROUP BY doc_id, (i - 1) // 8
+            ),
+            punct AS (
+              SELECT doc_id, pos,
+                     ln || CASE (pos + doc_id) % 4
+                             WHEN 0 THEN '.'
+                             WHEN 1 THEN '!'
+                             WHEN 2 THEN '?"'
+                             ELSE '' END AS ln
+              FROM chunk
+            ),
+            body AS (
+              SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS t
+              FROM punct GROUP BY doc_id
+            ),
+            txt AS (
+              SELECT d.doc_id,
+                     b.t
+                     || CASE WHEN d.doc_id % 5 = 0 THEN chr(10) ||
+                        'please enable javascript to continue.'
+                        ELSE '' END
+                     || CASE WHEN d.doc_id % 11 = 0 THEN chr(10) ||
+                        'this site uses cookies for analytics.'
+                        ELSE '' END
+                     || CASE WHEN d.doc_id % 13 = 0 THEN chr(10) ||
+                        'if (x) {{ return; }}' ELSE '' END
+                     || CASE WHEN d.doc_id % 17 = 0 THEN chr(10) ||
+                        'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+                        ELSE '' END AS text
+              FROM documents d JOIN body b USING (doc_id)
+            ),
+            k AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)), x ->
+                       regexp_matches(x, '[.!?]["'']?\\s*$')
+                       AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                       AND NOT contains(lower(x), 'javascript')
+                       AND NOT contains(lower(x), 'cookie policy')
+                       AND NOT contains(lower(x), 'privacy policy')
+                       AND NOT contains(lower(x), 'terms of use')
+                       AND NOT contains(lower(x), 'uses cookies')) AS kept
+              FROM txt
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS clean_text,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+                   len(kept) >= 3 AND NOT contains(text, '{{')
+                     AND NOT contains(lower(text), 'lorem ipsum') AS keep
+            FROM k""",
         "boilerplate_lines": f"""
             WITH w AS (
               SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok,

@@ -19,6 +19,64 @@ from .textstats import char_count, quality_score_int, word_count
 SPLIT_BUCKETS = 10_000
 
 
+C4_BAD_PHRASES = ("javascript", "cookie policy", "privacy policy",
+                  "terms of use", "uses cookies")
+C4_DOC_BAD = ("lorem ipsum",)
+
+
+def c4_clean(docs: DataFrame, min_words_per_line: int = 3,
+             min_lines: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """The C4 line+document rule set (Raffel et al. 2020, "Colossal
+    Clean Crawled Corpus"), the other canonical web-cleaning recipe next
+    to Gopher (:func:`~.textstats.gopher_features`):
+
+    line rules (offending lines removed, doc rewritten):
+      - keep only lines ending in terminal punctuation (``. ! ?`` with
+        an optional closing quote),
+      - with at least ``min_words_per_line`` words,
+      - and containing none of :data:`C4_BAD_PHRASES` (the
+        javascript-warning / cookie-banner signatures).
+
+    document rules (``keep`` flag; text NOT rewritten by these):
+      - at least ``min_lines`` surviving lines,
+      - no ``{`` anywhere (source-code marker),
+      - no :data:`C4_DOC_BAD` phrase ("lorem ipsum").
+
+    Entirely closed-form (split → higher-order filter → rejoin, all
+    codegen): ZERO shuffle at any corpus size — the C4 pass over 100 TB
+    is scan-speed, embarrassingly parallel, and dialect-portable enough
+    that the DuckDB oracle runs the same lambda. C4's 3-sentence-span
+    dedup step is the separate :func:`span_scrub` /
+    ``global_line_dedup`` family.
+
+    Returns (id, clean_text, n_kept, n_removed, keep) for EVERY doc.
+    """
+    text = F.col(text_col)
+    lo = F.lower
+    lines = F.split(text, "\n")
+
+    def good(ln: Column) -> Column:
+        ok = ln.rlike(r"[.!?][\"']?\s*$")
+        ok &= F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line
+        for p in C4_BAD_PHRASES:
+            ok &= ~lo(ln).contains(p)
+        return ok
+
+    kept = F.filter(lines, good)
+    doc_ok = F.size(kept) >= F.lit(min_lines)
+    doc_ok &= ~text.contains("{")
+    for p in C4_DOC_BAD:
+        doc_ok &= ~lo(text).contains(p)
+    return docs.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        doc_ok.alias("keep"),
+    )
+
+
 def split_bucket(id_col: Column) -> Column:
     """Deterministic split bucket in [0, 10000): md5-prefix hash of the
     STRING form of the id. Stable under repartitioning, cluster layout,

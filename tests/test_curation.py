@@ -410,3 +410,42 @@ def test_per_source_cap_lane_stage_equivalence(spark):
         docs, k=7, lane_threshold=20, max_lanes=8
     ).collect()))
     assert single == laned
+
+
+def test_c4_clean_planted_rules(spark):
+    """One planted violation per C4 rule: line rules rewrite the text,
+    doc rules only flip `keep`."""
+    good = "this line is long enough and it ends properly."
+    docs = spark.createDataFrame(
+        [
+            # clean doc: 3 good lines -> keep
+            (0, "\n".join([good] * 3)),
+            # line with no terminal punctuation removed -> only 2 kept -> drop
+            (1, "\n".join([good, good, "no punctuation here at all"])),
+            # short line removed (under 3 words) -> drop
+            (2, "\n".join([good, good, "too short."])),
+            # javascript banner line removed; 3 good lines remain -> keep
+            (3, "\n".join([good] * 3
+                          + ["please enable javascript to continue."])),
+            # cookie banner removed
+            (4, "\n".join([good] * 3 + ["this site uses cookies today."])),
+            # doc rule: brace anywhere -> keep=False, lines untouched
+            (5, "\n".join([good, good, "call f(x) { now } please ok."])),
+            # doc rule: lorem ipsum -> keep=False even with clean lines
+            (6, "\n".join([good, good,
+                           "lorem ipsum dolor sit amet consectetur."])),
+            # quote after terminal punct is still a good ending
+            (7, "\n".join([good, good, 'she said "this is the end?"'])),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in CU.c4_clean(docs).collect()}
+    assert out[0].keep and out[0].n_kept == 3 and out[0].n_removed == 0
+    assert not out[1].keep and out[1].n_kept == 2 and out[1].n_removed == 1
+    assert not out[2].keep and out[2].n_kept == 2
+    assert out[3].keep and out[3].n_kept == 3 and out[3].n_removed == 1
+    assert "javascript" not in out[3].clean_text
+    assert out[4].keep and out[4].n_removed == 1
+    assert not out[5].keep and out[5].n_kept == 3   # line survives, doc fails
+    assert not out[6].keep and out[6].n_kept == 3
+    assert out[7].keep and out[7].n_kept == 3

@@ -706,6 +706,14 @@ def q_unigram_logprob(spark, sf_dir):
     return TS.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet per-language head/middle/tail perplexity split: unigram-LM
+    score + exact integer tertiles (3·cum ≥ total) per the table's lang
+    column — the thresholds sort only DISTINCT (lang, score) pairs and
+    broadcast back, so the split is census-cost at any corpus size."""
+    return TS.ccnet_buckets(_t(spark, sf_dir, "documents"), lang_col="lang")
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode script census (the mC4/CCNet per-language routing
     pre-filter) on deterministically mixed-script text: each doc gets
@@ -1714,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "unigram_logprob": q_unigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
         "script_profile": q_script_profile,
         "analyze_stub": q_analyze_stub,
         "train_corpus_filter": q_train_corpus_filter,
@@ -2491,6 +2500,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
                    coalesce(a.logprob_q, 0) AS logprob_q
             FROM documents d LEFT JOIN a USING (doc_id)""",
+        "ccnet_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            census AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM census),
+            vocab AS (
+              SELECT tok,
+                     CAST(floor(ln(c / t.t) * 1000000) AS BIGINT) AS qlp
+              FROM census, tot t ORDER BY c DESC, tok LIMIT 50000
+            ),
+            s AS (
+              SELECT toks.doc_id,
+                     coalesce(v.qlp,
+                              CAST(floor(ln(1.0 / t.t) * 1000000) AS BIGINT))
+                       AS qlp
+              FROM toks LEFT JOIN vocab v USING (tok), tot t
+            ),
+            a AS (
+              SELECT doc_id,
+                     CAST(floor(sum(qlp) / count(*)) AS BIGINT) AS logprob_q
+              FROM s GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT d.doc_id, d.lang, coalesce(a.logprob_q, 0) AS logprob_q
+              FROM documents d LEFT JOIN a USING (doc_id)
+            ),
+            counts AS (
+              SELECT lang, logprob_q, count(*) AS c
+              FROM scored GROUP BY lang, logprob_q
+            ),
+            cdf AS (
+              SELECT lang, logprob_q, c,
+                     sum(c) OVER (PARTITION BY lang ORDER BY logprob_q) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS tot
+              FROM counts
+            ),
+            q AS (
+              SELECT lang,
+                     min(CASE WHEN 3 * cum >= tot THEN logprob_q END) AS q1,
+                     min(CASE WHEN 3 * cum >= 2 * tot THEN logprob_q END) AS q2
+              FROM cdf GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.logprob_q, q.q1, q.q2,
+                   CASE WHEN s.logprob_q > q.q2 THEN 'head'
+                        WHEN s.logprob_q > q.q1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN q USING (lang)""",
         "analyze_stub": f"""
             WITH t AS (SELECT doc_id, substr(text, 1, 4000) AS t4 FROM documents),
             w AS (

@@ -547,6 +547,65 @@ def unigram_logprob_gate(docs, p: float = 0.1, vocab_k: int = 50_000,
     )
 
 
+def ccnet_buckets(docs, vocab_k: int = 50_000, id_col: str = "doc_id",
+                  text_col: str = "text", lang_col: str | None = None):
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020):
+    per LANGUAGE, split the corpus into the fluent top third ("head"),
+    the middle third, and the gibberish bottom third ("tail") of the LM
+    quality score — the bucket label downstream mixers use to oversample
+    head and drop or downweight tail. Score = :func:`unigram_logprob`
+    (the distributable floor of CCNet's KenLM perplexity; higher = more
+    fluent). ``lang_col`` names an existing language column; ``None``
+    predicts with :func:`lang_id`.
+
+    Thresholds are EXACT per-language tertiles in pure integer
+    arithmetic — ``q1`` = smallest score whose cumulative doc count
+    satisfies ``3·cum ≥ total``, ``q2`` likewise for ``3·cum ≥
+    2·total`` — so Spark and any ANSI oracle agree bit-for-bit (no
+    percentile_approx sketch, no float comparison). Buckets:
+    ``head`` (score > q2), ``middle`` (q1 < score ≤ q2), ``tail``.
+    Ties collapse downward, so head never exceeds a third.
+
+    Scale shape: the scoring is unigram_logprob's census + broadcast
+    model; the threshold pass groups to DISTINCT (lang, score) pairs
+    first — the per-language cumulative window then sorts only distinct
+    quantized scores (slim 16-byte rows, ≤ millions per language at web
+    scale, one task per language), never the corpus. The (lang, q1, q2)
+    table is languages-sized and broadcasts back. Returns
+    (id, lang, logprob_q, q1, q2, bucket) for every doc.
+    """
+    from pyspark.sql.window import Window
+
+    lp = unigram_logprob(docs, vocab_k=vocab_k, id_col=id_col,
+                         text_col=text_col)
+    lang = (F.col(lang_col) if lang_col
+            else lang_id(F.col(text_col))).alias("lang")
+    scored = docs.select(id_col, lang).join(lp, id_col)
+
+    counts = scored.groupBy("lang", "logprob_q").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("logprob_q")
+    cdf = counts.withColumn("cum", F.sum("c").over(w))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    q = (
+        cdf.join(F.broadcast(totals), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(3 * F.col("cum") >= F.col("tot"),
+                         F.col("logprob_q"))).alias("q1"),
+            F.min(F.when(3 * F.col("cum") >= 2 * F.col("tot"),
+                         F.col("logprob_q"))).alias("q2"),
+        )
+    )
+    s = F.col("logprob_q")
+    return scored.join(F.broadcast(q), "lang").select(
+        id_col, "lang", "logprob_q", "q1", "q2",
+        F.when(s > F.col("q2"), F.lit("head"))
+        .when(s > F.col("q1"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
+
+
 # Unicode scripts profiled by script_profile — Java regex (Spark) uses
 # \p{IsXxx}; the DuckDB oracle writes RE2's \p{Xxx} for the same sets.
 SCRIPTS = ["arabic", "cyrillic", "han", "hangul", "latin"]

@@ -482,3 +482,25 @@ def test_quality_classifier_paths_agree(spark):
         docs, weights=weights.filter(F.lit(False))
     ).collect()
     assert all(r.score_int == 0 and r.keep for r in sparse)
+
+
+def test_ccnet_buckets_exact_tertiles(spark):
+    """Planted three-level frequency corpus: token counts 9/6/3 give
+    three distinct per-doc scores, 3 docs each -> exact head/middle/tail
+    thirds; a single-doc language collapses to tail (q1 == q2 == score)."""
+    rows = (
+        [(i, "x x x", "a") for i in range(3)]
+        + [(i, "y y", "a") for i in range(3, 6)]
+        + [(i, "z", "a") for i in range(6, 9)]
+        + [(9, "solo doc", "b")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out = {r.doc_id: r for r in TS.ccnet_buckets(docs, lang_col="lang").collect()}
+    assert [out[i].bucket for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    a = out[0]
+    assert a.q1 < a.q2 < a.logprob_q          # head sits above both cuts
+    assert out[6].logprob_q <= out[6].q1      # tail at/below the first cut
+    solo = out[9]
+    assert solo.bucket == "tail" and solo.q1 == solo.q2 == solo.logprob_q

@@ -706,6 +706,44 @@ def q_unigram_logprob(spark, sf_dir):
     return TS.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """UT1/FineWeb-style URL gate on synthesized structure: blocklist =
+    25 nation-derived domains; each doc's URL is by turns a subdomain of
+    a blocked domain (matched at depth 2), the blocked domain exactly, a
+    clean host with ONE soft keyword hit (kept — under the threshold),
+    or a clean host that gains 'free-casino-poker' (two hits → dropped)
+    every third doc. Zero shuffle on the doc side — one broadcast hash
+    join per suffix depth, longest suffix wins via coalesce."""
+    docs = _t(spark, sf_dir, "documents")
+    nation = _t(spark, sf_dir, "nation")
+    dom = F.concat(
+        F.regexp_replace(F.lower(F.col("n_name")), " ", "-"),
+        F.lit(".example"),
+    )
+    bl = nation.select(
+        dom.alias("domain"),
+        F.when(F.col("n_regionkey") % 2 == 0, F.lit("adult"))
+        .otherwise(F.lit("gambling")).alias("category"),
+    )
+    d = F.col("doc_id")
+    urls = (
+        docs.join(F.broadcast(nation), (d % 25) == F.col("n_nationkey"))
+        .select(
+            "doc_id",
+            F.when(d % 4 == 0, F.concat(F.lit("https://www."), dom, F.lit("/")))
+            .when(d % 4 == 1, F.concat(F.lit("https://"), dom, F.lit("/page")))
+            .when(d % 4 == 2, F.concat(F.lit("https://ok"), d,
+                                       F.lit(".org/casino-news")))
+            .otherwise(F.concat(
+                F.lit("https://ok"), d, F.lit(".org"),
+                F.when(d % 3 == 0, F.lit("/free-casino-poker.html"))
+                .otherwise(F.lit("/clean")),
+            )).alias("url"),
+        )
+    )
+    return U.blocklist_filter(urls, bl)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet per-language head/middle/tail perplexity split: unigram-LM
     score + exact integer tertiles (3·cum ≥ total) per the table's lang
@@ -1722,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "unigram_logprob": q_unigram_logprob,
+        "blocklist_filter": q_blocklist_filter,
         "ccnet_buckets": q_ccnet_buckets,
         "script_profile": q_script_profile,
         "analyze_stub": q_analyze_stub,
@@ -2500,6 +2539,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
                    coalesce(a.logprob_q, 0) AS logprob_q
             FROM documents d LEFT JOIN a USING (doc_id)""",
+        "blocklist_filter": """
+            WITH bl AS (
+              SELECT replace(lower(n_name), ' ', '-') || '.example' AS domain,
+                     CASE WHEN n_regionkey % 2 = 0 THEN 'adult'
+                          ELSE 'gambling' END AS category
+              FROM nation
+            ),
+            u AS (
+              SELECT d.doc_id,
+                     CASE d.doc_id % 4
+                       WHEN 0 THEN 'https://www.'
+                                   || replace(lower(n.n_name), ' ', '-')
+                                   || '.example/'
+                       WHEN 1 THEN 'https://'
+                                   || replace(lower(n.n_name), ' ', '-')
+                                   || '.example/page'
+                       WHEN 2 THEN 'https://ok' || d.doc_id
+                                   || '.org/casino-news'
+                       ELSE 'https://ok' || d.doc_id || '.org'
+                            || CASE WHEN d.doc_id % 3 = 0
+                                    THEN '/free-casino-poker.html'
+                                    ELSE '/clean' END
+                     END AS url
+              FROM documents d
+              JOIN nation n ON d.doc_id % 25 = n.n_nationkey
+            ),
+            h AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(
+                       url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1))
+                       AS host,
+                     CAST(len(regexp_extract_all(lower(url), 'casino'))
+                        + len(regexp_extract_all(lower(url), 'porn'))
+                        + len(regexp_extract_all(lower(url), 'xxx'))
+                        + len(regexp_extract_all(lower(url), 'escort'))
+                        + len(regexp_extract_all(lower(url), 'poker'))
+                        + len(regexp_extract_all(lower(url), 'viagra'))
+                        AS BIGINT) AS kw_hits
+              FROM u
+            ),
+            s AS (
+              SELECT h.*, string_split(host, '.') AS labels
+              FROM h
+            ),
+            j AS (
+              SELECT s.doc_id, s.url, s.host, s.kw_hits,
+                     coalesce(b5.domain, b4.domain, b3.domain, b2.domain)
+                       AS matched_domain,
+                     coalesce(b5.category, b4.category, b3.category,
+                              b2.category) AS category
+              FROM s
+              LEFT JOIN bl b5 ON len(labels) >= 5 AND array_to_string(
+                labels[len(labels)-4:len(labels)], '.') = b5.domain
+              LEFT JOIN bl b4 ON len(labels) >= 4 AND array_to_string(
+                labels[len(labels)-3:len(labels)], '.') = b4.domain
+              LEFT JOIN bl b3 ON len(labels) >= 3 AND array_to_string(
+                labels[len(labels)-2:len(labels)], '.') = b3.domain
+              LEFT JOIN bl b2 ON len(labels) >= 2 AND array_to_string(
+                labels[len(labels)-1:len(labels)], '.') = b2.domain
+            )
+            SELECT doc_id, url, host, kw_hits, matched_domain, category,
+                   matched_domain IS NULL AND kw_hits < 2 AS keep
+            FROM j""",
         "ccnet_buckets": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents

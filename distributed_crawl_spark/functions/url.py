@@ -294,3 +294,89 @@ def is_trap(url: Column, max_repeat: int = 3, max_depth: int = 12,
         | (f["n_params"] > max_params)
         | (f["path_len"] > max_path_len)
     )
+
+
+# Soft URL-keyword signal for blocklist_filter — the FineWeb/RefinedWeb
+# URL-filtering recipe pairs a domain blocklist (UT1-style) with banned
+# words counted in the URL string itself.
+BLOCK_KEYWORDS: tuple[str, ...] = (
+    "casino", "porn", "xxx", "escort", "poker", "viagra",
+)
+
+
+def host_suffix(host: Column, depth: int) -> Column:
+    """The ``depth``-label domain suffix of a host (``a.b.example.com``
+    at depth 2 → ``example.com``), NULL when the host has fewer labels.
+    Closed-form (split + slice), used per-depth by
+    :func:`blocklist_filter` so matching stays joinable by equality."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= depth,
+        F.array_join(F.slice(labels, n - depth + 1, depth), "."),
+    )
+
+
+def url_keyword_hits(url: Column,
+                     keywords: tuple[str, ...] = BLOCK_KEYWORDS) -> Column:
+    """Total occurrences of any banned keyword in the lowercased URL —
+    the soft score next to the hard domain blocklist."""
+    hits = F.lit(0)
+    for kw in keywords:
+        hits = hits + F.regexp_count(F.lower(url), F.lit(kw))
+    return hits.cast("long")
+
+
+def blocklist_filter(docs, blocklist, url_col: str = "url",
+                     keywords: tuple[str, ...] = BLOCK_KEYWORDS,
+                     kw_threshold: int = 2, max_labels: int = 5):
+    """UT1/FineWeb-style URL filtering: drop a document when its host —
+    or ANY registrable parent domain of it — appears in ``blocklist``
+    (columns ``domain``, ``category``; entries with more than
+    ``max_labels`` labels never match — the cap bounds entry
+    specificity, NOT subdomain depth, so a blocked ``bad.example``
+    still blocks ``a.b.c.d.e.bad.example``),
+    or when the URL itself accumulates ``kw_threshold`` banned-keyword
+    hits (:func:`url_keyword_hits`). The standard first gate of a web
+    training pipeline (FineWeb blocks ~4.6M domains this way before any
+    content-based scoring).
+
+    Scale shape — ZERO shuffle on the document side: subdomain matching
+    is expressed as one equality **broadcast hash join per suffix
+    depth** (``max_labels - 1`` joins of a few-hundred-MB-at-most
+    blocklist; a UT1-sized list broadcasts comfortably), and the most
+    specific (longest) matching suffix wins via ``coalesce`` over the
+    join results in depth order. No explode, no per-doc aggregation —
+    the 100-TB corpus streams through map-side. A blocklist too large
+    to broadcast should be pre-partitioned by suffix instead (bucketed
+    join); this helper assumes the broadcastable norm.
+
+    Returns every input row + (host, matched_domain, category,
+    kw_hits, keep).
+    """
+    host = url_host(F.col(url_col))
+    out = docs.withColumn("host", host).withColumn(
+        "kw_hits", url_keyword_hits(F.col(url_col), keywords)
+    )
+    depths = range(max_labels, 1, -1)  # most specific first
+    for d in depths:
+        bl = blocklist.select(
+            F.col("domain").alias(f"_dom{d}"),
+            F.col("category").alias(f"_cat{d}"),
+        )
+        out = out.join(
+            F.broadcast(bl),
+            host_suffix(F.col("host"), d) == F.col(f"_dom{d}"),
+            "left",
+        )
+    matched = F.coalesce(*[F.col(f"_dom{d}") for d in depths])
+    category = F.coalesce(*[F.col(f"_cat{d}") for d in depths])
+    return out.select(
+        *[c for c in out.columns if not c.startswith(("_dom", "_cat"))],
+        matched.alias("matched_domain"),
+        category.alias("category"),
+    ).withColumn(
+        "keep",
+        F.col("matched_domain").isNull()
+        & (F.col("kw_hits") < F.lit(kw_threshold)),
+    )

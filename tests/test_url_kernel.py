@@ -224,3 +224,39 @@ def test_trap_features_and_predicate(spark):
     assert rows[3].path_depth == 13 and rows[3].trap
     assert rows[4].path_depth == 0 and rows[4].max_seg_repeat == 0
     assert not rows[4].trap
+
+
+def test_blocklist_filter_planted(spark):
+    """Domain blocklist semantics: exact host, subdomain at any depth up
+    to the label cap, longest-suffix priority, and the soft keyword
+    threshold."""
+    bl = spark.createDataFrame(
+        [("bad.example", "adult"), ("worse.bad.example", "spam"),
+         ("gamble.test", "gambling"),
+         ("a.b.c.d.e.bad.example", "toodeep")],   # 7 labels > cap
+        "domain STRING, category STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "https://bad.example/x"),            # exact
+            (1, "https://www.bad.example/x"),        # subdomain
+            (2, "https://a.worse.bad.example/x"),    # longest suffix wins
+            (3, "https://clean.test/x"),             # no match
+            (4, "https://clean.test/casino"),        # 1 hit -> kept
+            (5, "https://clean.test/casino-poker"),  # 2 hits -> dropped
+            (6, "https://a.b.c.d.e.bad.example/x"),  # deep subdomain
+        ],
+        "doc_id LONG, url STRING",
+    )
+    out = {r.doc_id: r for r in U.blocklist_filter(docs, bl).collect()}
+    assert out[0].matched_domain == "bad.example" and not out[0].keep
+    assert out[1].matched_domain == "bad.example" and not out[1].keep
+    assert out[2].matched_domain == "worse.bad.example"
+    assert out[2].category == "spam"
+    assert out[3].matched_domain is None and out[3].keep
+    assert out[4].kw_hits == 1 and out[4].keep
+    assert out[5].kw_hits == 2 and not out[5].keep
+    # A blocked registrable domain blocks arbitrarily deep subdomains —
+    # the depth cap bounds how SPECIFIC a blocklist ENTRY can be, so the
+    # 7-label 'toodeep' entry never matches and the depth-2 parent wins.
+    assert out[6].matched_domain == "bad.example" and not out[6].keep

@@ -46,7 +46,11 @@ source's P-th quality percentile; ``--classifier-gate T`` keeps docs
 whose hashed-linear-classifier mean token score reaches T milli-units
 (``--classifier-weights`` plugs in a trained (bucket, w_milli) table);
 ``--lm-gate P`` drops docs below the
-corpus-wide P-th percentile of self-trained unigram log-probability.
+corpus-wide P-th percentile of self-trained unigram log-probability;
+``--ccnet-keep head,middle`` keeps only the listed CCNet per-language
+perplexity buckets (``--ccnet-lang-col`` names a ground-truth language
+column). ``--blocklist CSV`` applies the UT1/FineWeb URL gate (domain
+suffix match + banned-keyword score) before any content stage.
 ``--mix-weights SRC=W,...`` derives the per-source sample rates from
 integer mix weights (mix_plan over the docs the other gates keep: the
 bottleneck source samples at 100%, others proportionally) and records
@@ -90,6 +94,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--semdedup-cells", type=int, default=64, metavar="K",
                     help="IVF cells for the cluster-then-compare pass "
                     "(raise to split giant clusters)")
+    ap.add_argument("--blocklist", metavar="CSV",
+                    help="UT1-style domain blocklist (csv lines "
+                    "domain[,category]): drop docs whose URL host — or "
+                    "any parent domain — is listed, or whose URL scores "
+                    ">=2 banned-keyword hits (FineWeb URL gate)")
+    ap.add_argument("--blocklist-url-col", metavar="COL",
+                    help="column holding the doc URL (default: the id "
+                    "column — WET corpora use doc_id=url)")
+    ap.add_argument("--ccnet-keep", metavar="B1,B2",
+                    help="CCNet perplexity-bucket gate: keep docs whose "
+                    "per-language unigram-LM bucket is listed (e.g. "
+                    "head,middle — drop the gibberish tail third)")
+    ap.add_argument("--ccnet-lang-col", metavar="COL",
+                    help="existing language column for --ccnet-keep "
+                    "(default: predict with the marker-lexicon lang_id)")
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher document-quality bounds")
     ap.add_argument("--gopher-stopwords", metavar="W1,W2,...",
@@ -290,6 +309,29 @@ def main(argv: list[str] | None = None) -> int:
         ).drop("__gl_id", "__gl_text")
 
     flags = []  # (name, Column) keep-flags, all observed on the one write
+    if args.blocklist:
+        from distributed_crawl_spark.functions import url as UF
+
+        url_c = args.blocklist_url_col or id_c
+        bl = (
+            spark.read.schema("domain STRING, category STRING")
+            .csv(args.blocklist)
+            .withColumn("category", F.coalesce("category", F.lit("blocked")))
+        )
+        keep = (
+            UF.blocklist_filter(
+                docs.select(F.col(id_c), F.col(url_c).alias("url")),
+                bl,
+            )
+            .filter(F.col("keep"))
+            .select(F.col(id_c).alias("__bl_id"))
+        )
+        docs = docs.join(
+            keep, docs[id_c] == keep["__bl_id"], "left"
+        ).withColumn(
+            "__keep_blocklist", F.col("__bl_id").isNotNull()
+        ).drop("__bl_id")
+        flags.append("__keep_blocklist")
     if args.keep_script:
         prof = TS.script_profile(F.col(text_c))
         docs = docs.withColumn(
@@ -395,6 +437,22 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_lm", F.col("__lm_id").isNotNull()
         ).drop("__lm_id")
         flags.append("__keep_lm")
+    if args.ccnet_keep:
+        buckets = [b.strip() for b in args.ccnet_keep.split(",") if b.strip()]
+        keep = (
+            TS.ccnet_buckets(
+                docs, id_col=id_c, text_col=text_c,
+                lang_col=args.ccnet_lang_col,
+            )
+            .filter(F.col("bucket").isin(*buckets))
+            .select(F.col(id_c).alias("__cb_id"))
+        )
+        docs = docs.join(
+            keep, docs[id_c] == keep["__cb_id"], "left"
+        ).withColumn(
+            "__keep_ccnet", F.col("__cb_id").isNotNull()
+        ).drop("__cb_id")
+        flags.append("__keep_ccnet")
     if args.decontaminate:
         bench = spark.read.parquet(args.decontaminate)
         bad = CU.decontaminate(

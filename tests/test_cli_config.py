@@ -616,3 +616,57 @@ def test_curate_cli_classifier_gate(tmp_path):
     assert report["n_input"] == 500
     assert report["stages"]["keep_classifier"] == report["n_output"]
     assert 0 < report["n_output"] < 500
+
+
+def test_curate_cli_blocklist_ccnet(tmp_path):
+    """curate.py URL + fluency gates: --blocklist drops docs whose url
+    host matches a listed domain (subdomain included), --ccnet-keep
+    drops the per-language tail perplexity bucket; stage counts are
+    independent, the output is the intersection."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(30),
+        "url": [
+            f"https://www.bad.example/p{i}" if i % 5 == 0
+            else f"https://ok{i}.test/clean" for i in range(30)
+        ],
+        # planted 3-level token frequencies: x-docs head, y middle, z tail
+        "text": [
+            "x x x" if i % 3 == 0 else ("y y" if i % 3 == 1 else "z")
+            for i in range(30)
+        ],
+        "lang": ["en"] * 30,
+        "source": ["s"] * 30,
+    }).to_parquet(docs_path)
+    bl = tmp_path / "bl.csv"
+    bl.write_text("bad.example,adult\n")
+
+    out = tmp_path / "curated_bl"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--blocklist", str(bl), "--blocklist-url-col", "url",
+            "--ccnet-keep", "head,middle", "--ccnet-lang-col", "lang",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_blocklist"] == 24   # i%5==0 blocked
+    assert report["stages"]["keep_ccnet"] == 20       # tail third dropped
+    expect = {i for i in range(30) if i % 5 != 0 and i % 3 != 2}
+    import duckdb
+    got = {
+        r0[0] for r0 in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert got == expect

@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop trap-shaped child links (repeated path "
                     "segments, param explosions, unbounded paths) before "
                     "dedup and the seen filter")
+    ap.add_argument("--block-domains", metavar="D1,D2,...",
+                    help="frontier domain blocklist: drop child links "
+                    "whose host is (a subdomain of) a listed domain, "
+                    "with the same timing as --drop-traps")
     ap.add_argument("--honor-nofollow", action="store_true",
                     help="drop rel=nofollow links (and all links of pages "
                     "with meta robots nofollow) from the crawl graph")
@@ -152,6 +156,9 @@ def main(argv: list[str] | None = None) -> int:
         extract_mode=args.extract_mode,
         capture_anchors=args.capture_anchors,
         drop_traps=args.drop_traps,
+        block_domains=tuple(
+            d.strip() for d in args.block_domains.split(",") if d.strip()
+        ) if args.block_domains else (),
         honor_nofollow=args.honor_nofollow,
         honor_noindex=args.honor_noindex,
     )

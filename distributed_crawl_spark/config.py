@@ -45,6 +45,14 @@ class CrawlConfig:
     # before dedup and the seen filter, so calendar traps and session-id
     # explosions can't monopolize a host's politeness budget.
     drop_traps: bool = False
+    # Frontier domain blocklist (engine extension, default empty =
+    # parity): child links whose host IS a listed registrable domain or
+    # any subdomain of one are dropped with the same timing as
+    # drop_traps (before dedup/seen/politeness). Closed-form predicate
+    # — right-sized for config-scale lists; a UT1-scale list (millions
+    # of domains) should instead join functions/url.blocklist_filter
+    # against a blocklist table.
+    block_domains: tuple[str, ...] = ()
     # Link-hygiene directives (engine extension, default off = parity):
     # drop rel="nofollow" links, and ALL links of pages declaring
     # <meta name="robots" content="...nofollow...">, from the crawl

@@ -100,6 +100,17 @@ def child_candidates(
         # BEFORE batch-dedup/seen-filter so a trap site never reaches
         # its host's politeness budget
         links = links.filter(~U.is_trap(F.col("url")))
+    if cfg.block_domains:
+        # closed-form suffix-match blocklist (engine extension): a
+        # blocked registrable domain blocks all its subdomains; a
+        # UT1-scale list belongs in url.blocklist_filter instead
+        host = U.url_host(F.col("url"))
+        blocked = F.lit(False)
+        for d in cfg.block_domains:
+            blocked = blocked | (host == d.lower()) | host.endswith(
+                "." + d.lower()
+            )
+        links = links.filter(~blocked)
     if cfg.allowed_domains:
         links = links.filter(
             U.url_netloc(F.col("url")).isin(*cfg.allowed_domains)

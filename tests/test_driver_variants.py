@@ -374,3 +374,47 @@ def test_honor_noindex_storage_policy(spark, tmp_path):
     assert all(m.noindex_skipped == 0 for m in plain.metrics().collect())
     # parity schema: no meta_robots column leaks into the results shape
     assert "meta_robots" not in honoring.results().columns
+
+
+def test_block_domains_frontier_hygiene(spark, tmp_path):
+    """block_domains: child links on (subdomains of) a listed domain
+    never reach the frontier/seen set; default parity mode enqueues
+    them."""
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    blocked = "https://ads.bad.example/track"
+    exact = "https://bad.example/page"
+    good = "https://t.test/article"
+    html = (
+        f'<html><body><a href="{blocked}">b</a><a href="{exact}">e</a>'
+        f'<a href="{good}">g</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [
+            {"url": "https://t.test/", "warc_ts": None, "html": html.encode(),
+             "text": None, "lang": "en"},
+            {"url": good, "warc_ts": None,
+             "html": b"<html><body>ok</body></html>", "text": None,
+             "lang": "en"},
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": "https://t.test/", "seq": 0, "unique_id": None}],
+        schema=SEEDS_SCHEMA,
+    )
+
+    def crawl(domains):
+        drv = CrawlDriver(
+            spark, pages, None,
+            CrawlConfig(max_levels=2, max_rounds=3, block_domains=domains),
+            str(tmp_path / f"ckpt_bl_{len(domains)}"),
+        )
+        drv.run(seeds)
+        return {r.url for r in drv.seen_set().collect()}
+
+    hygienic = crawl(("bad.example",))
+    parity = crawl(())
+    assert good in hygienic
+    assert blocked not in hygienic and exact not in hygienic
+    assert {blocked, exact, good} <= parity

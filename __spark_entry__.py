@@ -528,6 +528,33 @@ def q_dedup_exact(spark, sf_dir):
     return DD.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_exact_norm(spark, sf_dir):
+    """CCNet hash-normalized exact dedup on planted trivial variants:
+    each doc expands to 3 rows — the base text; for even docs an
+    UPPERCASED + punctuated + accent-folded twin and a quoted twin (all
+    three normalize to the base → n_copies 3); for odd docs two
+    different-digit suffixes (' 123' / ' 987.') that collapse onto each
+    other but NOT onto the base (digits → 0). Same one-digest-shuffle
+    plan as dedup_exact."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    even = d % 2 == 0
+    row = lambda i, txt: F.struct(  # noqa: E731
+        (d * 3 + i).alias("doc_id"), txt.alias("text"))
+    variants = F.array(
+        row(0, t),
+        row(1, F.when(even, F.concat(F.upper(t), F.lit(" !!!")))
+              .otherwise(F.concat(t, F.lit(" 123")))),
+        row(2, F.when(even, F.concat(F.lit('"'),
+                                     F.translate(t, "ae", "àé"),
+                                     F.lit('"')))
+              .otherwise(F.concat(t, F.lit(" 987.")))),
+    )
+    rows = docs.select(F.explode(variants).alias("r")).select("r.*")
+    return DD.exact_duplicates(rows, normalize=True)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """3-gram Jaccard near-dup pairs ≥ 0.5 (training-data pipeline).
 
@@ -1740,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counters": q_session_counters,
         "frontier_expand": q_frontier_expand,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_norm": q_dedup_exact_norm,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2035,6 +2063,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1""",
+        "dedup_exact_norm": """
+            WITH v AS (
+              SELECT doc_id * 3 AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id * 3 + 1,
+                     CASE WHEN doc_id % 2 = 0 THEN upper(text) || ' !!!'
+                          ELSE text || ' 123' END
+              FROM documents
+              UNION ALL
+              SELECT doc_id * 3 + 2,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN '"' || translate(text, 'ae', 'àé') || '"'
+                          ELSE text || ' 987.' END
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                       translate(lower(text),
+                                 'àáâäãåèéêëìíîïòóôöõùúûüçñýÿ',
+                                 'aaaaaaeeeeiiiiooooouuuucnyy'),
+                       '[0-9]', '0', 'g'),
+                       '[.,;:!?"''()\\[\\]{}<>/\\\\|@#$%^&*_+=~-]', '', 'g'),
+                       '\\s+', ' ', 'g')) AS norm
+              FROM v
+            )
+            SELECT md5(norm) AS digest, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM n GROUP BY 1""",
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             rare AS (

@@ -37,8 +37,10 @@ adds writer/shard_id/offset_tokens columns to the output.
 ``--fix-mojibake`` repairs utf8-read-as-cp1252 double encodings first;
 ``--normalize-nfc`` unicode-canonicalizes text before EVERY other stage
 (composed/decomposed variants collide in all downstream dedup);
-``--dedup-lines`` removes within-doc duplicated lines before any other
-stage; ``--boilerplate [FRAC]`` removes host-scoped chrome lines
+``--dedup-exact plain|normalized`` drops within-corpus exact duplicates
+(normalized = CCNet hash normalization, so case/accent/digit/punct
+variants collapse); ``--dedup-lines`` removes within-doc duplicated
+lines before any other stage; ``--boilerplate [FRAC]`` removes host-scoped chrome lines
 (present in >= FRAC of a source's docs) from all of that source's docs;
 ``--dedup-lines-global`` removes lines duplicated across docs
 (keep-first); ``--quantile-gate P`` keeps docs at/above their own
@@ -78,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--source-col", default="source")
+    ap.add_argument("--dedup-exact", choices=["plain", "normalized"],
+                    help="within-corpus exact dedup (keep each digest "
+                    "group's min-id doc); 'normalized' hashes the "
+                    "CCNet-normalized text (case/accent/digit/punct "
+                    "variants collapse)")
     ap.add_argument("--neardup", choices=["simhash", "minhash"],
                     help="drop near-duplicates, keeping each cluster's "
                     "min-id document (pair engine per choice)")
@@ -343,6 +350,17 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_lang", TS.lang_id(F.col(text_c)) == args.keep_lang
         )
         flags.append("__keep_lang")
+    if args.dedup_exact:
+        canon = DD.exact_duplicates(
+            docs, id_col=id_c, text_col=text_c,
+            normalize=args.dedup_exact == "normalized",
+        ).select(F.col("canonical_id").alias("__ex_id"))
+        docs = docs.join(
+            canon, docs[id_c] == canon["__ex_id"], "left"
+        ).withColumn(
+            "__keep_exact", F.col("__ex_id").isNotNull()
+        ).drop("__ex_id")
+        flags.append("__keep_exact")
     if args.neardup:
         if args.neardup == "simhash":
             pairs = DD.simhash_pairs64(

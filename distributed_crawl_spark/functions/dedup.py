@@ -122,14 +122,46 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# CCNet hash-normalization tables (cc_net text_normalizer semantics,
+# re-expressed closed-form): a fixed latin accent fold plus explicit
+# punctuation — no \w/\p classes, so Spark's Java regex and the DuckDB
+# oracle's RE2 agree byte-for-byte.
+_ACCENT_SRC = "àáâäãåèéêëìíîïòóôöõùúûüçñýÿ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuucnyy"
+_PUNCT_CLASS = "[.,;:!?\"'()\\[\\]{}<>/\\\\|@#$%^&*_+=~-]"
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style normalization applied BEFORE hashing for dedup keys
+    (Wenzek et al. 2020): lowercase, fold latin accents, collapse every
+    digit to ``0``, strip punctuation, squeeze whitespace. Case, number
+    and punctuation edits are the most common trivial-variant axes on
+    the web (mirrors, timestamps, typography) — normalizing first folds
+    them into one duplicate class. Pure codegen string pipeline; zero
+    cost beyond the scan."""
+    t = F.lower(text)
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, _PUNCT_CLASS, "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     normalize: bool = False) -> DataFrame:
     """Exact dedup: group by content digest, keep the minimum id as
     canonical. One shuffle keyed by the digest (uniform distribution —
-    sha/md5 output is unskewable). Returns (digest, canonical_id, n_copies).
+    sha/md5 output is unskewable). ``normalize=True`` digests
+    :func:`normalize_for_dedup` of the text instead (CCNet hash
+    normalization — case/digit/accent/punct variants collapse to one
+    class) at identical plan shape. Returns (digest, canonical_id,
+    n_copies).
     """
+    key = F.col(text_col)
+    if normalize:
+        key = normalize_for_dedup(key)
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        docs.groupBy(F.md5(key).alias("digest"))
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),

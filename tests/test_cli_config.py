@@ -670,3 +670,41 @@ def test_curate_cli_blocklist_ccnet(tmp_path):
         ).fetchall()
     }
     assert got == expect
+
+
+def test_curate_cli_dedup_exact_normalized(tmp_path):
+    """curate.py --dedup-exact normalized: trivial case/digit/punct
+    variants collapse to one kept doc per class."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    base = "alpha beta gamma"
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(6),
+        "text": [base, base.upper() + "!!!", base + " 12", base + " 34.",
+                 "delta", "delta"],
+        "source": ["s"] * 6,
+    }).to_parquet(docs_path)
+    out = tmp_path / "deduped"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--dedup-exact", "normalized", "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_exact"] == 3
+    import duckdb
+    got = {
+        r0[0] for r0 in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert got == {0, 2, 4}

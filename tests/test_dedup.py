@@ -420,3 +420,27 @@ def test_host_boilerplate_removal(spark):
     assert out[5]["clean_text"] == "different page"
     # every doc row survives even if all lines were removable
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_exact_duplicates_normalized(spark):
+    """CCNet hash normalization folds case/accents/digits/punctuation
+    into one duplicate class; plain digest keeps them distinct."""
+    from distributed_crawl_spark.functions.dedup import (
+        exact_duplicates, normalize_for_dedup)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cafe menu lists 12 items"),
+            (1, 'The CAFÉ menu lists 34 items!!!'),
+            (2, '"the cafe menu  lists 56 items."'),
+            (3, "a different document entirely"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    plain = exact_duplicates(docs).count()
+    assert plain == 4
+    out = {r.canonical_id: r.n_copies
+           for r in exact_duplicates(docs, normalize=True).collect()}
+    assert out == {0: 3, 3: 1}
+    norm = docs.select(normalize_for_dedup(F.col("text")).alias("n")).collect()
+    assert norm[1].n == "the cafe menu lists 00 items"

@@ -548,7 +548,8 @@ def unigram_logprob_gate(docs, p: float = 0.1, vocab_k: int = 50_000,
 
 
 def ccnet_buckets(docs, vocab_k: int = 50_000, id_col: str = "doc_id",
-                  text_col: str = "text", lang_col: str | None = None):
+                  text_col: str = "text", lang_col: str | None = None,
+                  materializer=None):
     """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020):
     per LANGUAGE, split the corpus into the fluent top third ("head"),
     the middle third, and the gibberish bottom third ("tail") of the LM
@@ -576,11 +577,18 @@ def ccnet_buckets(docs, vocab_k: int = 50_000, id_col: str = "doc_id",
     """
     from pyspark.sql.window import Window
 
+    from .dedup import _resolve_materializer
+
+    materialize = _resolve_materializer(materializer, "persist")
     lp = unigram_logprob(docs, vocab_k=vocab_k, id_col=id_col,
                          text_col=text_col)
     lang = (F.col(lang_col) if lang_col
             else lang_id(F.col(text_col))).alias("lang")
-    scored = docs.select(id_col, lang).join(lp, id_col)
+    # scored feeds three consumers (cumulative counts, per-lang totals,
+    # the final bucket join) — materialize so the census+scoring subtree
+    # runs once, not once per consumer
+    scored = materialize(docs.select(id_col, lang).join(lp, id_col),
+                         "ccnet_scored")
 
     counts = scored.groupBy("lang", "logprob_q").agg(
         F.count(F.lit(1)).alias("c"))

@@ -120,6 +120,8 @@ def stream_curate(
     langs: tuple[str, ...] | None = ("en",),
     gopher: bool = True,
     stopwords: list[str] | None = None,
+    blocklist: DataFrame | None = None,
+    url_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming quality gate — the 24/7 twin of the batch curation
     gates (``train_corpus_gopher`` / lang + quality filters): documents
@@ -138,8 +140,12 @@ def stream_curate(
     or upstream of a parquet shard sink.
 
     Any gate can be disabled (``min_quality=None`` / ``langs=None`` /
-    ``gopher=False``). Returns the document columns plus ``lang`` and
-    ``quality`` for the survivors.
+    ``gopher=False``). ``blocklist`` (a static (domain, category)
+    table) adds the UT1/FineWeb URL gate as a STREAM-STATIC broadcast
+    join over ``url_col`` (default ``doc_id`` — WET corpora carry the
+    url there): still stateless, the blocklist is just a build side
+    each micro-batch probes map-side. Returns the document columns plus
+    ``lang`` and ``quality`` for the survivors.
     """
     from ..functions import textstats as TS
 
@@ -157,6 +163,13 @@ def stream_curate(
         out = out.filter(
             TS.gopher_keep(TS.gopher_features(text, stopwords=stopwords))
         )
+    if blocklist is not None:
+        from ..functions.url import blocklist_filter
+
+        in_cols = out.columns
+        out = blocklist_filter(
+            out.withColumn("url", F.col(url_col)), blocklist
+        ).filter(F.col("keep")).select(*in_cols)
     return out
 
 

@@ -332,3 +332,37 @@ def test_stream_curate_equals_batch_gate(spark, tmp_path):
     assert got == want
     # the gate must actually discriminate on this corpus
     assert 0 < len(got) < batch_docs.count()
+
+
+def test_stream_curate_blocklist_stream_static(spark, tmp_path):
+    """blocklist= adds a stream-static broadcast join gate: the drained
+    stream equals the batch blocklist_filter survivor set on a WET-shaped
+    corpus (doc_id = url)."""
+    from distributed_crawl_spark.functions.url import blocklist_filter
+    from distributed_crawl_spark.streaming.stream import stream_curate
+
+    docs_dir = str(tmp_path / "docs_bl")
+    spark.createDataFrame(
+        [
+            (f"https://{'bad.example' if i % 3 == 0 else f'ok{i}.test'}"
+             f"/p{i}",
+             "the and is of to in that it words " * 30,
+             "s")
+            for i in range(30)
+        ],
+        "doc_id STRING, text STRING, source STRING",
+    ).write.parquet(docs_dir)
+    bl = spark.createDataFrame([("bad.example", "adult")],
+                               "domain STRING, category STRING")
+    stream = stream_curate(
+        spark, docs_dir, min_quality=None, langs=None, gopher=False,
+        blocklist=bl,
+    )
+    run_available_now(stream, str(tmp_path / "ck_bl"), "curated_bl")
+    got = {r.doc_id for r in spark.table("curated_bl").collect()}
+    batch = blocklist_filter(
+        spark.read.parquet(docs_dir).withColumn("url", F.col("doc_id")), bl
+    ).filter("keep")
+    want = {r.doc_id for r in batch.collect()}
+    assert got == want
+    assert 0 < len(got) < 30 and all("bad.example" not in u for u in got)

@@ -1448,6 +1448,45 @@ def q_sitemap_parse(spark, sf_dir):
     return sitemap_entries(pages)
 
 
+def q_sitemap_lastmod(spark, sf_dir):
+    """Full <url>-block sitemap parse (lastmod + priority recrawl
+    hints): doc_id%7+1 entries per synthesized urlset; entry i carries
+    lastmod 2024-01-<(doc_id+i)%28+1> unless (doc_id+i)%3==0 and
+    priority 0.<i%10> unless (doc_id+i)%4==0 — both absence patterns
+    and the date/priority quantization are exercised. JVM-side DOTALL
+    block regexp + posexplode, scan-speed."""
+    from distributed_crawl_spark.operators.robots import sitemap_url_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.org"))
+    n = (d % 7 + 1).cast("int")
+    block = lambda i: F.concat(  # noqa: E731
+        F.lit("<url><loc> "), base, F.lit("/d/"), d.cast("string"),
+        F.lit("/"), i.cast("string"), F.lit(" </loc>"),
+        F.when((d + i) % 3 != 0, F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad(((d + i) % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.when((d + i) % 4 != 0, F.concat(
+            F.lit("<priority>0."), (i % 10).cast("string"),
+            F.lit("</priority>"))).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = F.concat(
+        F.lit("<urlset>\n"),
+        F.array_join(F.transform(F.sequence(F.lit(1), n), block), "\n"),
+        F.lit("\n</urlset>"),
+    )
+    pages = docs.select(
+        F.concat(base, F.lit("/sitemap-"), d.cast("string"),
+                 F.lit(".xml")).alias("url"),
+        F.encode(xml, "utf-8").alias("html"),
+    )
+    return sitemap_url_entries(pages)
+
+
 def q_dedup_doc_lines(spark, sf_dir):
     """Within-doc duplicate-line removal (C4-style cleaner). The
     synthetic corpus has no newlines, so the query first reshapes each
@@ -1819,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_nfc": q_normalize_nfc,
         "url_trap_filter": q_url_trap_filter,
         "sitemap_parse": q_sitemap_parse,
+        "sitemap_lastmod": q_sitemap_lastmod,
         "canonical_dedup": q_canonical_dedup,
         "surt_key": q_surt_key,
         "fix_mojibake": q_fix_mojibake,
@@ -3596,6 +3636,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, min(url) AS keeper_url,
                    count(*) AS n_pages
             FROM e GROUP BY 1""",
+        "sitemap_lastmod": """
+            WITH x AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.org' AS base,
+                     doc_id % 7 + 1 AS n
+              FROM documents
+            ),
+            xml AS (
+              SELECT doc_id, base,
+                     '<urlset>' || chr(10) || array_to_string(
+                       list_transform(range(1, n + 1), i ->
+                         '<url><loc> ' || base || '/d/'
+                         || CAST(doc_id AS VARCHAR) || '/'
+                         || CAST(i AS VARCHAR) || ' </loc>'
+                         || CASE WHEN (doc_id + i) % 3 != 0
+                            THEN '<lastmod>2024-01-'
+                                 || lpad(CAST((doc_id + i) % 28 + 1
+                                              AS VARCHAR), 2, '0')
+                                 || '</lastmod>' ELSE '' END
+                         || CASE WHEN (doc_id + i) % 4 != 0
+                            THEN '<priority>0.'
+                                 || CAST(i % 10 AS VARCHAR)
+                                 || '</priority>' ELSE '' END
+                         || '</url>'), chr(10))
+                     || chr(10) || '</urlset>' AS body
+              FROM x
+            ),
+            blocks AS (
+              SELECT base || '/sitemap-' || CAST(doc_id AS VARCHAR)
+                       || '.xml' AS sitemap_url,
+                     unnest(regexp_extract_all(
+                       body, '(?s)<url>(.*?)</url>', 1)) AS block,
+                     unnest(range(len(regexp_extract_all(
+                       body, '(?s)<url>(.*?)</url>', 1)))) AS pos
+              FROM xml
+            )
+            SELECT sitemap_url,
+                   regexp_extract(block,
+                     '<loc>\\s*([^<]+?)\\s*</loc>', 1) AS url,
+                   CAST(CASE WHEN regexp_extract(block,
+                          '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1) != ''
+                        THEN substr(regexp_extract(block,
+                          '<lastmod>\\s*([^<]+?)\\s*</lastmod>', 1), 1, 10)
+                        END AS DATE) AS lastmod,
+                   CAST(round(CAST(nullif(regexp_extract(block,
+                     '<priority>\\s*([^<]+?)\\s*</priority>', 1), '')
+                     AS DOUBLE) * 1000) AS BIGINT) AS priority_milli,
+                   CAST(pos AS BIGINT) AS pos
+            FROM blocks
+            WHERE regexp_extract(block,
+                    '<loc>\\s*([^<]+?)\\s*</loc>', 1) != ''""",
         "sitemap_parse": """
             WITH x AS (
               SELECT doc_id,

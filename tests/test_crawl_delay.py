@@ -190,3 +190,30 @@ def test_sitemap_entries_parsing(spark):
     with redirect_stdout(buf):
         sitemap_entries(pages).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_sitemap_url_entries_hints(spark):
+    """Full <url>-block parse: lastmod/priority hints, absence -> NULL,
+    whitespace trim, loc-less blocks dropped, '0.7' survives the double
+    round-trip as exactly 700."""
+    from distributed_crawl_spark.operators.robots import sitemap_url_entries
+
+    xml = b"""<urlset>
+    <url><loc> https://a.com/1 </loc>
+         <lastmod>2024-03-05T10:00:00+00:00</lastmod>
+         <priority>0.7</priority></url>
+    <url><loc>https://a.com/2</loc></url>
+    <url><loc>https://a.com/3</loc><priority>1.0</priority></url>
+    <url><lastmod>2024-01-01</lastmod></url>
+    </urlset>"""
+    pages = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", xml)], "url STRING, html BINARY"
+    )
+    rows = {r.url: r for r in sitemap_url_entries(pages).collect()}
+    assert set(rows) == {f"https://a.com/{i}" for i in (1, 2, 3)}
+    r1 = rows["https://a.com/1"]
+    assert str(r1.lastmod) == "2024-03-05" and r1.priority_milli == 700
+    r2 = rows["https://a.com/2"]
+    assert r2.lastmod is None and r2.priority_milli is None
+    assert rows["https://a.com/3"].priority_milli == 1000
+    assert [rows[f"https://a.com/{i}"].pos for i in (1, 2, 3)] == [0, 1, 2]

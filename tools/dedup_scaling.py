@@ -104,6 +104,9 @@ def build_corpus(spark, n_docs: int, out_dir: str,
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    global QUERIES
+    if len(sys.argv) > 2:  # optional filter: bench only the named queries
+        QUERIES = [q for q in QUERIES if q in sys.argv[2:]]
     spark = build_session(app_name="dedup-scaling")
     small_dir = build_corpus(spark, n_docs // 10, "/tmp/docs_scale1x")
     big_dir = build_corpus(spark, n_docs, "/tmp/docs_scale10x")

@@ -214,6 +214,15 @@ def main(argv: list[str] | None = None) -> int:
                          "(bucket, w_milli) parquet)")
     ap.add_argument("--classifier-weights", metavar="PARQUET",
                     help="trained weight table for --classifier-gate")
+    ap.add_argument("--classifier-train", metavar="POS:NEG",
+                    help="train the hashed linear classifier in-run "
+                    "from two labeled parquet corpora (DCLM recipe) and "
+                    "use the result for --classifier-gate (overrides "
+                    "--classifier-weights)")
+    ap.add_argument("--save-classifier", metavar="DIR",
+                    help="persist the --classifier-train weight table "
+                    "(bucket, w_milli) for reuse via "
+                    "--classifier-weights")
     ap.add_argument("--lm-gate", type=float, metavar="P",
                     help="drop docs below the corpus-wide P-th percentile "
                     "of mean unigram log-probability (self-trained LM "
@@ -431,10 +440,21 @@ def main(argv: list[str] | None = None) -> int:
         ).drop("__qg_id")
         flags.append("__keep_quantile")
     if args.classifier_gate is not None:
-        w = (
-            spark.read.parquet(args.classifier_weights)
-            if args.classifier_weights else None
-        )
+        if args.classifier_train:
+            pos_path, neg_path = args.classifier_train.split(":", 1)
+            w = TS.train_quality_classifier(
+                spark.read.parquet(pos_path),
+                spark.read.parquet(neg_path),
+                id_col=id_c, text_col=text_c,
+            )
+            if args.save_classifier:
+                w.write.mode("overwrite").parquet(args.save_classifier)
+                w = spark.read.parquet(args.save_classifier)
+        else:
+            w = (
+                spark.read.parquet(args.classifier_weights)
+                if args.classifier_weights else None
+            )
         keep = TS.quality_classifier(
             docs, weights=w, threshold_milli=args.classifier_gate,
             id_col=id_c, text_col=text_c,

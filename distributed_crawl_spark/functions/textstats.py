@@ -247,6 +247,89 @@ def quality_classifier(docs, weights=None, dim: int = CLASSIFIER_DIM,
     )
 
 
+def train_quality_classifier(pos, neg, dim: int = CLASSIFIER_DIM,
+                             iters: int = 8, lr: float = 2.0,
+                             id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """Train the hashed linear quality classifier IN Spark — the
+    DCLM / fastText recipe end-to-end: ``pos`` (e.g. curated or
+    reference-quality docs) vs ``neg`` (raw crawl) become a logistic
+    regression over hashing-trick token buckets, and the returned
+    ``(bucket, w_milli)`` table plugs straight into
+    :func:`quality_classifier`'s trained-weights path (milli-unit
+    integers, unseen buckets 0).
+
+    Features are fastText-style mean bucket counts (count/n_tokens per
+    doc) so long docs don't dominate; full-batch gradient descent on
+    logistic loss, ``iters`` rounds.
+
+    Scale shape: the per-doc (bucket, cnt, n_tokens) design matrix is
+    built ONCE (one explode + (doc, bucket) shuffle) and persisted;
+    each iteration is two bounded shuffles — score docs via a
+    BROADCAST join against the ≤dim-row weight table + per-doc sum,
+    then a per-bucket gradient aggregate — with the weight table
+    ``localCheckpoint``-ed so lineage stays flat. The training corpus
+    streams through executors; only the model (≤dim rows) is ever
+    materialized. No oracle (float training by nature) — verified by
+    separation tests; the SCORING path it feeds stays oracle-checked.
+    """
+    labeled = (
+        pos.select(F.col(id_col), F.col(text_col)).withColumn(
+            "y", F.lit(1.0))
+        .unionByName(
+            neg.select(F.col(id_col), F.col(text_col)).withColumn(
+                "y", F.lit(0.0))
+        )
+        .withColumn("__row", F.monotonically_increasing_id())
+    )
+    toks = labeled.select(
+        "__row", "y", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    design = (
+        toks.groupBy("__row", "y", feature_bucket(F.col("tok"), dim)
+                     .alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_tok = design.groupBy("__row").agg(F.sum("cnt").alias("n_tokens"))
+    design = design.join(n_tok, "__row").withColumn(
+        "x", F.col("cnt") / F.col("n_tokens")
+    ).persist()
+    n_docs = labeled.count()  # one job; also materializes the persist
+
+    spark = design.sparkSession
+    weights = spark.createDataFrame([], "bucket LONG, w DOUBLE")
+    for _ in range(iters):
+        scored = (
+            design.join(F.broadcast(weights), "bucket", "left")
+            .groupBy("__row", "y")
+            .agg(F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+                 .alias("s"))
+            .withColumn("err",
+                        1.0 / (1.0 + F.exp(-F.col("s"))) - F.col("y"))
+            .select("__row", "err")
+        )
+        grad = (
+            design.join(scored, "__row")
+            .groupBy("bucket")
+            .agg((F.sum(F.col("err") * F.col("x")) / F.lit(float(n_docs)))
+                 .alias("g"))
+        )
+        weights = (
+            grad.join(F.broadcast(weights), "bucket", "left")
+            .select(
+                "bucket",
+                (F.coalesce(F.col("w"), F.lit(0.0))
+                 - F.lit(lr) * F.col("g")).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    design.unpersist()
+    return weights.select(
+        "bucket",
+        F.floor(F.col("w") * 1000).cast("long").alias("w_milli"),
+    ).filter(F.col("w_milli") != 0)
+
+
 def quality_score_int(text: Column) -> Column:
     """Hash-stable INTEGER composite quality in [0, 100000] (≈ score ×
     1000): built ONLY from floor-scaled integer ratios — unlike

@@ -708,3 +708,58 @@ def test_curate_cli_dedup_exact_normalized(tmp_path):
         ).fetchall()
     }
     assert got == {0, 2, 4}
+
+
+def test_curate_cli_classifier_train(tmp_path):
+    """curate.py --classifier-train POS:NEG trains the hashed linear
+    model in-run, gates with it, and --save-classifier round-trips."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    good = ["insight", "method", "evidence", "theory", "result"]
+    bad = ["spamword", "clickbait", "garbage", "noise", "junk"]
+    mk = lambda ws, i, k=12: " ".join(ws[(i + j) % len(ws)]
+                                      for j in range(k))
+    (tmp_path / "w").mkdir()
+    pd.DataFrame({"doc_id": range(40),
+                  "text": [mk(good, i) for i in range(40)],
+                  "source": ["s"] * 40}).to_parquet(tmp_path / "pos.parquet")
+    pd.DataFrame({"doc_id": range(40),
+                  "text": [mk(bad, i) for i in range(40)],
+                  "source": ["s"] * 40}).to_parquet(tmp_path / "neg.parquet")
+    # target corpus: half good-vocab, half bad-vocab
+    pd.DataFrame({"doc_id": range(20),
+                  "text": [mk(good if i % 2 == 0 else bad, i)
+                           for i in range(20)],
+                  "source": ["s"] * 20}).to_parquet(tmp_path / "docs.parquet")
+
+    out = tmp_path / "curated_clf"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(tmp_path / "docs.parquet"), "--out", str(out),
+            "--classifier-gate", "0",
+            "--classifier-train",
+            f"{tmp_path}/pos.parquet:{tmp_path}/neg.parquet",
+            "--save-classifier", str(tmp_path / "w" / "clf"),
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_classifier"] == 10   # bad-vocab half out
+    import duckdb
+    got = {
+        r0[0] for r0 in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert got == {i for i in range(20) if i % 2 == 0}
+    n_w = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/w/clf/*.parquet')"
+    ).fetchone()[0]
+    assert n_w > 0

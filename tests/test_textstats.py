@@ -504,3 +504,33 @@ def test_ccnet_buckets_exact_tertiles(spark):
     assert out[6].logprob_q <= out[6].q1      # tail at/below the first cut
     solo = out[9]
     assert solo.bucket == "tail" and solo.q1 == solo.q2 == solo.logprob_q
+
+
+def test_train_quality_classifier_separates(spark):
+    """End-to-end model gate: train on planted good/bad vocabularies,
+    then quality_classifier(weights=trained) separates HELD-OUT docs of
+    the same distributions (and mixed docs land by majority content)."""
+    good_words = ["insight", "method", "evidence", "theory", "result"]
+    bad_words = ["spamword", "clickbait", "garbage", "noise", "junk"]
+
+    def doc(i, words, k=12):
+        return " ".join(words[(i + j) % len(words)] for j in range(k))
+
+    pos = spark.createDataFrame(
+        [(i, doc(i, good_words)) for i in range(40)],
+        "doc_id LONG, text STRING")
+    neg = spark.createDataFrame(
+        [(100 + i, doc(i, bad_words)) for i in range(40)],
+        "doc_id LONG, text STRING")
+    w = TS.train_quality_classifier(pos, neg, iters=6)
+    assert w.count() > 0
+
+    held = spark.createDataFrame(
+        [(0, doc(7, good_words)), (1, doc(7, bad_words)),
+         (2, doc(3, good_words, 9) + " " + doc(3, bad_words, 3))],
+        "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in TS.quality_classifier(
+        held, weights=w, threshold_milli=0).collect()}
+    assert out[0].keep and out[0].score_int > 0
+    assert not out[1].keep and out[1].score_int < 0
+    assert out[2].keep                      # 3:1 good-dominant mix

@@ -53,6 +53,8 @@ corpus-wide P-th percentile of self-trained unigram log-probability;
 perplexity buckets (``--ccnet-lang-col`` names a ground-truth language
 column). ``--blocklist CSV`` applies the UT1/FineWeb URL gate (domain
 suffix match + banned-keyword score) before any content stage.
+``--c4`` applies the C4 cleaning rules (bad lines removed — later
+gates score the cleaned text — and the doc-level keep rules).
 ``--mix-weights SRC=W,...`` derives the per-source sample rates from
 integer mix weights (mix_plan over the docs the other gates keep: the
 bottleneck source samples at 100%, others proportionally) and records
@@ -116,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ccnet-lang-col", metavar="COL",
                     help="existing language column for --ccnet-keep "
                     "(default: predict with the marker-lexicon lang_id)")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 cleaning rules: offending lines "
+                    "(no terminal punctuation / too short / js-cookie "
+                    "banners) are REMOVED (text rewritten, later gates "
+                    "score the cleaned doc) and docs failing the "
+                    "min-lines/brace/lorem rules are dropped")
     ap.add_argument("--gopher", action="store_true",
                     help="apply the Gopher document-quality bounds")
     ap.add_argument("--gopher-stopwords", metavar="W1,W2,...",
@@ -348,6 +356,21 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_blocklist", F.col("__bl_id").isNotNull()
         ).drop("__bl_id")
         flags.append("__keep_blocklist")
+    if args.c4:
+        # rewrite + gate in one stage: line rules rewrite the text (so
+        # every later gate scores the CLEANED doc), doc rules flag keep
+        c4 = CU.c4_clean(docs, id_col=id_c, text_col=text_c).select(
+            F.col(id_c).alias("__c4_id"), "clean_text",
+            F.col("keep").alias("__c4_keep"),
+        )
+        docs = docs.join(
+            c4, docs[id_c] == c4["__c4_id"], "left"
+        ).withColumn(
+            text_c, F.coalesce(F.col("clean_text"), F.col(text_c))
+        ).withColumn(
+            "__keep_c4", F.coalesce(F.col("__c4_keep"), F.lit(False))
+        ).drop("__c4_id", "clean_text", "__c4_keep")
+        flags.append("__keep_c4")
     if args.keep_script:
         prof = TS.script_profile(F.col(text_c))
         docs = docs.withColumn(

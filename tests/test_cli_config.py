@@ -763,3 +763,44 @@ def test_curate_cli_classifier_train(tmp_path):
         f"SELECT count(*) FROM read_parquet('{tmp_path}/w/clf/*.parquet')"
     ).fetchone()[0]
     assert n_w > 0
+
+
+def test_curate_cli_c4(tmp_path):
+    """curate.py --c4: banner/short lines removed from surviving docs,
+    brace/min-lines docs dropped, later stages see the cleaned text."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    good = "this line is long enough and it ends properly."
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(3),
+        "text": [
+            "\n".join([good] * 3
+                      + ["please enable javascript to continue."]),
+            "\n".join([good, good, "call f(x) { now } please ok."]),
+            "\n".join([good, good]),          # under min lines
+        ],
+        "source": ["s"] * 3,
+    }).to_parquet(docs_path)
+    out = tmp_path / "c4"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--c4", "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_c4"] == 1
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    assert len(rows) == 1 and rows[0][0] == 0
+    assert "javascript" not in rows[0][1]     # banner line scrubbed

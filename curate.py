@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -256,10 +257,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mix-report", action="store_true",
                     help="add a per-(source[,split]) doc/token census of "
                     "the output corpus to report.json")
-    ap.add_argument("--out-format", choices=["parquet", "jsonl"],
+    ap.add_argument("--out-format", choices=["parquet", "jsonl", "wet"],
                     default="parquet",
                     help="curated-corpus file format (jsonl = gzipped "
-                    "JSON lines, the common training-corpus interchange)")
+                    "JSON lines, the common training-corpus interchange; "
+                    "wet = Common Crawl WET segments + manifest — the id "
+                    "column must carry the url)")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -644,11 +647,24 @@ def main(argv: list[str] | None = None) -> int:
         # observe BEFORE the projection so scrub's span counter (not an
         # output column) is still visible to the metric
         final = docs.observe(obs_out, *out_aggs).select(*out_cols)
-        writer = final.write.mode("overwrite")
-        if args.out_format == "jsonl":
-            writer.option("compression", "gzip").json(args.out)
+        if args.out_format == "wet":
+            # WET segments: doc_id carries the url (the WET layout);
+            # the applyInPandas writer IS the action the Observation
+            # rides (manifest count), no second pass
+            from distributed_crawl_spark.sinks.warc import write_wet
+
+            write_wet(
+                final, args.out, url_col=id_c, text_col=text_c,
+                ts_col="warc_ts",
+            ).write.mode("overwrite").parquet(
+                os.path.join(args.out, "wet_manifest")
+            )
         else:
-            writer.parquet(args.out)
+            writer = final.write.mode("overwrite")
+            if args.out_format == "jsonl":
+                writer.option("compression", "gzip").json(args.out)
+            else:
+                writer.parquet(args.out)
         out_vals = obs_out.get
 
     diff_census = None

@@ -177,3 +177,84 @@ def cdx_lines(manifest: DataFrame) -> DataFrame:
             ),
         ).alias("line")
     )
+
+
+def _wet_record_bytes(url: str, ts, text: str) -> tuple[bytes, str]:
+    """One ``conversion`` record (the WET sidecar shape
+    ``sources/warc.iter_wet_records`` parses): plain UTF-8 payload, no
+    HTTP envelope."""
+    body = text.encode("utf-8")
+    digest = base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+    iso = _ts_iso(ts)
+    rid = uuid.UUID(
+        bytes=hashlib.md5(f"wet|{url}|{iso}".encode("utf-8")).digest()
+    )
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        + (f"WARC-Date: {iso}\r\n" if iso else "")
+        + f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Payload-Digest: sha1:{digest}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + body + b"\r\n\r\n", digest
+
+
+WET_MANIFEST_COLUMNS = (
+    "url string, warc_ts timestamp, digest string, wet_filename string, "
+    "wet_offset long, wet_length long"
+)
+
+
+def write_wet(docs: DataFrame, out_dir: str, n_shards: int = 8,
+              url_col: str = "url", text_col: str = "text",
+              ts_col: str = "warc_ts") -> DataFrame:
+    """Write extracted text as ``out_dir/part-NNNNN.warc.wet.gz``
+    segments — the Common Crawl WET sidecar (``conversion`` records,
+    one gzip member each), the publishing format for a curated text
+    corpus that other crawl toolchains ingest directly. Same
+    deterministic lane model as :func:`write_warc` (uniform xxhash64
+    shuffle → one sequential writer per segment, sorted lanes,
+    mtime=0), and the result round-trips through
+    :func:`~distributed_crawl_spark.sources.warc.read_wet`
+    (pytest-verified). Returns the capture manifest with true member
+    offsets for random access.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cols = {c: True for c in docs.columns}
+    df = docs.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts") if ts_col in cols
+        else F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col(text_col).alias("text"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards))
+        .cast("int").alias("shard"),
+    )
+
+    def write_lane(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
+        fname = f"part-{shard:05d}.warc.wet.gz"
+        rows = []
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            off = fh.write(gzip.compress(_WARCINFO, mtime=0))
+            for r in pdf.itertuples(index=False):
+                rec, digest = _wet_record_bytes(
+                    r.url, r.warc_ts, r.text or ""
+                )
+                blob = gzip.compress(rec, mtime=0)
+                fh.write(blob)
+                rows.append(
+                    (r.url, r.warc_ts, digest, fname, off, len(blob))
+                )
+                off += len(blob)
+        return pd.DataFrame(
+            rows,
+            columns=["url", "warc_ts", "digest", "wet_filename",
+                     "wet_offset", "wet_length"],
+        )
+
+    return df.groupBy("shard").applyInPandas(write_lane,
+                                             WET_MANIFEST_COLUMNS)

@@ -461,3 +461,89 @@ def test_cdx_fetch_plan_merges_ranges(spark, tmp_path):
     assert (by_url["u4"].range_offset, by_url["u4"].range_length) == (400, 30)
     assert by_url["u4"].range_id != by_url["u2"].range_id
     assert (by_url["u1"].range_offset, by_url["u1"].range_length) == (0, 77)
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """write_wet → read_wet round-trips (url, ts, text) exactly; the
+    manifest's member offsets allow random access; output is
+    layout-invariant (deterministic lanes + sorted segments)."""
+    import gzip
+
+    from distributed_crawl_spark.sinks.warc import write_wet
+    from distributed_crawl_spark.sources.warc import (iter_wet_records,
+                                                      read_wet)
+
+    docs = spark.createDataFrame(
+        [
+            (f"https://h{i % 3}.test/d{i}",
+             f"text of doc {i}\nwith a second line — é {i}",
+             None)
+            for i in range(20)
+        ],
+        "url STRING, text STRING, warc_ts TIMESTAMP",
+    )
+    out = tmp_path / "wet"
+    man = write_wet(docs, str(out), n_shards=4).collect()
+    assert len(man) == 20
+    back = {
+        (r.url, r.text)
+        for r in read_wet(spark, f"{out}/*.warc.wet.gz").collect()
+    }
+    want = {(r.url, r.text) for r in docs.collect()}
+    assert back == want
+    # random access: read one member by its manifest (offset, length)
+    m = sorted(man, key=lambda r: r.url)[0]
+    with open(out / m.wet_filename, "rb") as fh:
+        fh.seek(m.wet_offset)
+        rec = next(iter_wet_records(gzip.decompress(
+            fh.read(m.wet_length))))
+    assert rec["url"] == m.url
+    # determinism under input layout
+    man2 = write_wet(docs.repartition(7), str(tmp_path / "wet2"),
+                     n_shards=4).collect()
+    a = sorted((r.url, r.digest, r.wet_filename, r.wet_offset)
+               for r in man)
+    b = sorted((r.url, r.digest, r.wet_filename, r.wet_offset)
+               for r in man2)
+    assert a == b
+
+
+def test_curate_cli_out_format_wet(spark, tmp_path):
+    """curate.py --out-format wet publishes the curated corpus as WET
+    segments + manifest; read_wet ingests them back (full circle)."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": [f"https://h{i % 2}.test/d{i}" for i in range(12)],
+        "text": [f"doc {i} body text" for i in range(12)],
+        "source": [f"h{i % 2}.test" for i in range(12)],
+    }).to_parquet(docs_path)
+    out = tmp_path / "wet_out"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--out-format", "wet", "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_output"] == 12
+    from distributed_crawl_spark.sources.warc import read_wet
+
+    back = read_wet(spark, f"{out}/*.warc.wet.gz")
+    assert {(r0.url, r0.text) for r0 in back.collect()} == {
+        (f"https://h{i % 2}.test/d{i}", f"doc {i} body text")
+        for i in range(12)
+    }
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/wet_manifest/*.parquet')"
+    ).fetchone()[0]
+    assert n == 12

@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
                     "DIR/warc/part-*.warc.gz segments plus a sorted CDXJ "
                     "index DIR/warc_cdx/ with true member offsets "
                     "(default 4 shards)")
+    ap.add_argument("--export-wet", type=int, nargs="?", const=4,
+                    metavar="SHARDS",
+                    help="with --export-dir: also publish the EXTRACTED "
+                    "text of stored results as DIR/wet/part-*.warc.wet.gz "
+                    "conversion-record segments + DIR/wet_manifest/ (the "
+                    "Common Crawl WET sidecar; default 4 shards)")
     ap.add_argument("--stream-seeds", metavar="DIR",
                     help="continuous-ingestion mode: consume seed FILES "
                     "(one URL per line) landing in DIR as a stream — each "
@@ -199,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         print(json.dumps(driver.progress()))
         if args.export_dir:
-            _export(driver, args.export_dir, warc_shards=args.export_warc)
+            _export(driver, args.export_dir, warc_shards=args.export_warc,
+                    wet_shards=args.export_wet)
         return 0
 
     if args.resume:
@@ -216,11 +223,13 @@ def main(argv: list[str] | None = None) -> int:
     for s in stats:
         print(json.dumps(s.__dict__))
     if args.export_dir:
-        _export(driver, args.export_dir, warc_shards=args.export_warc)
+        _export(driver, args.export_dir, warc_shards=args.export_warc,
+                    wet_shards=args.export_wet)
     return 0
 
 
-def _export(driver, out_dir: str, warc_shards: int | None = None) -> None:
+def _export(driver, out_dir: str, warc_shards: int | None = None,
+            wet_shards: int | None = None) -> None:
     """K5/K6/K3 post-crawl exports in one place (also used after
     --stream-seeds); ``warc_shards`` additionally archives the fetched
     pages as WARC segments + CDX index (see --export-warc)."""
@@ -267,6 +276,19 @@ def _export(driver, out_dir: str, warc_shards: int | None = None) -> None:
         # 300-sharded index layout), so binary-search range scans work
         cdx_lines(manifest).sort("line").write.mode("overwrite").text(
             os.path.join(out_dir, "warc_cdx")
+        )
+    if wet_shards:
+        # publish-what-you-extracted: the stored text as WET conversion
+        # records — the sidecar downstream text pipelines ingest without
+        # touching html
+        from distributed_crawl_spark.sinks.warc import write_wet
+
+        write_wet(
+            results.select("url", "last_modified", "text"),
+            os.path.join(out_dir, "wet"), n_shards=wet_shards,
+            ts_col="last_modified",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "wet_manifest")
         )
 
 

@@ -392,6 +392,18 @@ def test_crawl_export_warc_full_circle(spark, tmp_path):
             blob = fh.read(r.warc_length)
         assert [x["url"] for x in iter_warc_records(gz.decompress(blob))] == [r.url]
 
+    # --export-wet twin: the extracted TEXT of the same two pages as
+    # WET conversion records, ingestible by read_wet
+    from distributed_crawl_spark.sources.warc import read_wet
+
+    crawl_cli._export(drv, str(out), wet_shards=2)
+    wet = {r.url: r.text for r in read_wet(
+        spark, str(out / "wet" / "*.warc.wet.gz")).collect()}
+    stored = {r.url: r.text for r in drv.results().select(
+        "url", "text").collect()}
+    assert wet == stored and set(wet) == {
+        "https://w.test/a", "https://w.test/b"}
+
 
 def test_stream_warc_matches_batch(spark, tmp_path):
     """Streaming WARC ingestion drains to exactly the batch reader's

@@ -272,3 +272,80 @@ def test_nfc_kernel_idempotent(t):
     once = unicodedata.normalize("NFC", t)
     assert unicodedata.normalize("NFC", once) == once
     assert (once != t) == (not unicodedata.is_normalized("NFC", t))
+
+
+# constrained alphabet for normalization parity: exercising the pipeline
+# composition (case, accents, digits, punct, whitespace), not the JVM
+# vs CPython unicode-table edge cases
+_norm_texts = st.text(
+    alphabet="abcXYZ 09\t\n.,!?\"'()[]{}<>/\\|@#$%^&*_+=~-àéÀÉçÑ汉я",
+    max_size=60,
+)
+
+
+def py_normalize_for_dedup(text: str) -> str:
+    import re
+
+    from distributed_crawl_spark.functions.dedup import (_ACCENT_DST,
+                                                         _ACCENT_SRC)
+
+    t = text.lower()
+    t = t.translate(str.maketrans(_ACCENT_SRC, _ACCENT_DST))
+    t = re.sub(r"[0-9]", "0", t)
+    t = re.sub(r"[.,;:!?\"'()\[\]{}<>/\\|@#$%^&*_+=~-]", "", t)
+    t = re.sub(r"\s+", " ", t, flags=re.ASCII)
+    return t.strip(" ")
+
+
+@SLOW
+@given(st.lists(_norm_texts, min_size=1, max_size=20))
+def test_normalize_for_dedup_matches_python(spark, ts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ts)],
+                               "i LONG, text STRING")
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", DD.normalize_for_dedup(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(ts):
+        assert got[i] == py_normalize_for_dedup(t), repr(t)
+    # idempotence: a normalized string is its own normal form
+    renorm = {
+        r.i: r.n
+        for r in spark.createDataFrame(
+            [(i, v) for i, v in got.items()], "i LONG, text STRING"
+        ).select("i", DD.normalize_for_dedup(F.col("text")).alias("n"))
+        .collect()
+    }
+    assert renorm == got
+
+
+_labels = st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1,
+                   max_size=7)
+
+
+@SLOW
+@given(st.lists(_labels, min_size=1, max_size=15),
+       st.sets(st.sampled_from(
+           ["a.b", "b.c", "c.a", "dd.a", "a.a.b", "b.b.c.a"]),
+           min_size=1, max_size=4))
+def test_blocklist_filter_matches_python(spark, hostlabels, domains):
+    hosts = [".".join(ls) for ls in hostlabels]
+    docs = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        "doc_id LONG, url STRING",
+    )
+    bl = spark.createDataFrame([(d, "cat") for d in sorted(domains)],
+                               "domain STRING, category STRING")
+    got = {r.doc_id: r.matched_domain
+           for r in U.blocklist_filter(docs, bl).collect()}
+    for i, h in enumerate(hosts):
+        labels = h.split(".")
+        want = None
+        for d in range(min(5, len(labels)), 1, -1):   # longest first
+            sfx = ".".join(labels[len(labels) - d:])
+            if sfx in domains:
+                want = sfx
+                break
+        assert got[i] == want, (h, sorted(domains))

@@ -1634,6 +1634,25 @@ def q_multimodal_meta(spark, sf_dir):
     return image_metadata(media, fake=True)
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image dHash over the fake-decode luminance stream
+    (payload bytes, documented): the Arrow batch path and the
+    two-32-bit-half emission are value-checked — the oracle recomputes
+    every comparison from the synthesized ascii payload."""
+    from distributed_crawl_spark.operators.multimodal import image_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.concat(F.col("text"), F.lit("|"),
+                          F.col("doc_id").cast("string")), "UTF-8")
+        .alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    return image_dhash(media, fake=True)
+
+
 def q_audio_chunks(spark, sf_dir):
     """Audio plumbing end-to-end: binary payloads → mapInPandas
     audio_metadata (deterministic fake decode: sr/samples/channels from
@@ -1834,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_filter": q_train_corpus_filter,
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
+        "image_dhash": q_image_dhash,
         "audio_chunks": q_audio_chunks,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
@@ -2934,6 +2954,26 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT 'https://docs.test/' || (doc_id % 97) AS url
             FROM documents""",
+        "image_dhash": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     text || '|' || CAST(doc_id AS VARCHAR) AS s
+              FROM documents
+            ),
+            b AS (SELECT media_id, s, strlen(s) AS n FROM m)
+            SELECT media_id,
+                   CAST(n AS BIGINT) AS n_bytes,
+                   CAST(coalesce(list_sum(list_transform(range(32, 64),
+                     j -> CASE WHEN ascii(substr(s, CAST(j % n AS INT) + 1, 1))
+                               > ascii(substr(s, CAST((j+1) % n AS INT) + 1, 1))
+                          THEN CAST(1 AS BIGINT) << (j - 32)
+                          ELSE 0 END)), 0) AS BIGINT) AS dhash_hi,
+                   CAST(coalesce(list_sum(list_transform(range(0, 32),
+                     j -> CASE WHEN ascii(substr(s, CAST(j % n AS INT) + 1, 1))
+                               > ascii(substr(s, CAST((j+1) % n AS INT) + 1, 1))
+                          THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END)), 0) AS BIGINT) AS dhash_lo
+            FROM b""",
         "multimodal_meta": """
             WITH m AS (
               SELECT doc_id AS media_id,

@@ -534,3 +534,40 @@ def test_train_quality_classifier_separates(spark):
     assert out[0].keep and out[0].score_int > 0
     assert not out[1].keep and out[1].score_int < 0
     assert out[2].keep                      # 3:1 good-dominant mix
+
+
+def test_image_dhash_locality_and_dedup(spark):
+    """dHash over the fake luminance stream: matches a direct Python
+    computation, identical payloads collapse in a groupBy dedup, and a
+    single-byte edit flips at most 2 of the 64 comparison bits (the
+    near-dup locality that makes hamming-ball image dedup work)."""
+    from distributed_crawl_spark.operators.multimodal import image_dhash
+
+    base = bytes(range(100, 200))          # 100 bytes, n > 65
+    variant = bytearray(base)
+    variant[10] = 0                        # touches comparisons j=9,10
+    rows = [(0, base), (1, base), (2, bytes(variant)), (3, b"")]
+    media = spark.createDataFrame(
+        [(i, "image", p, "image/fake") for i, p in rows],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING",
+    )
+    out = {r.media_id: r for r in image_dhash(media).collect()}
+
+    def py_dhash(b):
+        hi = lo = 0
+        for j in range(64):
+            if b and b[j % len(b)] > b[(j + 1) % len(b)]:
+                if j < 32:
+                    lo |= 1 << j
+                else:
+                    hi |= 1 << (j - 32)
+        return hi, lo
+
+    for i, p in rows:
+        assert (out[i].dhash_hi, out[i].dhash_lo) == py_dhash(p)
+    assert (out[0].dhash_hi, out[0].dhash_lo) == (out[1].dhash_hi,
+                                                  out[1].dhash_lo)
+    flipped = bin((out[0].dhash_hi ^ out[2].dhash_hi) << 32
+                  | (out[0].dhash_lo ^ out[2].dhash_lo)).count("1")
+    assert 1 <= flipped <= 2
+    assert (out[3].dhash_hi, out[3].dhash_lo) == (0, 0)

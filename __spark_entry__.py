@@ -1653,6 +1653,39 @@ def q_image_dhash(spark, sf_dir):
     return image_dhash(media, fake=True)
 
 
+def q_image_neardup(spark, sf_dir):
+    """End-to-end image near-dup: perceptual dHash (mapInPandas over
+    the fake-decode byte stream) → the generic 64-bit pigeonhole
+    hamming-pair machinery (hamming_pairs64 — the same engine
+    simhash_pairs64 uses, fed precomputed prints). Each doc emits its
+    base payload AND a one-byte-edited twin (position 20 spliced) — the
+    twin's hash differs in ≤2 of 64 comparisons, so every (2i, 2i+1)
+    pair lands inside the hamming-3 ball; cross-doc collisions are
+    verified away by bit_count. The DuckDB oracle recomputes both the
+    hashes and the full pair verify."""
+    from distributed_crawl_spark.functions.dedup import hamming_pairs64
+    from distributed_crawl_spark.operators.multimodal import image_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = F.concat(F.col("text"), F.lit("|"), d.cast("string"))
+    twin = F.concat(F.substring(s, 1, 20), F.lit("~"),
+                    F.substring(s, 22, 1 << 20))
+    row = lambda i, v: F.struct(  # noqa: E731
+        (d * 2 + i).alias("media_id"), v.alias("s"))
+    media = docs.select(
+        F.explode(F.array(row(0, s), row(1, twin))).alias("r")
+    ).select(
+        F.col("r.media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("r.s"), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    return hamming_pairs64(image_dhash(media, fake=True),
+                           id_col="media_id",
+                           hi_col="dhash_hi", lo_col="dhash_lo")
+
+
 def q_audio_chunks(spark, sf_dir):
     """Audio plumbing end-to-end: binary payloads → mapInPandas
     audio_metadata (deterministic fake decode: sr/samples/channels from
@@ -1854,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "multimodal_meta": q_multimodal_meta,
         "image_dhash": q_image_dhash,
+        "image_neardup": q_image_neardup,
         "audio_chunks": q_audio_chunks,
         "corpus_split": q_corpus_split,
         "corpus_sample": q_corpus_sample,
@@ -2954,6 +2988,40 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT 'https://docs.test/' || (doc_id % 97) AS url
             FROM documents""",
+        "image_neardup": """
+            WITH base AS (
+              SELECT doc_id,
+                     text || '|' || CAST(doc_id AS VARCHAR) AS s
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id * 2 AS media_id, s FROM base
+              UNION ALL
+              SELECT doc_id * 2 + 1,
+                     substr(s, 1, 20) || '~' || substr(s, 22)
+              FROM base
+            ),
+            b AS (SELECT media_id, s, strlen(s) AS n FROM m),
+            h AS (
+              SELECT media_id,
+                     CAST(coalesce(list_sum(list_transform(range(32, 64),
+                       j -> CASE WHEN ascii(substr(s, CAST(j % n AS INT) + 1, 1))
+                                 > ascii(substr(s, CAST((j+1) % n AS INT) + 1, 1))
+                            THEN CAST(1 AS BIGINT) << (j - 32)
+                            ELSE 0 END)), 0) AS BIGINT) AS hi,
+                     CAST(coalesce(list_sum(list_transform(range(0, 32),
+                       j -> CASE WHEN ascii(substr(s, CAST(j % n AS INT) + 1, 1))
+                                 > ascii(substr(s, CAST((j+1) % n AS INT) + 1, 1))
+                            THEN CAST(1 AS BIGINT) << j
+                            ELSE 0 END)), 0) AS BIGINT) AS lo
+              FROM b
+            )
+            SELECT a.media_id AS id_a, c.media_id AS id_b,
+                   CAST(bit_count(xor(a.hi, c.hi))
+                        + bit_count(xor(a.lo, c.lo)) AS BIGINT) AS hamming
+            FROM h a JOIN h c ON a.media_id < c.media_id
+            WHERE bit_count(xor(a.hi, c.hi))
+                  + bit_count(xor(a.lo, c.lo)) <= 3""",
         "image_dhash": """
             WITH m AS (
               SELECT doc_id AS media_id,

@@ -709,27 +709,42 @@ def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     max_hamming: int = 3,
                     materializer=None) -> DataFrame:
-    """64-bit SimHash hamming-ball pair dedup — the 10^9+-doc scale form.
+    """64-bit SimHash hamming-ball pair dedup — the 10^9+-doc scale form:
+    :func:`simhash64` text fingerprints fed through the generic
+    :func:`hamming_pairs64` pigeonhole machinery.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    return hamming_pairs64(
+        simhash64(docs, id_col, text_col), id_col=id_col,
+        max_hamming=max_hamming, materializer=materializer,
+    )
 
-    Same pigeonhole plan as :func:`simhash_pairs` (agree exactly on ≥1 of
-    ``max_hamming + 1`` equal blocks ⇒ candidate; equi-join per
-    (block_idx, block_value); bit_count verifies), but over the 64-bit
-    two-half fingerprint, so with max_hamming=3 the blocks are 16-bit →
-    65,536 buckets per block position (vs 256 for 32-bit prints): expected
-    candidate-verify cost drops from O(N²/256) to O(N²/65536) on a
-    random corpus, which is the difference between quadratic blowup and
-    output-bound at 10^9+ documents. max_hamming=7 (8-bit blocks) also
-    divides evenly.
 
-    Blocks must not straddle the 32-bit half boundary (width must divide
-    32), which holds for every max_hamming where blocks divide 64 evenly
-    except the degenerate 64-wide single block.
+def hamming_pairs64(fp: DataFrame, id_col: str = "doc_id",
+                    hi_col: str = "sh_hi", lo_col: str = "sh_lo",
+                    max_hamming: int = 3,
+                    materializer=None) -> DataFrame:
+    """Hamming-ball pair join over ANY 64-bit two-half fingerprint table
+    — :func:`simhash64` text prints, :func:`~distributed_crawl_spark.
+    operators.multimodal.image_dhash` perceptual image prints, or any
+    future (hi, lo) fingerprint family.
 
-    The fingerprint table (N × 3 longs — tiny relative to the corpus) is
-    MATERIALIZED before the self-join (default: persist): both join
-    sides otherwise re-derive the full closed-form fingerprint pass from
-    the raw text, measured 14s lazy vs 2.7s materialized at sf0.1.
-    ``materializer``: see :func:`_resolve_materializer`.
+    Pigeonhole plan (the Manku/WWW'07 strategy; same as
+    :func:`simhash_pairs` over 32-bit prints): a pair within hamming
+    ``max_hamming`` must agree EXACTLY on ≥1 of ``max_hamming + 1``
+    equal blocks ⇒ candidates equi-join per (block_idx, block_value);
+    bit_count verifies. With max_hamming=3 the blocks are 16-bit →
+    65,536 buckets per block position: expected candidate-verify cost
+    O(N²/65536) on a random corpus — the difference between quadratic
+    blowup and output-bound at 10^9+ items. max_hamming=7 (8-bit
+    blocks) also divides evenly; blocks must not straddle the 32-bit
+    half boundary (width must divide 32).
+
+    The fingerprint table (N × 3 longs — tiny relative to the corpus)
+    is MATERIALIZED before the self-join (default: persist): both join
+    sides otherwise re-derive the fingerprint pass from the raw input,
+    measured 14s lazy vs 2.7s materialized at sf0.1. ``materializer``:
+    see :func:`_resolve_materializer`.
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
     blocks = max_hamming + 1
@@ -738,7 +753,14 @@ def simhash_pairs64(docs: DataFrame, id_col: str = "doc_id",
     assert 32 % width == 0, "blocks must not straddle the half boundary"
     mask = F.lit((1 << width) - 1)
     materializer = _resolve_materializer(materializer, default="persist")
-    fp = materializer(simhash64(docs, id_col, text_col), "simhash64_fp")
+    fp = materializer(
+        fp.select(
+            id_col,
+            F.col(hi_col).alias("sh_hi"),
+            F.col(lo_col).alias("sh_lo"),
+        ),
+        "hamming64_fp",
+    )
     per_half = 32 // width
     vals = F.array(
         *[

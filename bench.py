@@ -146,7 +146,7 @@ HEADLINE = [
     "pii_redact", "quality_repetition", "train_corpus_neardup", "train_corpus_full", "top_ngrams", "source_cap",
     "multimodal_meta", "audio_chunks",
     "c4_clean", "ccnet_buckets", "blocklist_filter", "dedup_exact_norm",
-    "sitemap_lastmod", "image_dhash",
+    "sitemap_lastmod", "image_dhash", "image_neardup",
 ]
 
 

@@ -45,6 +45,7 @@ QUERIES = [
     "doc_keywords",         # tf+df censuses + token join + window top-k
     "normalize_nfc",        # one Arrow pass, zero shuffle
     # round-4 session-5 additions:
+    "image_neardup",        # dHash Arrow pass + pigeonhole pair join
     "c4_clean",             # split -> HOF filter -> rejoin, zero shuffle
     "ccnet_buckets",        # LM census + distinct-(lang,score) window
     "dedup_exact_norm",     # normalize + one digest shuffle (3x rows)

@@ -53,8 +53,20 @@ def c4_clean(docs: DataFrame, min_words_per_line: int = 3,
     Returns (id, clean_text, n_kept, n_removed, keep) for EVERY doc.
     """
     text = F.col(text_col)
-    lo = F.lower
     lines = F.split(text, "\n")
+    kept = _c4_kept_lines(text, min_words_per_line)
+    clean, keep = c4_columns(text, min_words_per_line, min_lines)
+    return docs.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        keep.alias("keep"),
+    )
+
+
+def _c4_kept_lines(text: Column, min_words_per_line: int) -> Column:
+    lo = F.lower
 
     def good(ln: Column) -> Column:
         ok = ln.rlike(r"[.!?][\"']?\s*$")
@@ -63,18 +75,21 @@ def c4_clean(docs: DataFrame, min_words_per_line: int = 3,
             ok &= ~lo(ln).contains(p)
         return ok
 
-    kept = F.filter(lines, good)
+    return F.filter(F.split(text, "\n"), good)
+
+
+def c4_columns(text: Column, min_words_per_line: int = 3,
+               min_lines: int = 3) -> tuple[Column, Column]:
+    """The C4 rule set as raw (clean_text, keep) Column expressions —
+    the building block :func:`c4_clean` and the streaming gate share,
+    for callers that need to rewrite/filter in place (e.g. a stream,
+    where joining a 5-column result back is not an option)."""
+    kept = _c4_kept_lines(text, min_words_per_line)
     doc_ok = F.size(kept) >= F.lit(min_lines)
     doc_ok &= ~text.contains("{")
     for p in C4_DOC_BAD:
-        doc_ok &= ~lo(text).contains(p)
-    return docs.select(
-        id_col,
-        F.array_join(kept, "\n").alias("clean_text"),
-        F.size(kept).cast("long").alias("n_kept"),
-        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
-        doc_ok.alias("keep"),
-    )
+        doc_ok &= ~F.lower(text).contains(p)
+    return F.array_join(kept, "\n"), doc_ok
 
 
 def split_bucket(id_col: Column) -> Column:

@@ -18,7 +18,7 @@ and testable (process everything present, then stop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import url as U
@@ -122,6 +122,9 @@ def stream_curate(
     stopwords: list[str] | None = None,
     blocklist: DataFrame | None = None,
     url_col: str = "doc_id",
+    c4: bool = False,
+    classifier_weights: DataFrame | None = None,
+    classifier_threshold_milli: int = 0,
 ) -> DataFrame:
     """Streaming quality gate — the 24/7 twin of the batch curation
     gates (``train_corpus_gopher`` / lang + quality filters): documents
@@ -144,15 +147,30 @@ def stream_curate(
     table) adds the UT1/FineWeb URL gate as a STREAM-STATIC broadcast
     join over ``url_col`` (default ``doc_id`` — WET corpora carry the
     url there): still stateless, the blocklist is just a build side
-    each micro-batch probes map-side. Returns the document columns plus
-    ``lang`` and ``quality`` for the survivors.
+    each micro-batch probes map-side. ``c4=True`` applies the C4
+    cleaning rules in flight (offending lines REMOVED — downstream
+    gates score the cleaned text — and the doc rules drop); a
+    ``classifier_weights`` table adds the trained hashed-linear model
+    gate (broadcast join per micro-batch, exact integer mean vs
+    ``classifier_threshold_milli``) — so the full batch curation stack
+    short of corpus-relative statistics runs as one stream. Returns
+    the document columns plus ``lang`` and ``quality`` for the
+    survivors.
     """
     from ..functions import textstats as TS
 
     schema = spark.read.parquet(docs_dir).schema  # infer once, batch-side
     docs = spark.readStream.schema(schema).parquet(docs_dir)
     text = F.col("text")
-    out = docs.withColumn("lang", TS.lang_id(text)).withColumn(
+    out = docs
+    if c4:
+        from ..functions.curation import c4_columns
+
+        clean_text, c4_keep = c4_columns(text)
+        # keep is judged on the ORIGINAL text (batch --c4 semantics),
+        # then the surviving docs are rewritten to their kept lines
+        out = out.filter(c4_keep).withColumn("text", clean_text)
+    out = out.withColumn("lang", TS.lang_id(text)).withColumn(
         "quality", TS.quality_score_int(text)
     )
     if langs is not None:
@@ -170,6 +188,35 @@ def stream_curate(
         out = blocklist_filter(
             out.withColumn("url", F.col(url_col)), blocklist
         ).filter(F.col("keep")).select(*in_cols)
+    if classifier_weights is not None:
+        # the batch gate's trained path (explode -> groupBy) is a
+        # stateful aggregation a pure append stream cannot run, so the
+        # model COLLAPSES TO A MAP LITERAL (it is model-sized — the
+        # non-zero buckets of a pruned linear model, not data) and the
+        # score becomes the same closed-form token aggregate the stub
+        # path uses: exact integer mean, identical keep decisions
+        # (pytest parity vs quality_classifier).
+        from ..functions.dedup import tokens
+        from ..functions.textstats import feature_bucket
+
+        w = {int(r["bucket"]): int(r["w_milli"])
+             for r in classifier_weights.collect()}
+        toks = tokens(text)
+        if w:
+            pairs: list[Column] = []
+            for bkt in sorted(w):
+                pairs += [F.lit(bkt), F.lit(w[bkt])]
+            wmap = F.create_map(*pairs)
+            score = F.aggregate(
+                toks, F.lit(0).cast("long"),
+                lambda acc, t: acc + F.coalesce(
+                    wmap[feature_bucket(t)], F.lit(0)),
+            )
+        else:
+            score = F.lit(0).cast("long")
+        out = out.filter(
+            score >= F.lit(classifier_threshold_milli) * F.size(toks)
+        )
     return out
 
 

@@ -366,3 +366,58 @@ def test_stream_curate_blocklist_stream_static(spark, tmp_path):
     want = {r.doc_id for r in batch.collect()}
     assert got == want
     assert 0 < len(got) < 30 and all("bad.example" not in u for u in got)
+
+
+def test_stream_curate_c4_and_classifier_parity(spark, tmp_path):
+    """The full in-flight stack: C4 line/doc rules rewrite+gate and the
+    trained hashed-linear model (map-literal closed form) gate — drained
+    stream equals the batch composition (c4_clean + quality_classifier)
+    doc-for-doc, including the rewritten text."""
+    from distributed_crawl_spark.functions import textstats as TS
+    from distributed_crawl_spark.functions.curation import c4_clean
+    from distributed_crawl_spark.streaming.stream import stream_curate
+
+    good_words = ["insight", "method", "evidence", "theory", "result"]
+    bad_words = ["spamword", "clickbait", "garbage", "noise", "junk"]
+
+    def line(ws, i):
+        return " ".join(ws[(i + j) % len(ws)] for j in range(8)) + "."
+
+    def doc(ws, i, extra=""):
+        return "\n".join([line(ws, i + k) for k in range(3)]) + extra
+
+    rows = (
+        [(i, doc(good_words, i)) for i in range(10)]            # kept
+        + [(20 + i, doc(bad_words, i)) for i in range(10)]      # clf drop
+        + [(40, doc(good_words, 1, "\nno punct line here"))]    # line scrub
+        + [(41, doc(good_words, 2, "\ncall f() { x }."))]       # c4 doc drop
+    )
+    docs_dir = str(tmp_path / "docs_cc")
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.parquet(
+        docs_dir)
+    pos = spark.createDataFrame(
+        [(i, doc(good_words, i)) for i in range(30)],
+        "doc_id LONG, text STRING")
+    neg = spark.createDataFrame(
+        [(i, doc(bad_words, i)) for i in range(30)],
+        "doc_id LONG, text STRING")
+    w = TS.train_quality_classifier(pos, neg, iters=6)
+
+    stream = stream_curate(
+        spark, docs_dir, min_quality=None, langs=None, gopher=False,
+        c4=True, classifier_weights=w,
+    )
+    run_available_now(stream, str(tmp_path / "ck_cc"), "curated_cc")
+    got = {r.doc_id: r.text for r in spark.table("curated_cc").collect()}
+
+    batch_docs = spark.read.parquet(docs_dir)
+    c4d = c4_clean(batch_docs).filter("keep").select(
+        "doc_id", F.col("clean_text").alias("text"))
+    clf = TS.quality_classifier(c4d, weights=w, threshold_milli=0)
+    keep_ids = {r.doc_id for r in clf.filter("keep").collect()}
+    want = {r.doc_id: r.text for r in c4d.collect() if r.doc_id in keep_ids}
+    assert got == want
+    assert 40 in got and "no punct" not in got[40]   # line scrubbed
+    assert 41 not in got                             # brace doc dropped
+    assert all(i in got for i in range(10))
+    assert all(20 + i not in got for i in range(10))

@@ -151,7 +151,8 @@ def stream_curate(
     cleaning rules in flight (offending lines REMOVED — downstream
     gates score the cleaned text — and the doc rules drop); a
     ``classifier_weights`` table adds the trained hashed-linear model
-    gate (broadcast join per micro-batch, exact integer mean vs
+    gate (the model collapses to a map-literal closed-form aggregate —
+    see the inline note — exact integer mean vs
     ``classifier_threshold_milli``) — so the full batch curation stack
     short of corpus-relative statistics runs as one stream. Returns
     the document columns plus ``lang`` and ``quality`` for the
@@ -439,3 +440,51 @@ def run_available_now(
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def publish_wet_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 4,
+    url_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Continuous WET publisher — the sink half of the 24/7 pipeline
+    (:func:`stream_curate` upstream): every micro-batch of curated docs
+    is written as its own ``<out_dir>/batch-NNNNN/`` WET segment set via
+    ``foreachBatch`` + :func:`~distributed_crawl_spark.sinks.warc.
+    write_wet` (one sequential writer per shard, manifests alongside),
+    so the corpus publishes itself as files land — and exactly once
+    across restarts, because foreachBatch replays a failed batch id
+    into the same directory (the write is an idempotent overwrite).
+    ``read_wet(out_dir + '/batch-*/')`` ingests the whole history.
+
+    Returns the started StreamingQuery (terminated already when
+    ``available_now``).
+    """
+    import os
+
+    from ..sinks.warc import write_wet
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        base = os.path.join(out_dir, f"batch-{batch_id:05d}")
+        write_wet(
+            batch_df, base, n_shards=n_shards,
+            url_col=url_col, text_col=text_col,
+        ).write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+
+    q = (
+        stream_df.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        if available_now
+        else stream_df.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -421,3 +421,46 @@ def test_stream_curate_c4_and_classifier_parity(spark, tmp_path):
     assert 41 not in got                             # brace doc dropped
     assert all(i in got for i in range(10))
     assert all(20 + i not in got for i in range(10))
+
+
+def test_publish_wet_stream_roundtrip(spark, tmp_path):
+    """The continuous publisher: curated docs stream → per-batch WET
+    segment sets; read_wet over the batch dirs recovers every doc, and
+    a second drain with MORE files appends a new batch without touching
+    the first (exactly-once via the stream checkpoint)."""
+    from distributed_crawl_spark.sources.warc import read_wet
+    from distributed_crawl_spark.streaming.stream import (publish_wet_stream,
+                                                          stream_curate)
+
+    docs_dir = tmp_path / "docs_pub"
+    docs_dir.mkdir()
+    mk = lambda i: (f"https://h.test/d{i}", f"doc {i} body text", "s")
+    spark.createDataFrame(
+        [mk(i) for i in range(8)], "doc_id STRING, text STRING, source STRING"
+    ).write.parquet(str(docs_dir / "a"))
+    out = tmp_path / "wet_pub"
+    ck = str(tmp_path / "ck_pub")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id STRING, text STRING, source STRING"
+        ).parquet(str(docs_dir / "*"))
+        publish_wet_stream(stream, str(out), ck)
+
+    drain()
+    got = {
+        (r.url, r.text)
+        for r in read_wet(spark, f"{out}/batch-*/*.warc.wet.gz").collect()
+    }
+    assert got == {(f"https://h.test/d{i}", f"doc {i} body text")
+                   for i in range(8)}
+    # second landing: only the new docs publish (new batch dir)
+    spark.createDataFrame(
+        [mk(i) for i in range(8, 12)],
+        "doc_id STRING, text STRING, source STRING",
+    ).write.parquet(str(docs_dir / "b"))
+    drain()
+    got2 = {
+        r.url for r in read_wet(spark, f"{out}/batch-*/*.warc.wet.gz").collect()
+    }
+    assert got2 == {f"https://h.test/d{i}" for i in range(12)}

@@ -55,6 +55,12 @@ column). ``--blocklist CSV`` applies the UT1/FineWeb URL gate (domain
 suffix match + banned-keyword score) before any content stage.
 ``--c4`` applies the C4 cleaning rules (bad lines removed — later
 gates score the cleaned text — and the doc-level keep rules).
+``--watch`` turns the whole run into CONTINUOUS mode: --docs becomes a
+parquet drop directory, the stream-compatible gates (--keep-lang,
+--min-quality, --gopher, --c4, --blocklist, --classifier-weights +
+--classifier-gate) run in flight, and each invocation drains what has
+landed exactly-once (checkpoint under <out>/_checkpoint) into appended
+parquet — or WET segments with --out-format wet.
 ``--mix-weights SRC=W,...`` derives the per-source sample rates from
 integer mix weights (mix_plan over the docs the other gates keep: the
 bottleneck source samples at 100%, others proportionally) and records
@@ -263,6 +269,20 @@ def main(argv: list[str] | None = None) -> int:
                     "JSON lines, the common training-corpus interchange; "
                     "wet = Common Crawl WET segments + manifest — the id "
                     "column must carry the url)")
+    ap.add_argument("--watch", action="store_true",
+                    help="continuous mode: treat --docs as a parquet "
+                    "drop DIRECTORY and curate files as they land "
+                    "(stream_curate gate stack: --keep-lang, quality, "
+                    "--gopher, --c4, --blocklist, --classifier-weights; "
+                    "corpus-relative stages are batch-only). Output "
+                    "appends to <out>/ as parquet — or WET segments "
+                    "with --out-format wet — checkpointed under "
+                    "<out>/_checkpoint; each invocation drains what is "
+                    "present and exits (cron-able; exactly-once across "
+                    "runs)")
+    ap.add_argument("--min-quality", type=int, metavar="Q",
+                    help="with --watch: integer quality_score_int floor "
+                    "(default: no quality gate)")
     ap.add_argument("--cores", type=int, help="local[N] (omit under spark-submit)")
     args = ap.parse_args(argv)
 
@@ -281,6 +301,47 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.appName("curate").getOrCreate()
+
+    if args.watch:
+        import os as _os
+
+        from distributed_crawl_spark.streaming.stream import (
+            publish_wet_stream,
+            run_available_now_to_dir,
+            stream_curate,
+        )
+
+        bl = None
+        if args.blocklist:
+            bl = (
+                spark.read.schema("domain STRING, category STRING")
+                .csv(args.blocklist)
+                .withColumn("category",
+                            F.coalesce("category", F.lit("blocked")))
+            )
+        w = (spark.read.parquet(args.classifier_weights)
+             if args.classifier_weights else None)
+        stream = stream_curate(
+            spark, args.docs,
+            min_quality=args.min_quality,
+            langs=(args.keep_lang,) if args.keep_lang else None,
+            gopher=args.gopher,
+            stopwords=(args.gopher_stopwords.split(",")
+                       if args.gopher_stopwords else None),
+            blocklist=bl,
+            url_col=args.blocklist_url_col or args.id_col,
+            c4=args.c4,
+            classifier_weights=w,
+            classifier_threshold_milli=args.classifier_gate or 0,
+        )
+        ck = _os.path.join(args.out, "_checkpoint")
+        if args.out_format == "wet":
+            publish_wet_stream(stream, args.out, ck,
+                               url_col=args.id_col,
+                               text_col=args.text_col)
+        else:
+            run_available_now_to_dir(stream, args.out, ck)
+        return 0
 
     if args.docs_format == "wet":
         from distributed_crawl_spark.sources.warc import (

@@ -488,3 +488,20 @@ def publish_wet_stream(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def run_available_now_to_dir(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available into ``out_dir`` as
+    appended parquet (the file sink's ``_spark_metadata`` makes the
+    directory exactly-once readable) and stop — the cron-able
+    continuous-curation sink (``curate.py --watch``)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -804,3 +804,49 @@ def test_curate_cli_c4(tmp_path):
     ).fetchall()
     assert len(rows) == 1 and rows[0][0] == 0
     assert "javascript" not in rows[0][1]     # banner line scrubbed
+
+
+def test_curate_cli_watch_mode(tmp_path):
+    """curate.py --watch: drains a parquet drop-dir through the
+    streaming gate stack into appended parquet; a second invocation
+    after more files land processes ONLY the new docs (exactly-once via
+    the stream checkpoint)."""
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    good = "this line is long enough and it ends properly."
+
+    def land(ids, name):
+        pd.DataFrame({
+            "doc_id": [f"https://h.test/d{i}" for i in ids],
+            "text": ["\n".join([good] * 3)] * len(ids),
+            "source": ["s"] * len(ids),
+        }).to_parquet(drop / name)
+
+    out = tmp_path / "curated_watch"
+
+    def run():
+        r = subprocess.run(
+            [
+                sys.executable, "curate.py",
+                "--docs", str(drop), "--out", str(out),
+                "--watch", "--c4", "--cores", "4",
+            ],
+            capture_output=True, text=True, cwd="/root/repo", timeout=400,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    land(range(6), "a.parquet")
+    run()
+    q = f"SELECT doc_id, lang, quality FROM read_parquet('{out}/*.parquet')"
+    first = duckdb.sql(q).fetchall()
+    assert len(first) == 6 and all(r[2] is not None for r in first)
+    land(range(6, 9), "b.parquet")
+    run()
+    got = {r[0] for r in duckdb.sql(q).fetchall()}
+    assert got == {f"https://h.test/d{i}" for i in range(9)}

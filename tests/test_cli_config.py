@@ -850,3 +850,44 @@ def test_curate_cli_watch_mode(tmp_path):
     run()
     got = {r[0] for r in duckdb.sql(q).fetchall()}
     assert got == {f"https://h.test/d{i}" for i in range(9)}
+
+
+def test_curate_cli_watch_wet(spark, tmp_path):
+    """--watch --out-format wet: the drained stream publishes WET
+    batch segments readable by read_wet."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    drop = tmp_path / "drop_w"
+    drop.mkdir()
+    pd.DataFrame({
+        "doc_id": [f"https://h.test/d{i}" for i in range(5)],
+        "text": [f"body {i}" for i in range(5)],
+        "source": ["s"] * 5,
+    }).to_parquet(drop / "a.parquet")
+    out = tmp_path / "wet_watch"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(drop), "--out", str(out),
+            "--watch", "--out-format", "wet", "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    from distributed_crawl_spark.sources.warc import read_wet
+
+    got = {
+        (r0.url, r0.text)
+        for r0 in read_wet(spark, f"{out}/batch-*/*.warc.wet.gz").collect()
+    }
+    assert got == {(f"https://h.test/d{i}", f"body {i}") for i in range(5)}
+    n = duckdb.sql(
+        f"SELECT count(*) FROM "
+        f"read_parquet('{out}/batch-*/manifest/*.parquet')"
+    ).fetchone()[0]
+    assert n == 5

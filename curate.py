@@ -61,6 +61,9 @@ parquet drop directory, the stream-compatible gates (--keep-lang,
 --classifier-gate) run in flight, and each invocation drains what has
 landed exactly-once (checkpoint under <out>/_checkpoint) into appended
 parquet — or WET segments with --out-format wet.
+``--bpe-train K`` learns a K-merge BPE tokenizer on the post-gate
+corpus (word-census iterations), records the merges in report.json
+(``--save-merges`` persists them) and adds exact ``n_bpe_tokens``.
 ``--mix-weights SRC=W,...`` derives the per-source sample rates from
 integer mix weights (mix_plan over the docs the other gates keep: the
 bottleneck source samples at 100%, others proportionally) and records
@@ -269,6 +272,14 @@ def main(argv: list[str] | None = None) -> int:
                     "JSON lines, the common training-corpus interchange; "
                     "wet = Common Crawl WET segments + manifest — the id "
                     "column must carry the url)")
+    ap.add_argument("--bpe-train", type=int, metavar="K",
+                    help="train K BPE merges on the post-gate corpus "
+                    "(word-census iterations; corpus touched once), add "
+                    "an exact n_bpe_tokens column to the output, and "
+                    "record the merge list in report.json")
+    ap.add_argument("--save-merges", metavar="DIR",
+                    help="persist the --bpe-train merge table "
+                    "(rank, left, right) as parquet")
     ap.add_argument("--watch", action="store_true",
                     help="continuous mode: treat --docs as a parquet "
                     "drop DIRECTORY and curate files as they land "
@@ -693,6 +704,26 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(pk, docs[id_c] == pk["__pk_id"], "left").drop("__pk_id")
         out_cols += ["writer", "shard_id", "offset_tokens"]
 
+    bpe_merges = None
+    if args.bpe_train:
+        from distributed_crawl_spark.functions.bpe import (make_segment_udf,
+                                                           train_bpe)
+
+        # trained on the SURVIVORS (post-gate corpus = what the
+        # tokenizer will actually see); merges land in report.json and
+        # the output gains an exact per-doc BPE token count
+        bpe_merges = train_bpe(docs, k=args.bpe_train, text_col=text_c)
+        seg = make_segment_udf(bpe_merges)
+        docs = docs.withColumn(
+            "n_bpe_tokens", F.size(seg(F.col(text_c))).cast("long")
+        )
+        out_cols.append("n_bpe_tokens")
+        if args.save_merges:
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(bpe_merges)],
+                "rank LONG, left STRING, right STRING",
+            ).write.mode("overwrite").parquet(args.save_merges)
+
     out_aggs = [F.count(F.lit(1)).alias("n_output")]
     if args.scrub_spans:
         out_aggs.append(
@@ -778,6 +809,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if args.scrub_spans:
         report["n_spans_removed"] = int(out_vals["n_spans_removed"])
+    if bpe_merges is not None:
+        report["bpe_merges"] = [list(m) for m in bpe_merges]
     if mix is not None:
         report["mix"] = mix
     if mix_plan_rows is not None:

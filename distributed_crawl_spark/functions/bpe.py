@@ -112,15 +112,11 @@ def train_bpe(docs: DataFrame, k: int = 50,
     return merges
 
 
-def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
-              id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """Segment every document with a trained merge list: per doc,
-    (id, bpe_tokens array<string>, n_bpe_tokens). One Arrow-batched
-    pandas UDF applying the merges in rank order per word (the merge
-    list is model-sized and ships in the closure); zero shuffle —
-    segmentation is embarrassingly parallel at any corpus size.
-    """
+def make_segment_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched segmenter over a trained merge list: text →
+    array<string>, merges applied in rank order per word with per-word
+    memoization. The model ships in the closure (model-sized); zero
+    shuffle — segmentation is embarrassingly parallel at any scale."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {m: i for i, m in enumerate(merges)}
@@ -159,6 +155,16 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
             out.append(toks)
         return pd.Series(out)
 
+    return segment
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]],
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Segment every document with a trained merge list: per doc,
+    (id, bpe_tokens array<string>, n_bpe_tokens) via
+    :func:`make_segment_udf` — one Arrow pass, zero shuffle."""
+    segment = make_segment_udf(merges)
     return docs.select(
         id_col,
         segment(F.col(text_col)).alias("bpe_tokens"),

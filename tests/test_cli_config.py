@@ -891,3 +891,46 @@ def test_curate_cli_watch_wet(spark, tmp_path):
         f"read_parquet('{out}/batch-*/manifest/*.parquet')"
     ).fetchone()[0]
     assert n == 5
+
+
+def test_curate_cli_bpe_train(tmp_path):
+    """curate.py --bpe-train: merges learned on the post-gate corpus
+    land in report.json + --save-merges parquet, and the output gains
+    an exact n_bpe_tokens column."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(12),
+        "text": ["low lower lowest newest newest wider"] * 12,
+        "source": ["s"] * 12,
+    }).to_parquet(docs_path)
+    out = tmp_path / "bpe_out"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--bpe-train", "6", "--save-merges", str(tmp_path / "merges"),
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert len(report["bpe_merges"]) == 6
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_bpe_tokens FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    assert len(rows) == 12
+    # 6 words/doc, every word ends with the </w> symbol; merges compress
+    # below the raw character count but never below one token per word
+    assert all(6 <= r0[1] < 40 for r0 in rows)
+    m = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/merges/*.parquet')"
+    ).fetchone()[0]
+    assert m == 6

@@ -1016,6 +1016,49 @@ def q_source_cap(spark, sf_dir):
     return CU.per_source_cap(_t(spark, sf_dir, "documents"), k=10)
 
 
+# substring_dedup synthesis: shared passages planted at per-doc variable
+# offsets (prefix length = doc_id%7+1), so copies are NEVER grid-aligned —
+# the case span_scrub's fixed chunk window provably misses.
+_SSD_A = " ".join(f"qa{j}" for j in range(1, 13))   # 12 tokens, docs %3==0
+_SSD_B = " ".join(f"qb{j}" for j in range(1, 13))   # 12 tokens, docs %6==0
+_SSD_NM = " ".join(f"nm{j}" for j in range(1, 8))   # 7 tokens < w: near-miss
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Arbitrary-offset exact-substring dedup (Lee et al. 2022 repeated-
+    span pass): winnowed k-gram anchors (content-defined, so copies at
+    different offsets still collide) → digest census → census-bounded
+    pairwise maximal extension → per-doc interval merge. Corpus =
+    documents with shared 12-token passages planted at doc_id-varying
+    offsets (%3 passage A, %6 A+B adjacent — exercises touching-span
+    merge) plus a 7-token near-miss below w=8 that must NOT flag.
+    The oracle brute-forces every-offset duplicated-8-gram coverage —
+    provably equal to the anchor plan's output (see substring_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    idc = F.col("doc_id")
+    ids = idc.cast("string")
+    pre = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (idc % 7 + 1).cast("int")),
+            lambda j: F.concat(F.lit("u"), ids, F.lit("w"), j.cast("string")),
+        ),
+        " ",
+    )
+    suf = F.concat(F.lit("v"), ids, F.lit("w1 v"), ids, F.lit("w2 v"),
+                   ids, F.lit("w3"))
+    text = F.concat_ws(
+        " ",
+        pre,
+        F.when(idc % 3 == 0, F.lit(_SSD_A)),
+        F.when(idc % 6 == 0, F.lit(_SSD_B)),
+        F.when(idc % 11 == 4, F.lit(_SSD_NM)),
+        suf,
+    )
+    return CU.substring_spans(
+        docs.select("doc_id", text.alias("text")), w=8, s=4
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction (emails → <EMAIL>, IPv4 → <IPV4>, phones → <PHONE>)
     + per-family counts on the original text — closed-form regex chain,
@@ -1836,7 +1879,7 @@ def q_c4_clean(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "url_slug": q_url_slug,
         "content_hash": q_content_hash,
         "url_normalize": q_url_normalize,
@@ -1930,7 +1973,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_census": q_anchor_census,
         "train_corpus_gopher": q_train_corpus_gopher,
         "source_cap": q_source_cap,
+        "substring_dedup": q_substring_dedup,
     }
+    # The correctness driver samples the FIRST 50 entries in registration
+    # order.  Queries are appended to `base` oldest-first as they are built,
+    # so returning the reversed dict registers newest-first: each round the
+    # driver's 50-query sample covers the least-recently-validated operators
+    # (the older rows have multiple prior green CORRECTNESS_r* records).
+    return dict(reversed(list(base.items())))
 
 
 # ---------------------------------------------------------------------------
@@ -4052,4 +4102,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(floor(top_c * 10000 / n_grams), 0) AS BIGINT)
                      AS top_gram_share_x1e4
             FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id""",
+        "substring_dedup": f"""
+            WITH syn AS (
+              SELECT doc_id, concat_ws(' ',
+                array_to_string(list_transform(
+                  range(1, CAST(doc_id % 7 + 2 AS BIGINT)),
+                  j -> 'u' || doc_id::VARCHAR || 'w' || j::VARCHAR), ' '),
+                CASE WHEN doc_id % 3 = 0 THEN '{_SSD_A}' END,
+                CASE WHEN doc_id % 6 = 0 THEN '{_SSD_B}' END,
+                CASE WHEN doc_id % 11 = 4 THEN '{_SSD_NM}' END,
+                'v' || doc_id::VARCHAR || 'w1 v' || doc_id::VARCHAR
+                  || 'w2 v' || doc_id::VARCHAR || 'w3') AS text
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM syn),
+            -- brute force: EVERY offset's 8-gram (the anchor plan's output
+            -- is provably the merged coverage of duplicated 8-grams)
+            g AS (
+              SELECT doc_id,
+                     CAST(unnest(range(0, greatest(len(t) - 7, 0))) AS INT)
+                       AS begin,
+                     unnest(list_transform(
+                       range(0, greatest(len(t) - 7, 0)),
+                       i -> md5(array_to_string(t[i+1:i+8], ' ')))) AS dig
+              FROM tk
+            ),
+            dup AS (
+              SELECT dig FROM g GROUP BY dig
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT doc_id, begin, begin + 8 AS e FROM g
+              WHERE dig IN (SELECT dig FROM dup)
+            ),
+            isl AS (
+              SELECT doc_id, begin, e,
+                     CASE WHEN begin <= max(e) OVER (
+                            PARTITION BY doc_id ORDER BY begin, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 0 ELSE 1 END AS brk
+              FROM cov
+            ),
+            isl2 AS (
+              SELECT doc_id, begin, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY begin, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS grp
+              FROM isl
+            )
+            SELECT doc_id, CAST(min(begin) AS INT) AS begin,
+                   CAST(max(e) - min(begin) AS INT) AS length
+            FROM isl2 GROUP BY doc_id, grp""",
     }

@@ -496,6 +496,292 @@ def span_scrub(docs: DataFrame, w: int = 20, min_docs: int = 2,
     )
 
 
+def winnow_anchors(text: Column, k: int, s: int) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    "local algorithms for document fingerprinting") over word ``k``-gram
+    md5 digests: select every gram position whose digest is the minimum
+    of at least one window of ``s`` consecutive gram positions. Returns
+    ``array<struct<pos:int, digest:string>>`` with 0-based token
+    positions.
+
+    Why content-defined selection and not a fixed position grid: two
+    copies of the same passage sit at DIFFERENT offsets in their
+    documents, so grams sampled at positions 0, s, 2s… of each document
+    are misaligned between the copies and never collide — exactly the
+    bug :func:`span_scrub`'s chunk grid has. Window-minimum selection
+    depends only on the surrounding CONTENT, so both copies select the
+    same grams at the same positions relative to the passage, and the
+    winnowing guarantee holds: every window of ``s`` gram positions
+    contains a selected gram, hence every repeated span of
+    ``>= k + s - 1`` tokens shares at least one anchor across copies
+    (it contains a full selection window lying inside the repeat in
+    both copies).
+
+    Selection keeps ALL positions achieving a window minimum (the
+    standard rightmost-tie rule needs positional state; keeping every
+    minimum is equally content-local, so the cross-copy guarantee is
+    unchanged and the expression stays a pure HOF). Cost is
+    O(grams · s²) digest comparisons per document — partition-local
+    projection work with no shuffle; ``s`` trades anchor density
+    (shuffle volume ≈ grams/s rows) against that constant.
+    """
+    grams = shingles(text, k)
+    h = F.transform(grams, F.md5)
+    g = F.size(h)
+    sw = F.least(F.lit(s), g)  # short docs: one window over all grams
+    selected = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), g - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.element_at(h, i + 1).alias("digest"),
+                F.exists(
+                    F.sequence(
+                        F.greatest(F.lit(0), i - sw + 1),
+                        F.least(i, g - sw),
+                    ),
+                    lambda j: F.element_at(h, i + 1)
+                    <= F.array_min(F.slice(h, j + 1, sw)),
+                ).alias("sel"),
+            ),
+        ),
+        lambda st: st.sel,
+    )
+    empty = F.array().cast("array<struct<pos:int,digest:string>>")
+    return F.when(
+        g >= 1,
+        F.transform(selected, lambda st: F.struct(st.pos, st.digest)),
+    ).otherwise(empty)
+
+
+def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
+                    min_docs: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_df: int | None = None) -> DataFrame:
+    """Arbitrary-offset exact-substring duplicate detection (the
+    Lee et al. 2022 / RefinedWeb repeated-span pass): find every token
+    range that is part of a span of ``>= w`` tokens repeated verbatim
+    in ``>= min_docs`` distinct documents — at ANY offset, closing the
+    window-alignment gap :func:`span_scrub` documents (a template
+    paragraph shifted by one word escapes a fixed chunk grid; it cannot
+    escape content-defined anchors).
+
+    Plan shape for 100 TB (no suffix array — that doesn't distribute):
+
+    1. **Anchor** (projection, no shuffle): winnowed ``k``-gram md5
+       anchors with ``k = w - s + 1`` (:func:`winnow_anchors`), so any
+       repeated span of ``>= k + s - 1 = w`` tokens shares an anchor
+       across copies; explode ships ~``grams/s`` slim rows.
+    2. **Census** (one uniform digest shuffle, map-side combinable):
+       anchors occurring in ``>= min_docs`` distinct docs survive; at
+       any corpus size the survivor set is the duplicated boilerplate
+       mass, orders of magnitude below the anchor stream.
+    3. **Extend** (census-bounded): surviving occurrences pair up per
+       digest across distinct docs and each pair extends left/right
+       token-by-token to its maximal equal run (pure array HOFs on the
+       two token arrays — no Python); runs shorter than ``w`` drop.
+       ``max_df`` caps occurrences per digest for pathological anchors
+       shared by millions of docs (pairing is quadratic per digest);
+       like ``ngram_jaccard``'s cap it is the explicit skew knob, off
+       by default because the census already bounds ordinary corpora.
+    4. **Merge** (per-doc window, bounded by the doc's own span count):
+       overlapping/touching spans union into maximal intervals.
+
+    Output (doc_id, begin, length): 0-based token intervals, one row
+    per maximal duplicated region. Exactness: a position is covered iff
+    some ``w``-gram through it repeats in ``>= min_docs`` docs — the
+    winnowing guarantee gives every such ``w``-gram occurrence-pair a
+    shared anchor whose maximal extension contains it, and conversely
+    every emitted run of length ``>= w`` is made of repeated
+    ``w``-grams; merged interval sets of equal unions are identical,
+    so a brute-force every-offset ``w``-gram census (the test oracle)
+    must produce byte-identical rows.
+    """
+    if not 2 <= s < w:
+        raise ValueError("substring_spans requires 2 <= s < w")
+    k = w - s + 1
+    toks_t = docs.select(
+        F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    anchors = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(winnow_anchors(F.col(text_col), k, s)).alias("a"),
+    ).select("__doc", F.col("a.pos").alias("__pos"), F.col("a.digest").alias("__dig"))
+    census = anchors.groupBy("__dig").agg(
+        F.countDistinct("__doc").alias("__n_docs"),
+        F.count(F.lit(1)).alias("__n_occ"),
+    )
+    dup = census.filter(F.col("__n_docs") >= min_docs)
+    if max_df is not None:
+        dup = dup.filter(F.col("__n_occ") <= max_df)
+    occ = anchors.join(dup.select("__dig"), "__dig")
+    pairs = (
+        occ.select(
+            F.col("__dig"),
+            F.col("__doc").alias("__doc_a"),
+            F.col("__pos").alias("__pos_a"),
+        )
+        .join(
+            occ.select(
+                F.col("__dig"),
+                F.col("__doc").alias("__doc_b"),
+                F.col("__pos").alias("__pos_b"),
+            ),
+            "__dig",
+        )
+        .filter(F.col("__doc_a") < F.col("__doc_b"))
+        .drop("__dig")
+    )
+    # attach token arrays AFTER pairing so the digest shuffle stays slim
+    both = (
+        pairs.join(
+            toks_t.select(
+                F.col("__doc").alias("__doc_a"), F.col("__toks").alias("__ta")
+            ),
+            "__doc_a",
+        )
+        .join(
+            toks_t.select(
+                F.col("__doc").alias("__doc_b"), F.col("__toks").alias("__tb")
+            ),
+            "__doc_b",
+        )
+    )
+    ta, tb = F.col("__ta"), F.col("__tb")
+    pa, pb = F.col("__pos_a"), F.col("__pos_b")
+    empty_i = F.array().cast("array<int>")
+
+    def _first_mismatch(limit: Column, at_a, at_b) -> Column:
+        mis = F.when(
+            limit >= 1,
+            F.filter(
+                F.sequence(F.lit(1), limit),
+                lambda d: at_a(d) != at_b(d),
+            ).cast("array<int>"),
+        ).otherwise(empty_i)
+        return F.coalesce(F.array_min(mis) - 1, limit)
+
+    max_l = F.least(pa, pb)
+    left = _first_mismatch(
+        max_l,
+        lambda d: F.element_at(ta, pa - d + 1),
+        lambda d: F.element_at(tb, pb - d + 1),
+    )
+    max_r = F.least(F.size(ta) - pa - k, F.size(tb) - pb - k)
+    right = _first_mismatch(
+        max_r,
+        lambda d: F.element_at(ta, pa + F.lit(k) + d),
+        lambda d: F.element_at(tb, pb + F.lit(k) + d),
+    )
+    ext = both.select(
+        F.col("__doc_a"),
+        F.col("__doc_b"),
+        (pa - left).alias("__ba"),
+        (pb - left).alias("__bb"),
+        (F.lit(k) + left + right).cast("int").alias("__len"),
+    ).filter(F.col("__len") >= w)
+    spans = (
+        ext.select(
+            F.col("__doc_a").alias(id_col),
+            F.col("__ba").cast("int").alias("begin"),
+            F.col("__len").alias("__len"),
+        )
+        .unionByName(
+            ext.select(
+                F.col("__doc_b").alias(id_col),
+                F.col("__bb").cast("int").alias("begin"),
+                F.col("__len").alias("__len"),
+            )
+        )
+        .select(id_col, "begin", (F.col("begin") + F.col("__len")).alias("__end"))
+        .distinct()
+    )
+    # merge overlapping/touching intervals: classic islands, ONE sort
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("begin", "__end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("begin", "__end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = spans.withColumn(
+        "__brk",
+        F.when(
+            F.col("begin") <= F.max("__end").over(w_prev), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__isl", F.sum("__brk").over(w_run))
+    return (
+        flagged.groupBy(id_col, "__isl")
+        .agg(
+            F.min("begin").alias("begin"),
+            (F.max("__end") - F.min("begin")).cast("int").alias("length"),
+        )
+        .select(id_col, "begin", "length")
+    )
+
+
+def substring_scrub(docs: DataFrame, w: int = 50, s: int = 16,
+                    min_docs: int = 2, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    max_df: int | None = None) -> DataFrame:
+    """Remove every token covered by a cross-document repeated span of
+    ``>= w`` tokens (:func:`substring_spans`) and stitch the survivors
+    back in order — the drop-in upgrade of :func:`span_scrub` that
+    catches misaligned repeats. Returns (doc_id, clean_text,
+    n_removed) with n_removed counting removed TOKENS. The span table
+    is tiny relative to the corpus (duplicated mass only), so the
+    collect_list per doc and the final join stay bounded; docs with no
+    spans pass through the left join untouched.
+    """
+    spans = substring_spans(
+        docs, w=w, s=s, min_docs=min_docs, id_col=id_col,
+        text_col=text_col, max_df=max_df,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("begin"), (F.col("begin") + F.col("length")).alias("end"))
+        ).alias("__spans")
+    )
+    toks = tokens(F.col(text_col))
+    covered = lambda t: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (t >= sp.begin) & (t < sp.end)
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t: ~covered(t),
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.size(toks) == 0, F.lit(""))
+            .when(
+                F.col("__spans").isNull(),
+                F.array_join(toks, " "),
+            )
+            .otherwise(
+                F.array_join(
+                    F.transform(kept, lambda t: F.element_at(toks, t + 1)), " "
+                )
+            )
+            .alias("clean_text"),
+            F.when(F.col("__spans").isNull(), F.lit(0))
+            .otherwise(
+                F.aggregate(
+                    F.col("__spans"),
+                    F.lit(0),
+                    lambda acc, sp: acc + sp.end - sp.begin,
+                )
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
                    text_col: str = "text",
                    source_col: str = "source",

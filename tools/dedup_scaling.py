@@ -49,7 +49,25 @@ QUERIES = [
     "c4_clean",             # split -> HOF filter -> rejoin, zero shuffle
     "ccnet_buckets",        # LM census + distinct-(lang,score) window
     "dedup_exact_norm",     # normalize + one digest shuffle (3x rows)
+    # round-5 additions:
+    "substring_spans",      # winnow anchors -> census -> bounded extension
 ]
+
+
+def _q_substring_spans(spark, d):
+    """Probe-local twin of the substring_dedup operator run on the probe
+    corpus ITSELF (the contract query synthesizes doc_id-%-3 groups whose
+    size grows with the corpus, making its pair output quadratic BY
+    CONSTRUCTION — here the planted ~10% near-dup pairs keep duplicated
+    mass proportional to n_docs, which is the honest scaling shape).
+    w=20/s=8: the 1-in-20 per-token mutation leaves exact runs with
+    ~20-token expected length, so a healthy fraction of planted pairs
+    carries >=20-token shared spans."""
+    from distributed_crawl_spark.functions import curation as CU
+
+    return CU.substring_spans(
+        spark.read.parquet(f"{d}/documents.parquet"), w=20, s=8
+    )
 
 
 def build_corpus(spark, n_docs: int, out_dir: str,
@@ -114,7 +132,8 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs["substring_spans"] = _q_substring_spans
     walls: dict[str, dict[str, list[float]]] = {
         q: {"sf01": [], "big": []} for q in QUERIES
     }

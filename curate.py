@@ -280,6 +280,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--save-merges", metavar="DIR",
                     help="persist the --bpe-train merge table "
                     "(rank, left, right) as parquet")
+    ap.add_argument("--bpe-batch", type=int, default=1, metavar="M",
+                    help="accept up to M merge-independent pairs per "
+                    "BPE census pass (~K/M Spark jobs instead of K; "
+                    "M=1 is exact sequential Sennrich — the default)")
     ap.add_argument("--watch", action="store_true",
                     help="continuous mode: treat --docs as a parquet "
                     "drop DIRECTORY and curate files as they land "
@@ -693,17 +697,6 @@ def main(argv: list[str] | None = None) -> int:
         ).select(F.col(id_c).alias("__sp_id"), "split")
         docs = docs.join(sp, docs[id_c] == sp["__sp_id"], "left").drop("__sp_id")
         out_cols.append("split")
-    if args.pack_tokens:
-        pk = CU.pack_shards(
-            docs, shard_tokens=args.pack_tokens,
-            n_writers=args.pack_writers, id_col=id_c, text_col=text_c,
-        ).select(
-            F.col(id_c).alias("__pk_id"), "writer", "shard_id",
-            "offset_tokens",
-        )
-        docs = docs.join(pk, docs[id_c] == pk["__pk_id"], "left").drop("__pk_id")
-        out_cols += ["writer", "shard_id", "offset_tokens"]
-
     bpe_merges = None
     if args.bpe_train:
         from distributed_crawl_spark.functions.bpe import (make_segment_udf,
@@ -711,8 +704,10 @@ def main(argv: list[str] | None = None) -> int:
 
         # trained on the SURVIVORS (post-gate corpus = what the
         # tokenizer will actually see); merges land in report.json and
-        # the output gains an exact per-doc BPE token count
-        bpe_merges = train_bpe(docs, k=args.bpe_train, text_col=text_c)
+        # the output gains an exact per-doc BPE token count — runs
+        # BEFORE packing so --pack-tokens budgets in those exact units
+        bpe_merges = train_bpe(docs, k=args.bpe_train, text_col=text_c,
+                               batch=args.bpe_batch)
         seg = make_segment_udf(bpe_merges)
         docs = docs.withColumn(
             "n_bpe_tokens", F.size(seg(F.col(text_c))).cast("long")
@@ -723,6 +718,18 @@ def main(argv: list[str] | None = None) -> int:
                 [(i, a, b) for i, (a, b) in enumerate(bpe_merges)],
                 "rank LONG, left STRING, right STRING",
             ).write.mode("overwrite").parquet(args.save_merges)
+    if args.pack_tokens:
+        pk = CU.pack_shards(
+            docs, shard_tokens=args.pack_tokens,
+            n_writers=args.pack_writers, id_col=id_c, text_col=text_c,
+            # tokenizer-exact when a model was just trained
+            count_col="n_bpe_tokens" if bpe_merges is not None else None,
+        ).select(
+            F.col(id_c).alias("__pk_id"), "writer", "shard_id",
+            "offset_tokens",
+        )
+        docs = docs.join(pk, docs[id_c] == pk["__pk_id"], "left").drop("__pk_id")
+        out_cols += ["writer", "shard_id", "offset_tokens"]
 
     out_aggs = [F.count(F.lit(1)).alias("n_output")]
     if args.scrub_spans:

@@ -233,7 +233,8 @@ def mix_report(docs: DataFrame,
 def pack_shards(docs: DataFrame, shard_tokens: int = 2048,
                 n_writers: int = 32, seed: str = "p42",
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                count_col: str | None = None) -> DataFrame:
     """Deterministic shuffle + token-budget shard planning: assign every
     document a training shard such that (a) document order within a
     shard is a seeded pseudo-random permutation (the "global shuffle" a
@@ -259,6 +260,13 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 2048,
     ``offset_tokens`` is the exclusive running token total within the
     writer lane and ``shard_id = writer * 2^20 + offset_tokens //
     shard_tokens`` (globally unique; ~10^6 shards per lane headroom).
+
+    ``count_col`` makes the packing TOKENIZER-EXACT: pass a column of
+    precomputed per-doc token counts (e.g. ``n_bpe_tokens`` from
+    :func:`~.bpe.apply_bpe`) and budgets are taken in those units
+    instead of the whitespace word count — the --bpe-train →
+    --pack-tokens path packs in the exact tokens the trained model
+    will emit (``text_col`` is then unused).
     """
     okey = md5_int48(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
@@ -267,7 +275,10 @@ def pack_shards(docs: DataFrame, shard_tokens: int = 2048,
         id_col,
         okey.alias("__okey"),
         (okey % F.lit(n_writers)).alias("writer"),
-        word_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (
+            F.col(count_col) if count_col is not None
+            else word_count(F.col(text_col))
+        ).cast("long").alias("n_tokens"),
     )
     win = (
         Window.partitionBy("writer")
@@ -785,7 +796,7 @@ def substring_scrub(docs: DataFrame, w: int = 50, s: int = 16,
 def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
                    text_col: str = "text",
                    source_col: str = "source",
-                   lane_threshold: int = 100_000_000,
+                   lane_threshold: int | None = None,
                    max_lanes: int = 32,
                    quality_col: str | None = None) -> DataFrame:
     """Corpus balancing: keep at most ``k`` documents per source, best
@@ -793,35 +804,33 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
     from dominating a training mix). Ranking = (quality_score_int DESC,
     doc_id ASC) — deterministic and engine-portable (integer composite).
 
-    Adaptive two-stage top-k so a Zipf-head source never funnels through
-    a single window sort task (the same salt-lane pattern as
-    operators/politeness.rank_frontier). A cheap census (groupBy-count on
-    the pruned source column — head counts combine map-side, so the
-    census itself can't skew) finds sources above ``lane_threshold``
-    docs; their documents hash into ``ceil(count/threshold)`` lanes
-    (capped at ``max_lanes``) and stage 1 keeps the top ``k`` per
-    (source, lane) — a 10^8-doc head source sorts as parallel lane tasks
-    instead of one straggler. Light sources keep a single lane, so stage
-    2's per-source re-rank runs over ≤ k rows for them and ≤ k·lanes for
-    heads — bounded regardless of corpus skew. The composition is exact
-    (any global top-k row is top-k within its own lane), so the output —
-    and the oracle hash — is identical to the single-window plan; the
-    lane hash only routes rows and never reaches the output.
-    Returns (doc_id, source, quality, rank_in_source).
+    Default plan (``lane_threshold=None``) is ONE window: Catalyst's
+    InferWindowGroupLimit (Spark 3.5+, measured — see BENCH.md) rewrites
+    ``row_number() <= k`` into a map-side ``WindowGroupLimit(Partial)``
+    BEFORE the exchange, so even a 10^8-doc Zipf-head source shuffles
+    only k rows per map task it spans (~10^4 residue rows at k=100) —
+    no census, no second scoring pass, no extra scan. The round-5
+    r3-vs-HEAD A/B (BENCH.md) showed the always-on census/branch plan
+    cost ~1.7× on ordinary corpora because referencing the scored table
+    from two join branches recomputes the quality text pass; the lane
+    machinery is therefore OPT-IN.
 
-    Plan note (measured, see BENCH.md): Catalyst's InferWindowGroupLimit
-    (Spark 3.5+) already rewrites ``row_number() <= k`` into a map-side
-    ``WindowGroupLimit(Partial)`` BEFORE the exchange, so even the
-    single-window plan shuffles at most k rows per source per map task —
-    a source's reduce partition is bounded by k · (map tasks it spans)
-    ≈ k · count/rows_per_map_task, NOT by its document count: a 10^8-doc
-    head source leaves only ~10^4 residue rows at k=100. The isolated
-    window-stage measurement (BENCH.md zipf section) confirms the lane
-    pass is pure overhead below that scale, so the default threshold
-    engages lanes only at 10^8+ docs/source — the regime where the
-    residue (or a ranking function Catalyst can't push a group limit
-    through) genuinely needs them. Set ``lane_threshold`` low explicitly
-    when using such ranking extensions or Spark < 3.5.
+    Set ``lane_threshold`` to an int to engage the adaptive two-stage
+    top-k (the same salt-lane pattern as
+    operators/politeness.rank_frontier) for the regimes the group-limit
+    rewrite can't cover — Spark < 3.5, ranking expressions Catalyst
+    can't push a limit through, or reduce-side residue at extreme
+    map-task counts: a cheap census (groupBy-count on the pruned source
+    column — head counts combine map-side, so the census itself can't
+    skew) finds sources above ``lane_threshold`` docs; their documents
+    hash into ``ceil(count/threshold)`` lanes (capped at ``max_lanes``)
+    and stage 1 keeps the top ``k`` per (source, lane), so stage 2's
+    per-source re-rank sees ≤ k·lanes rows — bounded regardless of
+    skew. The composition is exact (any global top-k row is top-k
+    within its own lane), so the output — and the oracle hash — is
+    identical to the single-window plan; the lane hash only routes rows
+    and never reaches the output.
+    Returns (doc_id, source, quality, rank_in_source).
     """
     from pyspark.sql.window import Window
 
@@ -838,6 +847,13 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
         ).alias("quality"),
     )
     order = [F.desc("quality"), F.asc(id_col)]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    if lane_threshold is None:
+        return (
+            scored.withColumn("rank_in_source", F.row_number().over(w))
+            .filter(F.col("rank_in_source") <= k)
+            .select(id_col, source_col, "quality", "rank_in_source")
+        )
     heavy = (
         docs.groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -872,7 +888,6 @@ def per_source_cap(docs: DataFrame, k: int, id_col: str = "doc_id",
         F.broadcast(heavy.select(source_col)), source_col, "left_anti"
     )
     pre = pre_light.unionByName(pre_heavy)
-    w = Window.partitionBy(source_col).orderBy(*order)
     return (
         pre.withColumn("rank_in_source", F.row_number().over(w))
         .filter(F.col("rank_in_source") <= k)
@@ -1026,7 +1041,8 @@ def shard_manifest(docs: DataFrame, packed: DataFrame | None = None,
 def pack_examples(docs: DataFrame, seq_len: int = 512,
                   n_writers: int = 32, seed: str = "p42",
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  count_col: str | None = None) -> DataFrame:
     """Fixed-length training-example packing over the
     :func:`pack_shards` writer streams — the GPT-style sample layout:
     each writer lane's token stream is cut into ``seq_len``-token
@@ -1047,10 +1063,14 @@ def pack_examples(docs: DataFrame, seq_len: int = 512,
     projection, no new shuffle beyond the lane window pack_shards
     already pays. Deterministic under repartitioning for the same
     reason pack_shards is (hash order, not row order). Token-less docs
-    occupy no stream space and emit no rows.
+    occupy no stream space and emit no rows. ``count_col`` (see
+    :func:`pack_shards`) makes the example grid tokenizer-exact:
+    ``start_in_doc`` / ``n_in_example`` are then offsets into the
+    document's ``apply_bpe`` token array rather than its word list.
     """
     packed = pack_shards(docs, shard_tokens=seq_len, n_writers=n_writers,
-                         seed=seed, id_col=id_col, text_col=text_col)
+                         seed=seed, id_col=id_col, text_col=text_col,
+                         count_col=count_col)
     first = F.floor(F.col("offset_tokens") / F.lit(seq_len))
     last = F.floor(
         (F.col("offset_tokens") + F.col("n_tokens") - 1) / F.lit(seq_len)

@@ -75,7 +75,7 @@ class StageProbe:
         return worst
 
 
-def time_plan(docs, lane_threshold: int, probe: StageProbe,
+def time_plan(docs, lane_threshold: int | None, probe: StageProbe,
               k: int = 100) -> tuple[float, float, int]:
     before = probe.stage_ids()
     t0 = time.monotonic()
@@ -84,7 +84,7 @@ def time_plan(docs, lane_threshold: int, probe: StageProbe,
     wall = time.monotonic() - t0
     return wall, probe.max_task_ms(before), n
 
-SINGLE = 10**12  # threshold no source reaches -> the old one-window plan
+SINGLE = None  # default plan: one window, no census (round-5 default)
 
 
 def main() -> None:

@@ -507,13 +507,13 @@ def span_scrub(docs: DataFrame, w: int = 20, min_docs: int = 2,
     )
 
 
-def winnow_anchors(text: Column, k: int, s: int) -> Column:
+def winnow_anchors(h: Column, s: int) -> Column:
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
-    "local algorithms for document fingerprinting") over word ``k``-gram
-    md5 digests: select every gram position whose digest is the minimum
-    of at least one window of ``s`` consecutive gram positions. Returns
-    ``array<struct<pos:int, digest:string>>`` with 0-based token
-    positions.
+    "local algorithms for document fingerprinting") over a STAGED array
+    of gram digests: select every gram position whose digest is the
+    minimum of at least one window of ``s`` consecutive gram positions.
+    Returns ``array<struct<pos:int, digest:string>>`` with 0-based
+    token positions.
 
     Why content-defined selection and not a fixed position grid: two
     copies of the same passage sit at DIFFERENT offsets in their
@@ -531,29 +531,47 @@ def winnow_anchors(text: Column, k: int, s: int) -> Column:
     Selection keeps ALL positions achieving a window minimum (the
     standard rightmost-tie rule needs positional state; keeping every
     minimum is equally content-local, so the cross-copy guarantee is
-    unchanged and the expression stays a pure HOF). Cost is
-    O(grams · s²) digest comparisons per document — partition-local
-    projection work with no shuffle; ``s`` trades anchor density
-    (shuffle volume ≈ grams/s rows) against that constant.
+    unchanged and the expression stays a pure HOF). Position ``i`` is a
+    window minimum iff its maximal runs of ``>=``-digest neighbours
+    left (``la``) and right (``ra``) satisfy ``la + ra + 1 >= s``
+    (some ``s``-window inside that run contains ``i``; conversely a
+    window witnessing ``i`` IS such a run) — O(s) comparisons per
+    position against the staged array, no per-window slice/min
+    allocations.
+
+    ``h`` MUST be a materialized column (see :func:`gram_digests` and
+    the staging in :func:`substring_spans`), not an inline expression
+    tree: interpreted higher-order functions re-evaluate every
+    reference to a non-attribute operand per lambda element, turning
+    an inline digest expression into an O(grams²·s) re-computation per
+    row — measured as ~3 s/doc on 75-word docs before staging
+    (BENCH.md round-5 substring section).
     """
-    grams = shingles(text, k)
-    h = F.transform(grams, F.md5)
     g = F.size(h)
     sw = F.least(F.lit(s), g)  # short docs: one window over all grams
+
+    def run(i: Column, sign: int) -> Column:
+        lim = F.least(i, sw - 1) if sign < 0 else F.least(g - 1 - i, sw - 1)
+        viol = F.array_position(
+            F.transform(
+                F.sequence(F.lit(1), lim),
+                lambda e: F.element_at(h, i + F.lit(sign) * e + 1)
+                < F.element_at(h, i + 1),
+            ),
+            F.lit(True),
+        )
+        # array_position: 1-based first violation, 0 if none
+        return F.when(
+            lim >= 1, F.coalesce(F.nullif(viol, F.lit(0)) - 1, lim)
+        ).otherwise(F.lit(0))
+
     selected = F.filter(
         F.transform(
             F.sequence(F.lit(0), g - 1),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
                 F.element_at(h, i + 1).alias("digest"),
-                F.exists(
-                    F.sequence(
-                        F.greatest(F.lit(0), i - sw + 1),
-                        F.least(i, g - sw),
-                    ),
-                    lambda j: F.element_at(h, i + 1)
-                    <= F.array_min(F.slice(h, j + 1, sw)),
-                ).alias("sel"),
+                (run(i, -1) + run(i, +1) + 1 >= sw).alias("sel"),
             ),
         ),
         lambda st: st.sel,
@@ -563,6 +581,20 @@ def winnow_anchors(text: Column, k: int, s: int) -> Column:
         g >= 1,
         F.transform(selected, lambda st: F.struct(st.pos, st.digest)),
     ).otherwise(empty)
+
+
+def gram_digests(toks: Column, k: int) -> Column:
+    """md5 digests of the word ``k``-grams of a STAGED token-array
+    column, in document order. Kept separate from :func:`winnow_anchors`
+    so each layer of the anchor computation is materialized once per
+    row (the staging contract described there)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
@@ -614,9 +646,17 @@ def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
     toks_t = docs.select(
         F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__toks")
     )
-    anchors = docs.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(winnow_anchors(F.col(text_col), k, s)).alias("a"),
+    # two-step staging (tokens -> digests -> selection): each alias is
+    # expensive and multiply-referenced, so Catalyst keeps the projects
+    # separate (SPARK-36718) and every layer evaluates ONCE per row —
+    # inlining the whole tree re-evaluates it per lambda element, an
+    # O(grams²·s) blowup per document (see winnow_anchors)
+    digests = toks_t.select(
+        "__doc", gram_digests(F.col("__toks"), k).alias("__h")
+    )
+    anchors = digests.select(
+        "__doc",
+        F.explode(winnow_anchors(F.col("__h"), s)).alias("a"),
     ).select("__doc", F.col("a.pos").alias("__pos"), F.col("a.digest").alias("__dig"))
     census = anchors.groupBy("__dig").agg(
         F.countDistinct("__doc").alias("__n_docs"),

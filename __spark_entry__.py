@@ -30,6 +30,8 @@ from distributed_crawl_spark.functions import curation as CU
 from distributed_crawl_spark.functions import dedup as DD
 from distributed_crawl_spark.functions import events as EV
 from distributed_crawl_spark.functions import graph as GR
+from distributed_crawl_spark.functions import recrawl as RC
+from distributed_crawl_spark.functions import search as SE
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
 from distributed_crawl_spark.functions import text as T
@@ -1901,6 +1903,66 @@ def q_c4_clean(spark, sf_dir):
     return CU.c4_clean(docs.select("doc_id", lined.alias("text")))
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Adaptive recrawl scheduling (functions/recrawl.py): Poisson
+    change-rate estimation + staleness priority over a revisit log —
+    the signal a CONTINUOUS crawler ranks its re-fetch frontier by (the
+    reference crawls each URL once per session, webcrawleranalyzer.py's
+    single visited set; this is the incremental-crawler extension,
+    Cho & Garcia-Molina VLDB'00). The visit log is synthesized from
+    events: page = user_id mod 40, visit ts = event ts, content digest
+    = event_type (revisits where the type flips count as changes).
+    Integer-quantized λ (x1e9) and p_stale (x1e6), so the result
+    hash-matches the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    visits = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 40).cast("string"))
+        .alias("page"),
+        F.col("ts"),
+        F.col("event_type").alias("digest"),
+        "event_id",
+    )
+    return RC.recrawl_priority(visits, order_col="event_id")
+
+
+def q_bm25_search(spark, sf_dir):
+    """Inverted-index BM25 top-k (functions/search.py): the corpus
+    retrieval surface — postings census + floor-quantized IDF + fully
+    integer TF normalization (k1 = 6/5, b = 3/4 chosen so the BM25
+    denominator clears to one bigint div), global top-20 for a
+    3-term query via TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    return SE.bm25_topk(docs, ["join", "vector", "stream"], k=20)
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated-bigram LM quality score (textstats.bigram_logprob):
+    one rung up the CCNet ladder from unigram_logprob — word-order
+    sensitive fluency, Lidstone-interpolated with unigram backoff,
+    per-pair log-prob evaluated by one double expression written
+    identically in both engines and floor-quantized."""
+    return TS.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities (graph.hits_scores) over the same
+    deterministic 37-host multigraph as host_rank — the second
+    link-graph signal a frontier scheduler uses (hubs drive discovery,
+    authorities drive corpus value). Two max-renormalized integer
+    power iterations; bit-identical to the unrolled-CTE oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"),
+            (DD.md5_int48(F.col("doc_id").cast("string")) % 37)
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return GR.hits_scores(edges, iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -1998,6 +2060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "substring_dedup": q_substring_dedup,
         "vector_index_search": q_vector_index_search,
+        "recrawl_priority": q_recrawl_priority,
+        "bm25_search": q_bm25_search,
+        "bigram_logprob": q_bigram_logprob,
+        "hits_scores": q_hits_scores,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -2055,6 +2121,60 @@ def _slug_sql(url: str) -> str:
 def _minhash_params_sql() -> str:
     rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(DD.MINHASH_PARAMS))
     return f"params(i, a, b) AS (VALUES {rows})"
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """DuckDB twin of q_hits_scores: each half-step (sum over edges,
+    max-renormalize to micro-units) unrolled as chained CTEs — all
+    integer floor arithmetic, so it hash-matches."""
+    s = f"""
+        WITH e AS (
+          SELECT 'h' || (doc_id % 37)::VARCHAR AS src,
+                 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")} % 37)::VARCHAR
+                   AS dst
+          FROM documents
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""
+    prev_h = "h0"
+    for i in range(iters):
+        s += f""",
+        ar{i} AS (
+          SELECT e.dst AS host, CAST(sum({prev_h}.hub) AS BIGINT) AS raw
+          FROM e JOIN {prev_h} ON {prev_h}.host = e.src GROUP BY e.dst
+        ),
+        am{i} AS (
+          SELECT max(COALESCE(raw, 0)) AS mx
+          FROM nodes LEFT JOIN ar{i} USING (host)
+        ),
+        a{i} AS (
+          SELECT nodes.host,
+                 CAST(CASE WHEN mx > 0
+                      THEN (COALESCE(raw, 0) * 1000000) // mx
+                      ELSE 0 END AS BIGINT) AS auth
+          FROM nodes LEFT JOIN ar{i} USING (host) CROSS JOIN am{i}
+        ),
+        hr{i} AS (
+          SELECT e.src AS host, CAST(sum(a{i}.auth) AS BIGINT) AS raw
+          FROM e JOIN a{i} ON a{i}.host = e.dst GROUP BY e.src
+        ),
+        hm{i} AS (
+          SELECT max(COALESCE(raw, 0)) AS mx
+          FROM nodes LEFT JOIN hr{i} USING (host)
+        ),
+        h{i + 1} AS (
+          SELECT nodes.host,
+                 CAST(CASE WHEN mx > 0
+                      THEN (COALESCE(raw, 0) * 1000000) // mx
+                      ELSE 0 END AS BIGINT) AS hub
+          FROM nodes LEFT JOIN hr{i} USING (host) CROSS JOIN hm{i}
+        )"""
+        prev_h = f"h{i + 1}"
+    return s + f"""
+        SELECT nodes.host, {prev_h}.hub AS hub_x1e6,
+               a{iters - 1}.auth AS auth_x1e6
+        FROM nodes JOIN {prev_h} USING (host)
+        JOIN a{iters - 1} USING (host)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4260,4 +4380,130 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY adist_q, vec_id) AS rank,
                    adist_q
             FROM sc QUALIFY rank <= 5""",
+        "recrawl_priority": """
+            WITH v AS (
+              SELECT 'p' || (user_id % 40)::VARCHAR AS page, ts,
+                     event_type AS digest, event_id
+              FROM events
+            ),
+            m AS (
+              SELECT page, ts, digest,
+                     lag(digest) OVER (PARTITION BY page
+                                       ORDER BY ts, event_id) AS prev
+              FROM v
+            ),
+            s AS (
+              SELECT page,
+                     CAST(count(*) AS BIGINT) AS n_visits,
+                     CAST(sum(CASE WHEN prev IS NOT NULL AND digest <> prev
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     CAST(floor(epoch(max(ts))) AS BIGINT)
+                       - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
+                     max(ts) AS last_ts
+              FROM m GROUP BY page HAVING count(*) >= 2
+            ),
+            h AS (
+              SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS horizon_s FROM v
+            ),
+            e AS (
+              SELECT page, n_visits, n_changes,
+                     span_s // (n_visits - 1) AS mean_iv_s,
+                     horizon_s - CAST(floor(epoch(last_ts)) AS BIGINT) AS age_s,
+                     least((n_changes * 1000) // (n_visits - 1), 999)
+                       AS r_milli
+              FROM s CROSS JOIN h
+            ),
+            l AS (
+              SELECT page, n_visits, n_changes, mean_iv_s, age_s,
+                     CAST(floor(-ln(1.0 - r_milli / 1000.0) / mean_iv_s
+                                * 1000000000) AS BIGINT) AS lam_x1e9
+              FROM e WHERE mean_iv_s > 0
+            )
+            SELECT page, n_visits, n_changes, mean_iv_s, lam_x1e9, age_s,
+                   CAST(floor((1.0 - exp(-(lam_x1e9 * age_s) / 1000000000.0))
+                              * 1000000) AS BIGINT) AS p_stale_x1e6
+            FROM l""",
+        "bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ),
+            post AS (
+              SELECT term, doc_id,
+                     least(CAST(count(*) AS BIGINT), 1000) AS tf
+              FROM toks GROUP BY term, doc_id
+            ),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM toks GROUP BY doc_id
+            ),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS a
+              FROM dl
+            ),
+            idf AS (
+              SELECT term,
+                     CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                * 1000000) AS BIGINT) AS idf_q
+              FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM post GROUP BY term) CROSS JOIN st
+            ),
+            q AS (SELECT unnest(['join', 'vector', 'stream']) AS term),
+            sc AS (
+              SELECT p.doc_id,
+                     CAST(sum((idf_q * 22 * tf * a)
+                              // (10 * a * tf + 3 * a + 9000 * dl.dl))
+                          AS BIGINT) AS score_q
+              FROM post p JOIN q USING (term) JOIN idf USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id, score_q,
+                   CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sc ORDER BY score_q DESC, doc_id LIMIT 20""",
+        "bigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            uni AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+            uv AS (SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT 50000),
+            bgs AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> array_to_string(t[i:i+1], ' '))) AS bg
+              FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+            ),
+            bv AS (
+              SELECT bg, CAST(count(*) AS BIGINT) AS c12
+              FROM bgs GROUP BY bg ORDER BY c12 DESC, bg LIMIT 200000
+            ),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN bv.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+                     CAST(floor(ln(
+                       (COALESCE(bv.c12, 0)::DOUBLE * t + COALESCE(u2.c, 1))
+                       / ((COALESCE(u1.c, 1) + 1.0) * t)) * 1000000)
+                       AS BIGINT) AS qlp
+              FROM bgs LEFT JOIN bv USING (bg)
+              LEFT JOIN uv u1 ON u1.tok = string_split(bg, ' ')[1]
+              LEFT JOIN uv u2 ON u2.tok = string_split(bg, ' ')[2]
+              CROSS JOIN tot
+            ),
+            a AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(oov) AS BIGINT) AS n_oov,
+                     CAST(floor(sum(qlp) / count(*)) AS BIGINT) AS logprob_q
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   COALESCE(a.logprob_q, 0) AS logprob_q
+            FROM documents d LEFT JOIN a USING (doc_id)""",
+        "hits_scores": _hits_sql(iters=2),
     }

@@ -147,6 +147,7 @@ HEADLINE = [
     "multimodal_meta", "audio_chunks",
     "c4_clean", "ccnet_buckets", "blocklist_filter", "dedup_exact_norm",
     "sitemap_lastmod", "image_dhash", "image_neardup",
+    "recrawl_priority", "bm25_search", "bigram_logprob", "hits_scores",
 ]
 
 

@@ -194,3 +194,86 @@ def _census_topk(pairs: DataFrame, k: int) -> DataFrame:
         census.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def hits_scores(edges: DataFrame, iters: int = 2,
+                src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a host multigraph,
+    quantized to integer micro-units — the complementary link signal to
+    :func:`host_rank`: PageRank finds globally-endorsed hosts; HITS
+    separates DIRECTORY hosts (hubs — pages that link out to many good
+    targets, e.g. link farms vs genuine indexes) from CONTENT hosts
+    (authorities), which a frontier scheduler weighs differently (drain
+    authorities' queues for corpus value, drain hubs' queues for
+    frontier discovery).
+
+    Update rule per iteration, all integer floor arithmetic (the float
+    version is summation-order-dependent and could never hash-match an
+    oracle): ``auth'(v) = Σ_{u→v} hub(u)`` then max-renormalized to
+    micro-units ``auth(v) = auth'(v) * 1e6 // max(auth')``; then
+    ``hub'(u) = Σ_{u→v} auth(v)`` renormalized the same way. Parallel
+    edges count with multiplicity (the multigraph carries link volume).
+
+    Scale shape: each half-step is one shuffle on the edge key plus a
+    ONE-ROW max aggregate cross-joined back broadcast (bounded, the
+    same normalize-by-scalar shape as rank_budgets) — 2 shuffles per
+    iteration over an edges table that partitions uniformly by host
+    hash. Hosts with no inbound (outbound) edges hold authority (hub)
+    0. Returns (host, hub_x1e6, auth_x1e6) for every host appearing as
+    src or dst.
+
+    Signed-64 bound: the renormalize step computes ``raw * 1e6``, and
+    ``raw ≤ weighted_degree * 1e6``, so the max weighted in/out-degree
+    must stay ≤ ~9.2e6 — true for host graphs (degree = distinct
+    neighbor hosts); for denser graphs drop RANK_UNIT a decade.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("host")).union(
+        e.select(F.col("dst").alias("host"))
+    ).distinct()
+    hub = nodes.withColumn("hub", F.lit(RANK_UNIT).cast("long"))
+
+    def _renorm(scores: DataFrame, col: str) -> DataFrame:
+        mx = scores.agg(F.max(col).alias("__mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "host",
+            F.when(F.col("__mx") > 0,
+                   F.expr(f"({col} * {RANK_UNIT}) div __mx"))
+            .otherwise(F.lit(0)).cast("long").alias(col),
+        )
+
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
+        )
+        auth = _renorm(
+            nodes.join(a_raw, "host", "left").select(
+                "host", F.coalesce(F.col("auth"), F.lit(0)).alias("auth")
+            ),
+            "auth",
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("host", "dst"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
+        )
+        hub = _renorm(
+            nodes.join(h_raw, "host", "left").select(
+                "host", F.coalesce(F.col("hub"), F.lit(0)).alias("hub")
+            ),
+            "hub",
+        )
+    return (
+        nodes.join(hub.withColumnRenamed("hub", "hub_x1e6"), "host", "left")
+        .join(auth.withColumnRenamed("auth", "auth_x1e6"), "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("hub_x1e6"), F.lit(0)).cast("long")
+            .alias("hub_x1e6"),
+            F.coalesce(F.col("auth_x1e6"), F.lit(0)).cast("long")
+            .alias("auth_x1e6"),
+        )
+    )

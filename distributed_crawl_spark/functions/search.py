@@ -1,0 +1,162 @@
+"""Full-text relevance search over the crawled corpus (inverted index + BM25).
+
+A crawl pipeline's output is only useful if it can be queried; the
+standard primitive is an inverted index (term -> postings with term
+frequency) scored with Okapi BM25. The reference crawler
+(thebenjy/distributed_crawl) has no search surface at all — its closest
+analog is the content-stats report — so this module is an engine
+extension in the same spirit as the dedup/curation stack: the operator
+a real 100-TB webtext corpus needs next.
+
+Determinism contract (why integers): BM25 is a sum of per-term float
+scores, and float summation is order-dependent, so a naive port can
+never hash-match a DuckDB oracle. Here the per-term IDF is quantized
+ONCE per distinct term — ``idf_q = floor(ln((N - df + 0.5)/(df + 0.5)
++ 1) * 1e6)`` (the BM25+ idf variant, always positive) — and the TF
+normalization is carried out entirely in integer arithmetic. With
+k1 = 6/5 and b = 3/4 the per-(term, doc) contribution
+
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+is EXACTLY ``(idf_q * 22 * tf * A) div (10*A*tf + 3*A + 9000*dl)``
+where ``A = floor(1000 * sum(dl) / N)`` is the average document length
+in milli-tokens — derivation: the denominator times ``10*A`` is
+``10*A*tf + (6*A + 18000*dl)/2 = 10*A*tf + 3*A + 9000*dl`` and the
+numerator times ``10*A`` is ``22*tf*A``. Integer div is bit-identical
+across Spark and DuckDB; the per-doc sum of bigint contributions is
+order-free.
+
+Overflow bound: ``idf_q <= ln(N+2)*1e6`` (~2.4e7 at N = 1e10 docs) and
+``tf`` saturates at :data:`TF_CAP` (BM25's tf term is asymptotic in tf
+anyway — capping at 1000 changes scores by < 0.2%), so the product is
+``<= 2.4e7 * 22 * 1e3 * A``; with avgdl up to ~40k milli-tokens that is
+~2e16, comfortably inside signed-64.
+
+Scale story: the index build is ONE explode + groupBy((term, doc))
+token shuffle (map-combinable) plus a term-level census for df — the
+same two-exchange shape as ``unigram_logprob``. Scoring a query
+broadcast-joins the (tiny) query-term IDF table against the postings
+of just those terms (LEFT SEMI shape — postings of non-query terms are
+never shuffled), aggregates per doc, and takes the global top-k with
+``orderBy().limit(k)`` — Spark's TakeOrdered, a map-side partial top-k
+with no full sort. At 10^10 documents the only unbounded exchanges are
+the two census shuffles, both uniform in (term, doc).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import tokens
+
+IDF_SCALE = 1_000_000
+TF_CAP = 1_000  # BM25 tf saturation guard; keeps products inside int64
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted-index postings: one row per (term, doc) with the term
+    frequency ``tf`` (capped at :data:`TF_CAP`) and the document length
+    ``dl`` in tokens. One explode + one map-combinable groupBy."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    return (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_raw"))
+        .withColumn("tf", F.least(F.col("tf_raw"), F.lit(TF_CAP)).cast("long"))
+        .drop("tf_raw")
+        .join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+            "doc_id",
+        )
+    )
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl_x1000) over the postings table.
+
+    ``avgdl_x1000 = floor(1000 * sum(dl) / n_docs)`` — dl is summed once
+    per document (postings repeat it per term, so aggregate the distinct
+    per-doc lengths)."""
+    per_doc = postings.select("doc_id", "dl").groupBy("doc_id").agg(
+        F.first("dl").alias("dl")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(1)")
+        .cast("long").alias("avgdl_x1000"),
+    )
+
+
+def term_idf(postings: DataFrame, stats: DataFrame) -> DataFrame:
+    """(term, df, idf_q) — BM25+ idf ``ln((N - df + .5)/(df + .5) + 1)``
+    floor-quantized to micro-units once per DISTINCT term, so every
+    downstream use is integer-exact."""
+    df_tbl = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return df_tbl.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "df",
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * IDF_SCALE
+        ).cast("long").alias("idf_q"),
+    )
+
+
+def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under integer-exact
+    BM25 (k1 = 1.2, b = 0.75). Returns (doc_id, score_q, rank) with the
+    deterministic tie-break (score DESC, doc_id ASC).
+
+    The query-term list is driver-side and tiny, so it broadcasts; only
+    the postings of the queried terms survive the join (Catalyst turns
+    the inner join against a ≤|terms|-row table into a broadcast hash
+    join — the rest of the index is pruned at the scan when the
+    postings table is partitioned by term)."""
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    stats = corpus_stats(postings)
+    idf = term_idf(postings, stats)
+
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(terms)], "term string"
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_q * 22 * tf * avgdl_x1000) div "
+                "(10 * avgdl_x1000 * tf + 3 * avgdl_x1000 + 9000 * dl)"
+            ).cast("long").alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    # rank is a window over the k surviving rows only — bounded input,
+    # not a global sort.
+    return scored.select(
+        "doc_id",
+        "score_q",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )

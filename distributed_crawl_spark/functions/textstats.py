@@ -778,3 +778,106 @@ def doc_keywords(docs, k: int = 5, id_col: str = "doc_id",
         .select(id_col, "tok", F.col("tf").cast("long").alias("tf"),
                 "idf_u", "score", "rank")
     )
+
+
+def bigram_logprob(docs, vocab_k: int = 50_000, bigram_k: int = 200_000,
+                   scale: int = 1_000_000, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Interpolated-bigram LM quality score — one rung up the CCNet
+    ladder from :func:`unigram_logprob` (CCNet proper uses a KenLM
+    5-gram; the bigram census captures local word order, which the
+    unigram floor is blind to: 'the the the the' scores HIGH under a
+    unigram model and low here).
+
+    Model: Lidstone-interpolated bigram with unigram backoff,
+
+        p(w2 | w1) = (c12 + 1 * c2/T) / (c1 + 1)
+
+    where c12 = bigram count, c1/c2 = unigram counts, T = total
+    tokens. Unseen bigrams fall back to c12 = 0 (pure unigram mass);
+    tokens outside the top-``vocab_k`` unigram vocabulary take the
+    rarest-possible c = 1, the same OOV backstop as unigram_logprob.
+
+    Determinism contract: the per-pair log-prob is evaluated by ONE
+    double expression written identically in Spark and the oracle —
+    ``floor(ln((CAST(c12 AS DOUBLE) * T + c2) / ((c1 + 1.0) * T)) *
+    scale)`` — on integer-derived inputs (the double cast happens
+    FIRST in both engines, so c12*T never overflows int64 at web
+    scale), then summed as exact BIGINTs and divided once at the end.
+
+    Scale story: two map-combinable censuses (tokens, bigrams), both
+    capped by (count DESC, key ASC) to bounded tables that BROADCAST
+    to the scoring pass — the 100-TB bigram stream is scored
+    partition-locally; the only other exchange is the per-doc
+    aggregate. Same three-exchange shape as unigram_logprob.
+
+    Returns (doc_id, n_bigrams, n_oov, logprob_q) per input doc;
+    docs with < 2 tokens report (0, 0, 0).
+    """
+    from .dedup import shingles, tokens as _tokens
+
+    toks = docs.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = uni.agg(F.sum("c").cast("long").alias("t"))
+    uvocab = (
+        uni.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(vocab_k)
+        .select("tok", "c")
+    )
+    bgs = docs.select(
+        id_col, F.explode(shingles(F.col(text_col), 2)).alias("bg")
+    )
+    bvocab = (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .orderBy(F.col("c12").desc(), F.col("bg"))
+        .limit(bigram_k)
+    )
+    parts = F.split(F.col("bg"), " ")
+    scored = (
+        bgs.join(F.broadcast(bvocab), "bg", "left")
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(
+            F.broadcast(uvocab.select(F.col("tok").alias("w1"),
+                                      F.col("c").alias("c1"))),
+            "w1", "left",
+        )
+        .join(
+            F.broadcast(uvocab.select(F.col("tok").alias("w2"),
+                                      F.col("c").alias("c2"))),
+            "w2", "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.col("c12").isNull().cast("long").alias("oov"),
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                        * F.col("t")
+                        + F.coalesce(F.col("c2"), F.lit(1))
+                    )
+                    / (
+                        (F.coalesce(F.col("c1"), F.lit(1)) + F.lit(1.0))
+                        * F.col("t")
+                    )
+                )
+                * scale
+            ).cast("long").alias("qlp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.floor(F.sum("qlp") / F.count(F.lit(1)))
+            .cast("long").alias("logprob_q"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce(F.col("logprob_q"), F.lit(0)).cast("long").alias("logprob_q"),
+    )

@@ -107,3 +107,56 @@ def test_rank_budgets_drive_politeness_window(spark):
     assert len(sel["big"]) > len(sel["l1"]) >= 1
     assert sorted(sel["big"]) == sel["big"] == list(range(len(sel["big"])))
     assert selected.count() + deferred.count() == 40
+
+
+def _ref_hits(edges, iters):
+    """Pure-python twin of hits_scores' quantized update."""
+    nodes = sorted({h for e in edges for h in e})
+    hub = {h: G.RANK_UNIT for h in nodes}
+    auth = {h: 0 for h in nodes}
+
+    def renorm(d):
+        mx = max(d.values())
+        return {h: (v * G.RANK_UNIT) // mx if mx > 0 else 0
+                for h, v in d.items()}
+
+    for _ in range(iters):
+        auth = {h: 0 for h in nodes}
+        for s, t in edges:
+            auth[t] += hub[s]
+        auth = renorm(auth)
+        hub = {h: 0 for h in nodes}
+        for s, t in edges:
+            hub[s] += auth[t]
+        hub = renorm(hub)
+    return hub, auth
+
+
+def test_hits_matches_integer_reference(spark):
+    edges = _graph(n_nodes=19, n_edges=240)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.host: (r.hub_x1e6, r.auth_x1e6)
+           for r in G.hits_scores(df, iters=3).collect()}
+    hub, auth = _ref_hits(edges, 3)
+    assert got == {h: (hub[h], auth[h]) for h in hub}
+
+
+def test_hits_star_roles(spark):
+    """A pure out-star: the center is the best hub (max units), the
+    leaves share the authority mass, and the center has authority 0."""
+    edges = [("hub0", f"leaf{i}") for i in range(6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.host: (r.hub_x1e6, r.auth_x1e6)
+           for r in G.hits_scores(df, iters=2).collect()}
+    assert got["hub0"][0] == G.RANK_UNIT and got["hub0"][1] == 0
+    for i in range(6):
+        assert got[f"leaf{i}"][0] == 0
+        assert got[f"leaf{i}"][1] == G.RANK_UNIT
+
+
+def test_hits_layout_invariant(spark):
+    edges = _graph(n_nodes=13, n_edges=150)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, G.hits_scores(df, iters=2).collect()))
+    b = sorted(map(tuple, G.hits_scores(df.repartition(9), iters=2).collect()))
+    assert a == b

@@ -1,0 +1,110 @@
+"""Inverted-index BM25 (functions/search.py): exact agreement with a
+pure-Python float BM25 reference on ranking, integer-arithmetic identity
+with an in-process mirror of the quantized formula, and layout
+invariance."""
+
+from __future__ import annotations
+
+import math
+
+from distributed_crawl_spark.functions import search as S
+
+DOCS = [
+    (0, "spark joins tables fast and spark scans tables"),
+    (1, "vector search over vector embeddings with vector index"),
+    (2, "stream processing joins a stream with a static table"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "spark vector stream spark vector stream spark"),
+    (5, ""),
+    (6, "joins joins joins joins joins joins joins joins"),
+]
+
+
+def _py_bm25_q(docs, terms, k1_n=12, k1_d=10, scale=1_000_000):
+    """Pure-python mirror of the quantized formula (k1=1.2, b=0.75)."""
+    toks = {d: t.split() for d, t in docs if t.split()}
+    n = len(toks)
+    dls = {d: len(t) for d, t in toks.items()}
+    a = (sum(dls.values()) * 1000) // n
+    scores = {}
+    for term in dict.fromkeys(terms):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf_q = math.floor(
+            math.log((n - df + 0.5) / (df + 0.5) + 1.0) * scale
+        )
+        for d, t in toks.items():
+            tf = min(t.count(term), S.TF_CAP)
+            if tf == 0:
+                continue
+            contrib = (idf_q * 22 * tf * a) // (
+                10 * a * tf + 3 * a + 9000 * dls[d]
+            )
+            scores[d] = scores.get(d, 0) + contrib
+    return scores
+
+
+def _py_bm25_float(docs, terms, k1=1.2, b=0.75):
+    """Textbook float BM25 (the thing the integer form approximates)."""
+    toks = {d: t.split() for d, t in docs if t.split()}
+    n = len(toks)
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for term in dict.fromkeys(terms):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            denom = tf + k1 * (1 - b + b * dls[d] / avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) / denom
+    return scores
+
+
+def test_bm25_matches_integer_reference(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.score_q
+        for r in S.bm25_topk(docs, ["spark", "vector", "stream"], k=10).collect()
+    }
+    want = _py_bm25_q(DOCS, ["spark", "vector", "stream"])
+    assert got == want
+
+
+def test_bm25_ranking_tracks_float_bm25(spark):
+    """The integer quantization must not reorder clearly-separated
+    docs: compare the rank order to textbook float BM25."""
+    terms = ["joins", "stream"]
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = [r.doc_id for r in S.bm25_topk(docs, terms, k=10)
+           .orderBy("rank").collect()]
+    want = sorted(
+        _py_bm25_float(DOCS, terms).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == [d for d, _ in want]
+
+
+def test_bm25_empty_and_missing_terms(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = S.bm25_topk(docs, ["zzz_absent"], k=10).collect()
+    assert out == []
+
+
+def test_bm25_layout_invariant(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    a = S.bm25_topk(docs, ["spark", "vector"], k=10).collect()
+    b = S.bm25_topk(docs.repartition(7), ["spark", "vector"], k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_postings_tf_cap(spark):
+    text = " ".join(["w"] * (S.TF_CAP + 50))
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = S.build_postings(docs).collect()[0]
+    assert row.tf == S.TF_CAP and row.dl == S.TF_CAP + 50

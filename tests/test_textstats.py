@@ -571,3 +571,61 @@ def test_image_dhash_locality_and_dedup(spark):
                   | (out[0].dhash_lo ^ out[2].dhash_lo)).count("1")
     assert 1 <= flipped <= 2
     assert (out[3].dhash_hi, out[3].dhash_lo) == (0, 0)
+
+
+def test_bigram_logprob_word_order_sensitivity(spark):
+    """A corpus dominated by fluent 'the cat sat on the mat .' docs:
+    the doc with the SAME tokens in shuffled order has identical
+    unigram stats (unigram_logprob cannot separate them) but its
+    bigrams are rare — with the bigram vocab capped to the fluent
+    head it hits the unseen-bigram backoff and must score lower."""
+    fluent = "the cat sat on the mat ."
+    toks = fluent.split()
+    shuffled = " ".join(toks[::2] + toks[1::2])
+    rows = [(i, fluent) for i in range(10)] + [(10, shuffled)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_fluent_bigrams = len(set(zip(toks, toks[1:])))
+    got = {r.doc_id: r
+           for r in TS.bigram_logprob(docs,
+                                      bigram_k=n_fluent_bigrams).collect()}
+    assert got[0].logprob_q > got[10].logprob_q
+    assert got[10].n_oov > got[0].n_oov
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+
+    rows = [
+        (0, "a b a b a b"),
+        (1, "a a a b b b"),
+        (2, "c"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.n_oov, r.logprob_q)
+           for r in TS.bigram_logprob(docs).collect()}
+
+    toks = {d: t.split() for d, t in rows}
+    uni: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+    total = sum(uni.values())
+    bi: dict[tuple, int] = {}
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    want = {}
+    for d, t in toks.items():
+        qs = []
+        oov = 0
+        for a, b in zip(t, t[1:]):
+            c12 = bi.get((a, b), 0)
+            oov += c12 == 0
+            c1, c2 = uni.get(a, 1), uni.get(b, 1)
+            qs.append(math.floor(
+                math.log((float(c12) * total + c2) / ((c1 + 1.0) * total))
+                * 1_000_000))
+        want[d] = ((len(qs), oov, math.floor(sum(qs) / len(qs)))
+                   if qs else (0, 0, 0))
+    assert got == want

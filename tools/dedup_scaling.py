@@ -51,6 +51,10 @@ QUERIES = [
     "dedup_exact_norm",     # normalize + one digest shuffle (3x rows)
     # round-5 additions:
     "substring_spans",      # winnow anchors -> census -> bounded extension
+    "bm25_search",          # postings census + broadcast term join + top-k
+    "bigram_logprob",       # two censuses -> broadcast scoring
+    "hits_scores",          # 2x2 integer power half-steps + 1-row max
+    "recrawl_visits",       # lag window + per-page agg, one page shuffle
 ]
 
 
@@ -68,6 +72,31 @@ def _q_substring_spans(spark, d):
     return CU.substring_spans(
         spark.read.parquet(f"{d}/documents.parquet"), w=20, s=8
     )
+
+
+def _q_recrawl_visits(spark, d):
+    """Probe-local twin of recrawl_priority whose VISIT LOG scales with
+    the corpus (the contract query reads the fixed events table): one
+    page per document, 5 visits each, deterministic hash-driven digests
+    — so the probe measures the page-key shuffle + lag window + agg at
+    5x and 50x visit rows."""
+    from distributed_crawl_spark.functions import recrawl as RC
+
+    n = spark.read.parquet(f"{d}/documents.parquet").count()
+    visits = (
+        spark.range(n * 5)
+        .select(
+            (F.col("id") % n).alias("page"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.floor(F.col("id") / n) * 3600
+                + F.pmod(F.xxhash64("id"), F.lit(600))
+            ).alias("ts"),
+            F.pmod(F.xxhash64("id", F.lit("d")), F.lit(3))
+            .cast("string").alias("digest"),
+            F.col("id").alias("event_id"),
+        )
+    )
+    return RC.recrawl_priority(visits, order_col="event_id")
 
 
 def build_corpus(spark, n_docs: int, out_dir: str,
@@ -134,6 +163,7 @@ def main() -> None:
 
     qs = dict(entry.queries())
     qs["substring_spans"] = _q_substring_spans
+    qs["recrawl_visits"] = _q_recrawl_visits
     walls: dict[str, dict[str, list[float]]] = {
         q: {"sf01": [], "big": []} for q in QUERIES
     }

@@ -144,3 +144,38 @@ def recrawl_priority(visits: DataFrame, page_col: str = "page",
             * P_SCALE
         ).cast("long").alias("p_stale_x1e6"),
     )
+
+
+def refetch_frontier(priorities: DataFrame, min_p_stale_x1e6: int = 0,
+                     url_col: str = "page") -> DataFrame:
+    """Turn :func:`recrawl_priority` output into frontier rows the
+    politeness window drains STALEST-FIRST — the scheduler composition:
+    ``rank_frontier`` orders each host lane by (level, attempt, seq),
+    so encoding ``seq = P_SCALE - p_stale_x1e6`` (smaller = staler =
+    first) makes per-host budgets spend themselves on the pages most
+    likely to have changed, with zero changes to the politeness
+    operator itself (same single window shuffle).
+
+    ``min_p_stale_x1e6`` drops pages whose staleness probability hasn't
+    reached the threshold — the "don't waste budget re-fetching what
+    hasn't changed" knob (Cho & Garcia-Molina's uniform-allocation
+    pitfall). Level/attempt are 0 (refetches are roots), parent lineage
+    is null/self, discovered_round = -1 marks scheduler-injected rows.
+
+    Output matches FRONTIER_SCHEMA so it unions straight into the
+    driver's frontier table.
+    """
+    from ..functions.url import url_host
+
+    kept = priorities.filter(F.col("p_stale_x1e6") >= min_p_stale_x1e6)
+    return kept.select(
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        F.lit(0).cast("int").alias("level"),
+        F.lit(0).cast("int").alias("attempt"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(-1).cast("long").alias("parent_seq"),
+        F.lit(0).cast("int").alias("link_pos"),
+        (F.lit(P_SCALE) - F.col("p_stale_x1e6")).cast("long").alias("seq"),
+        F.lit(-1).cast("int").alias("discovered_round"),
+    )

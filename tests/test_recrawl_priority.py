@@ -117,3 +117,40 @@ def test_layout_invariant(spark):
     b = sorted(map(tuple, R.recrawl_priority(
         df.repartition(11), order_col="event_id").collect()))
     assert a == b
+
+
+def test_refetch_frontier_drains_stalest_first(spark):
+    """Scheduler composition: refetch_frontier rows run through the
+    SAME politeness window as organic crawling, and within one host's
+    budget the stalest pages (highest p_stale) win the slots."""
+    from distributed_crawl_spark.operators.politeness import (
+        rank_frontier, split_ranked,
+    )
+
+    # 6 pages on one host with distinct change rates: page i changes
+    # on i of its 5 revisit intervals; all share the same cadence and
+    # last-visit time, so p_stale strictly increases with i.
+    rows = []
+    eid = 0
+    for i in range(6):
+        digests = ["a"] * (6 - i) + [f"c{j}" for j in range(i)]
+        for j, dg in enumerate(digests[:6]):
+            rows.append(
+                (f"https://h.test/p{i}", T0 + timedelta(hours=4 * j), dg, eid)
+            )
+            eid += 1
+    rows.append(("https://h.test/anchor", T0 + timedelta(hours=40), "x", eid))
+    rows.append(("https://h.test/anchor", T0 + timedelta(hours=41), "x", eid + 1))
+    df = spark.createDataFrame(rows, ["page", "ts", "digest", "event_id"])
+
+    pri = R.recrawl_priority(df, order_col="event_id")
+    frontier = R.refetch_frontier(pri, min_p_stale_x1e6=1)
+    # the never-changing page 0 and the fresh anchor fall below the floor
+    urls = {r.url for r in frontier.collect()}
+    assert "https://h.test/p0" not in urls and "https://h.test/anchor" not in urls
+
+    selected, deferred = split_ranked(rank_frontier(frontier, host_budget=3))
+    picked = {r.url for r in selected.collect()}
+    # budget 3 on one host: the three most-changing pages win
+    assert picked == {f"https://h.test/p{i}" for i in (3, 4, 5)}
+    assert deferred.count() == frontier.count() - 3

@@ -1935,6 +1935,24 @@ def q_bm25_search(spark, sf_dir):
     return SE.bm25_topk(docs, ["join", "vector", "stream"], k=20)
 
 
+def q_bm25_index_search(spark, sf_dir):
+    """Persisted inverted-index round trip (functions/search.py): build
+    the BM25 text index into /tmp (postings PARTITIONED BY term hash
+    bucket — the partition layout IS the inverted file), READ IT BACK,
+    and search the same 3-term query against the loaded tables with the
+    scan pruned to the query terms' buckets. The persisted layout is a
+    pass-through, so the result equals bm25_topk computed directly —
+    the oracle scores the corpus in place."""
+    import re as _re
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/textindex_contract_{tag}"
+    SE.write_text_index(docs, path)
+    idx = SE.read_text_index(spark, path)
+    return SE.text_index_topk(idx, ["join", "vector", "stream"], k=20)
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Interpolated-bigram LM quality score (textstats.bigram_logprob):
     one rung up the CCNet ladder from unigram_logprob — word-order
@@ -2064,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "bigram_logprob": q_bigram_logprob,
         "hits_scores": q_hits_scores,
+        "bm25_index_search": q_bm25_index_search,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -2196,7 +2215,7 @@ def oracle_sql() -> dict[str, str]:
         for w in sorted(["a", *TS.LANG_MARKERS["en"]])
     )
 
-    return {
+    out = {
         "url_slug": _slug_sql(_URL_SQL),
         "content_hash": """
             SELECT doc_id, substr(sha256(text), 1, 16) AS md_hash,
@@ -4507,3 +4526,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN a USING (doc_id)""",
         "hits_scores": _hits_sql(iters=2),
     }
+    # the persisted-index round trip scores identically to the in-place
+    # BM25 (pass-through layout) - same oracle.
+    out["bm25_index_search"] = out["bm25_search"]
+    return out

@@ -160,3 +160,195 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
         .cast("long")
         .alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent inverted index: build once, search forever, add increments.
+# The text twin of functions/vecindex.py (same build/read/search/add API).
+# ---------------------------------------------------------------------------
+
+import json as _json
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql import SparkSession
+
+TEXT_INDEX_FORMAT = "bm25/v1"
+
+
+@_dataclass
+class TextIndex:
+    """Loaded index handle: three DataFrames + the build parameters."""
+
+    postings: DataFrame
+    idf: DataFrame
+    stats: DataFrame
+    params: dict
+
+
+def _bucket(term):
+    return F.pmod(F.xxhash64(term), F.lit(64)).cast("int")
+
+
+def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text") -> dict:
+    """Build and persist the inverted index; returns the manifest dict.
+
+    Layout under ``path`` (plain parquet):
+
+    - ``postings/`` (term, doc_id, tf, dl) PARTITIONED BY term_bucket
+      (``pmod(xxhash64(term), 64)``) — the partition layout IS the
+      inverted file: a query over q terms reads at most q of 64
+      directories, so query cost stays ~|q|/64 of the index no matter
+      how big the corpus grows.
+    - ``idf/``     (term, df, idf_q) — vocabulary-sized.
+    - ``stats/``   1 row (n_docs, sum_dl, avgdl_x1000) — sum_dl is kept
+      so stats stay incrementally updatable (see add_to_text_index).
+    - ``manifest/`` 1-row JSON: format tag + n_buckets.
+    """
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    per_doc = postings.select("doc_id", "dl").groupBy("doc_id").agg(
+        F.first("dl").alias("dl")
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).select(
+        "n_docs", "sum_dl",
+        F.expr("(sum_dl * 1000) div n_docs").cast("long")
+        .alias("avgdl_x1000"),
+    )
+    idf = term_idf(postings, stats.select("n_docs", "avgdl_x1000"))
+    postings.withColumn("term_bucket", _bucket(F.col("term"))).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+    idf.write.mode("overwrite").parquet(f"{path}/idf")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    manifest = {"format": TEXT_INDEX_FORMAT, "n_buckets": 64}
+    docs.sparkSession.createDataFrame(
+        [(_json.dumps(manifest),)], "manifest string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    return manifest
+
+
+def read_text_index(spark: SparkSession, path: str) -> TextIndex:
+    row = spark.read.json(f"{path}/manifest").collect()[0]
+    params = _json.loads(row.manifest)
+    if params.get("format") != TEXT_INDEX_FORMAT:
+        raise ValueError(
+            f"unsupported text index format {params.get('format')!r}"
+        )
+    return TextIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        idf=spark.read.parquet(f"{path}/idf"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        params=params,
+    )
+
+
+def add_to_text_index(spark: SparkSession, path: str, docs: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """Incremental add: append the increment's postings partitions and
+    UPDATE the (vocabulary-sized) idf table and the 1-row stats — the
+    corpus postings are never read, so the add is O(increment + |vocab|).
+    IDF shifts for every term when N grows (unlike the frozen-quantizer
+    vector index), which is why df/sum_dl are stored raw: the new idf_q
+    is recomputed exactly from merged integer censuses, never from the
+    old quantized values. Caller contract (same as the dedup index):
+    doc_ids must be new; re-adding an id duplicates its rows."""
+    idx = read_text_index(spark, path)
+    inc = build_postings(docs, id_col=id_col, text_col=text_col)
+    inc_per_doc = inc.select("doc_id", "dl").groupBy("doc_id").agg(
+        F.first("dl").alias("dl")
+    )
+    inc_stats = inc_per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    new_stats = (
+        idx.stats.select("n_docs", "sum_dl")
+        .unionByName(inc_stats)
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+             F.sum("sum_dl").cast("long").alias("sum_dl"))
+        .select(
+            "n_docs", "sum_dl",
+            F.expr("(sum_dl * 1000) div n_docs").cast("long")
+            .alias("avgdl_x1000"),
+        )
+    )
+    inc_df = inc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    merged_df = (
+        idx.idf.select("term", "df")
+        .unionByName(inc_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    new_idf = merged_df.crossJoin(
+        F.broadcast(new_stats.select("n_docs"))
+    ).select(
+        "term", "df",
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * IDF_SCALE
+        ).cast("long").alias("idf_q"),
+    )
+    inc.withColumn("term_bucket", _bucket(F.col("term"))).write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+    # idf/stats are small (vocabulary-sized / 1 row) — stage then swap,
+    # because Spark cannot overwrite a table it is reading in-plan.
+    new_idf.write.mode("overwrite").parquet(f"{path}/idf_next")
+    new_stats.write.mode("overwrite").parquet(f"{path}/stats_next")
+    for t in ("idf", "stats"):
+        spark.read.parquet(f"{path}/{t}_next").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{t}")
+
+
+def text_index_topk(index: TextIndex, terms: Sequence[str],
+                    k: int = 20) -> DataFrame:
+    """BM25 top-k against the persisted index — :func:`bm25_topk`
+    semantics with nothing recomputed: the postings scan is pruned to
+    the query terms' hash buckets (≤ |terms| of 64 directories), the
+    queried terms' IDF rows broadcast, and the 1-row stats cross-join.
+    At any corpus size the scan is bounded by the queried buckets.
+    Returns (doc_id, score_q, rank)."""
+    spark = index.postings.sparkSession
+    uniq = list(dict.fromkeys(terms))
+    qterms = spark.createDataFrame([(t,) for t in uniq], "term string")
+    buckets = sorted(
+        {r.b for r in qterms.select(_bucket(F.col("term")).alias("b"))
+         .collect()}
+    )
+    scored = (
+        index.postings.where(F.col("term_bucket").isin(buckets))
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(index.idf.join(F.broadcast(qterms), "term")),
+              "term")
+        .crossJoin(F.broadcast(index.stats.select("avgdl_x1000")))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_q * 22 * tf * avgdl_x1000) div "
+                "(10 * avgdl_x1000 * tf + 3 * avgdl_x1000 + 9000 * dl)"
+            ).cast("long").alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return scored.select(
+        "doc_id",
+        "score_q",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )

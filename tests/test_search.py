@@ -108,3 +108,52 @@ def test_postings_tf_cap(spark):
     docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
     row = S.build_postings(docs).collect()[0]
     assert row.tf == S.TF_CAP and row.dl == S.TF_CAP + 50
+
+
+def test_text_index_round_trip(spark, tmp_path):
+    """write -> read -> search equals the direct bm25_topk on the same
+    corpus (the persisted layout is a pass-through)."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    path = str(tmp_path / "tix")
+    S.write_text_index(docs, path)
+    idx = S.read_text_index(spark, path)
+    terms = ["spark", "vector", "stream"]
+    direct = sorted(map(tuple, S.bm25_topk(docs, terms, k=10).collect()))
+    loaded = sorted(map(tuple, S.text_index_topk(idx, terms, k=10).collect()))
+    assert direct == loaded
+
+
+def test_text_index_incremental_add_exact(spark, tmp_path):
+    """add_to_text_index must equal a full rebuild over the union —
+    idf is recomputed from merged integer censuses, so the equality is
+    EXACT, not approximate (unlike frozen-quantizer vector indexes)."""
+    a = [(d, t) for d, t in DOCS if d % 2 == 0]
+    b = [(d, t) for d, t in DOCS if d % 2 == 1]
+    path = str(tmp_path / "tix_inc")
+    S.write_text_index(spark.createDataFrame(a, ["doc_id", "text"]), path)
+    S.add_to_text_index(spark, path,
+                        spark.createDataFrame(b, ["doc_id", "text"]))
+    full_path = str(tmp_path / "tix_full")
+    S.write_text_index(spark.createDataFrame(DOCS, ["doc_id", "text"]),
+                       full_path)
+    terms = ["spark", "joins", "stream"]
+    inc = sorted(map(tuple, S.text_index_topk(
+        S.read_text_index(spark, path), terms, k=10).collect()))
+    full = sorted(map(tuple, S.text_index_topk(
+        S.read_text_index(spark, full_path), terms, k=10).collect()))
+    assert inc == full
+    # merged stats: every doc with tokens counted exactly once
+    n = S.read_text_index(spark, path).stats.collect()[0].n_docs
+    assert n == len([1 for _, t in DOCS if t.split()])
+
+
+def test_text_index_bucket_pruning(spark, tmp_path):
+    """The query plan must carry the term_bucket partition filter —
+    the scan is bounded by the queried buckets, not the index size."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    path = str(tmp_path / "tix_prune")
+    S.write_text_index(docs, path)
+    idx = S.read_text_index(spark, path)
+    plan = S.text_index_topk(idx, ["spark"], k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "term_bucket" in plan

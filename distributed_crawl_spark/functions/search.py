@@ -352,3 +352,55 @@ def text_index_topk(index: TextIndex, terms: Sequence[str],
         .cast("long")
         .alias("rank"),
     )
+
+
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Fold the postings small files into one sorted file per bucket.
+
+    Every :func:`add_to_text_index` appends one parquet file per touched
+    bucket directory, so a continuously-fed index accumulates
+    O(adds × buckets) small files — the classic small-files problem:
+    scan task count (and at cloud scale, object-store request count)
+    grows with ADD COUNT instead of data size. Compaction rewrites the
+    postings with one shuffle keyed on ``term_bucket`` (64 uniform
+    reducers, each writing a single file sorted by term — term-major
+    row groups dictionary/RLE-encode well and keep a query's rows
+    contiguous), then swaps directories: old → ``postings_old``,
+    staged → ``postings``, drop old. The swap is two local renames —
+    the crash window is metadata-only and recoverable (both directories
+    still exist); the cloud-durable variant is a manifest pointer like
+    ``streaming/checkpoint.py``'s snapshot store. idf/stats are already
+    single-digit-file tables and are left untouched; scores are
+    layout-invariant, so search results are byte-identical after
+    compaction (pytest asserts it).
+
+    Returns ``{"files_before": n, "files_after": m}``.
+    """
+    import os
+    import shutil
+
+    def _n_files(d: str) -> int:
+        return sum(
+            1
+            for _, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    posts_dir = f"{path}/postings"
+    before = _n_files(posts_dir)
+    staged = f"{path}/postings_next"
+    (
+        spark.read.parquet(posts_dir)
+        .repartition(64, "term_bucket")
+        .sortWithinPartitions("term_bucket", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staged)
+    )
+    old = f"{path}/postings_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(posts_dir, old)
+    os.rename(staged, posts_dir)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _n_files(posts_dir)}

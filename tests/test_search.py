@@ -157,3 +157,25 @@ def test_text_index_bucket_pruning(spark, tmp_path):
     plan = S.text_index_topk(idx, ["spark"], k=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "term_bucket" in plan
+
+
+def test_text_index_compaction(spark, tmp_path):
+    """Three incremental adds pile up one file per touched bucket per
+    add; compaction folds to <=1 file per bucket and search results are
+    byte-identical before/after."""
+    thirds = [[(d, t) for d, t in DOCS if d % 3 == r] for r in range(3)]
+    path = str(tmp_path / "tix_compact")
+    S.write_text_index(spark.createDataFrame(thirds[0], ["doc_id", "text"]),
+                       path)
+    for part in thirds[1:]:
+        S.add_to_text_index(spark, path,
+                            spark.createDataFrame(part, ["doc_id", "text"]))
+    terms = ["spark", "vector", "stream"]
+    before = sorted(map(tuple, S.text_index_topk(
+        S.read_text_index(spark, path), terms, k=10).collect()))
+    stats = S.compact_text_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 64
+    after = sorted(map(tuple, S.text_index_topk(
+        S.read_text_index(spark, path), terms, k=10).collect()))
+    assert before == after

@@ -1953,6 +1953,16 @@ def q_bm25_index_search(spark, sf_dir):
     return SE.text_index_topk(idx, ["join", "vector", "stream"], k=20)
 
 
+def q_source_entropy(spark, sf_dir):
+    """Per-language source-diversity census (curation.source_entropy):
+    integer-quantized Shannon entropy of the source mix per language —
+    the memorization-risk diagnostic a mix planner reads next to
+    mix_report. Census groupBy (≤ langs×sources keys, map-side
+    combinable) + broadcast per-lang rollup; every exchange is
+    census-sized at any corpus scale."""
+    return CU.source_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Interpolated-bigram LM quality score (textstats.bigram_logprob):
     one rung up the CCNet ladder from unigram_logprob — word-order
@@ -2083,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "hits_scores": q_hits_scores,
         "bm25_index_search": q_bm25_index_search,
+        "source_entropy": q_source_entropy,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4529,4 +4540,23 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index round trip scores identically to the in-place
     # BM25 (pass-through layout) - same oracle.
     out["bm25_index_search"] = out["bm25_search"]
+    out["source_entropy"] = """
+        WITH census AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY lang, source
+        ),
+        totals AS (
+          SELECT lang, CAST(sum(c) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM census GROUP BY lang
+        )
+        SELECT census.lang AS lang,
+               CAST(any_value(t) AS BIGINT) AS n_docs,
+               CAST(any_value(n_sources) AS BIGINT) AS n_sources,
+               CAST(sum(CAST(floor(
+                 (CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                 * ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))
+                 * 1000000) AS BIGINT)) AS BIGINT) AS entropy_q
+        FROM census JOIN totals USING (lang)
+        GROUP BY census.lang ORDER BY lang"""
     return out

@@ -1167,3 +1167,54 @@ def corpus_diff(old: DataFrame, new: DataFrame,
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def source_entropy(docs: DataFrame, lang_col: str = "lang",
+                   source_col: str = "source") -> DataFrame:
+    """Per-language source-diversity census: Shannon entropy (nats,
+    ×1e6 integer-quantized) of the source distribution, plus doc and
+    distinct-source counts.
+
+    The mixing diagnostic next to :func:`mix_report`: a language whose
+    tokens all come from two sources is a memorization/contamination
+    risk no matter how many documents it has, and "effective source
+    count" = exp(entropy) is the number a mix planner compares against
+    its per-language source floor. Engine extension (the reference has
+    no corpus-analysis surface); same determinism contract as
+    ``unigram_logprob``: each (lang, source) term is quantized
+    independently — ``floor((c/t) · ln(t/c) · 1e6)`` — and the per-lang
+    sum of bigints is order-free, so the result hash-matches the DuckDB
+    oracle.
+
+    Plan: ONE map-side-combinable groupBy to the (lang, source) census
+    (bounded by |langs|×|sources|), a broadcast-sized per-lang rollup
+    joined back, then a second tiny groupBy — no exchange ever carries
+    more than the census rows, at any corpus size.
+    """
+    census = docs.groupBy(lang_col, source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = census.groupBy(lang_col).agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return (
+        census.join(F.broadcast(totals), lang_col)
+        .select(
+            lang_col,
+            "t",
+            "n_sources",
+            F.floor(
+                (F.col("c") / F.col("t"))
+                * F.log(F.col("t") / F.col("c"))
+                * F.lit(1_000_000)
+            ).cast("long").alias("__e"),
+        )
+        .groupBy(lang_col)
+        .agg(
+            F.first("t").alias("n_docs"),
+            F.first("n_sources").alias("n_sources"),
+            F.sum("__e").cast("long").alias("entropy_q"),
+        )
+        .orderBy(lang_col)
+    )

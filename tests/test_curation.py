@@ -449,3 +449,32 @@ def test_c4_clean_planted_rules(spark):
     assert not out[5].keep and out[5].n_kept == 3   # line survives, doc fails
     assert not out[6].keep and out[6].n_kept == 3
     assert out[7].keep and out[7].n_kept == 3
+
+
+def test_source_entropy(spark):
+    """Uniform mix -> ln(k); single source -> 0; skew matches a pure-
+    Python mirror of the per-term quantization (sum of floor'd bigints,
+    so the expected value is computed term-wise, not from float H)."""
+    import math
+
+    rows = (
+        [(i, "en", f"src{i % 4}") for i in range(40)]       # uniform over 4
+        + [(i, "de", "src0") for i in range(40, 50)]        # single source
+        + [(i, "fr", "src0") for i in range(50, 59)]        # 9:1 skew
+        + [(59, "fr", "src1")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, source STRING")
+    out = {r.lang: r for r in CU.source_entropy(docs).collect()}
+
+    def expected(counts):
+        t = sum(counts)
+        return sum(
+            math.floor((c / t) * math.log(t / c) * 1_000_000) for c in counts
+        )
+
+    assert out["en"].n_docs == 40 and out["en"].n_sources == 4
+    assert out["en"].entropy_q == expected([10, 10, 10, 10])
+    assert abs(out["en"].entropy_q - 1_000_000 * math.log(4)) < 5
+    assert out["de"].entropy_q == 0 and out["de"].n_sources == 1
+    assert out["fr"].entropy_q == expected([9, 1])
+    assert out["fr"].n_docs == 10

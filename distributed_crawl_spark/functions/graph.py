@@ -227,10 +227,16 @@ def hits_scores(edges: DataFrame, iters: int = 2,
     must stay ≤ ~9.2e6 — true for host graphs (degree = distinct
     neighbor hosts); for denser graphs drop RANK_UNIT a decade.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # localCheckpoint: e/nodes are referenced by every half-step and the
+    # scores fold the whole previous iteration into their lineage —
+    # without truncation the final plan re-derives the edge projection
+    # O(iters^2) times (same per-iteration cut as host_rank).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     nodes = e.select(F.col("src").alias("host")).union(
         e.select(F.col("dst").alias("host"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     hub = nodes.withColumn("hub", F.lit(RANK_UNIT).cast("long"))
 
     def _renorm(scores: DataFrame, col: str) -> DataFrame:
@@ -240,7 +246,7 @@ def hits_scores(edges: DataFrame, iters: int = 2,
             F.when(F.col("__mx") > 0,
                    F.expr(f"({col} * {RANK_UNIT}) div __mx"))
             .otherwise(F.lit(0)).cast("long").alias(col),
-        )
+        ).localCheckpoint()
 
     auth = None
     for _ in range(iters):

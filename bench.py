@@ -93,6 +93,8 @@ def run_crawl(spark, sf: float, cpus: int) -> dict:
         max_rounds=3,
         use_bloom=True,
         fetch_join_strategy="shuffle",  # bucketed pages: one-sided shuffle
+        # A/B knob: serialize the per-round fork-join write groups
+        concurrent_commits=os.environ.get("SPARK_GRAFT_SERIAL_COMMITS") != "1",
         # optional tmpfs staging for round-local scratch (A/B knob)
         scratch_dir=os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or None,
     )

@@ -115,6 +115,16 @@ class CrawlConfig:
     honor_crawl_delay: bool = False
     crawl_delay_round_seconds: float = 60.0
 
+    # Submit independent per-round staged writes concurrently — what a real
+    # cluster driver does for independent stages: {miss_log ∥ children
+    # seen-probe} both depend only on the results append, and {url_seen ∥
+    # errors ∥ bloom_state ∥ partition_metrics} only on the frontier
+    # replace, so each group's jobs overlap their fixed driver/commit costs
+    # instead of queueing. Table contents are identical either way (the
+    # writes touch disjoint tables over already-materialized inputs);
+    # False serializes them for debugging / sequential job-log readability.
+    concurrent_commits: bool = True
+
     # Round-local scratch tables (_round_ranked/_round_hits/...) land under
     # <checkpoint>/_scratch by default; point this at a tmpfs mount (e.g.
     # "/dev/shm") to take the per-round staged-write hot path off disk.

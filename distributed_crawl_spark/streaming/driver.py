@@ -38,6 +38,47 @@ _SEEN_COLS = [
 ]
 
 
+def _fork_join(concurrent: bool, *thunks):
+    """Run independent staged-write actions concurrently from Python
+    threads — the local-mode analog of a cluster driver submitting
+    independent stages without waiting on each other.
+
+    Every thunk materializes a write whose inputs are ALREADY parquet
+    (no shared lineage), onto a distinct table name (disjoint staging
+    paths + dict keys), so concurrency cannot change any table's
+    contents — it only overlaps the per-job fixed costs (plan, submit,
+    Py4J, output-commit) that otherwise stack up serially and cap the
+    high-core-count legs of the N→4N scaling pair. ``InheritableThread``
+    keeps scheduler-pool/job-group local properties correct under
+    PySpark's pinned-thread mode. Returns thunk results in order;
+    re-raises the first failure (the round's commit then never
+    finalizes — same crash-atomicity contract as serial mode).
+    """
+    if not concurrent or len(thunks) == 1:
+        return [t() for t in thunks]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list = []
+
+    def _run(i, thunk):
+        try:
+            results[i] = thunk()
+        except BaseException as exc:  # noqa: BLE001 — propagate to the round
+            errors.append(exc)
+
+    threads = [
+        InheritableThread(target=_run, args=(i, t)) for i, t in enumerate(thunks)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
 def _seen_events(frontier_like: DataFrame, status: str, round_no: int) -> DataFrame:
     """Status-event rows for the append-only url_seen log."""
     return frontier_like.select(
@@ -429,7 +470,34 @@ class CrawlDriver:
                 (F.col("attempt") + 1 >= cfg.retry_attempts).cast("long")
             ).alias("n_failed"),
         )
-        misses = staging.write_append("miss_log", misses)
+
+        # 5. children: extract links → filter → batch-dedup → seen-filter.
+        #    Both the miss-log append and the children seen-probe scratch
+        #    depend ONLY on the results append above — fork-join them.
+        obs_cand = Observation()
+        url_seen = self.store.read(spark, "url_seen")
+        bloom_state = (
+            self.store.read(spark, "bloom_state") if self.bloom else None
+        )
+
+        def _miss_write():
+            return staging.write_append("miss_log", misses)
+
+        def _children_probe():
+            candidates = child_candidates(
+                ok, cfg, round_no, observation=obs_cand
+            )
+            return filter_unseen(
+                candidates.select(*FRONTIER_COLS),
+                url_seen,
+                self.bloom,
+                bloom_state,
+                materialize=staging.write_scratch,
+            )
+
+        misses, new_frontier = _fork_join(
+            cfg.concurrent_commits, _miss_write, _children_probe
+        )
         m_miss = obs_miss.get
         n_failed = int(m_miss["n_failed"] or 0)
         n_miss = int(m_miss["n_miss"] or 0)
@@ -439,21 +507,6 @@ class CrawlDriver:
             *FRONTIER_COLS
         )
         failed = bumped.filter(F.col("attempt") >= cfg.retry_attempts)
-
-        # 5. children: extract links → filter → batch-dedup → seen-filter
-        obs_cand = Observation()
-        candidates = child_candidates(ok, cfg, round_no, observation=obs_cand)
-        url_seen = self.store.read(spark, "url_seen")
-        bloom_state = (
-            self.store.read(spark, "bloom_state") if self.bloom else None
-        )
-        new_frontier = filter_unseen(
-            candidates.select(*FRONTIER_COLS),
-            url_seen,
-            self.bloom,
-            bloom_state,
-            materialize=staging.write_scratch,
-        )
 
         # 6. next frontier = deferred ∪ retries ∪ new children — staged;
         #    per-source counts observed on this one write
@@ -491,8 +544,6 @@ class CrawlDriver:
             .unionByName(_seen_events(denied, "robots_denied", round_no))
             .unionByName(_seen_events(geo_skipped, "geo_blocked_skipped", round_no))
         )
-        staging.write_append("url_seen", seen_delta)
-
         # 8. errors delta (K4/R2 semantics: reason + 200-char preview) —
         #    skipped entirely on clean rounds (counts already observed)
         errors = failed.select(
@@ -519,14 +570,6 @@ class CrawlDriver:
             )
         )
         n_geo_skipped = n_geo if cfg.geo_block_policy == "skip" else 0
-        if n_failed + n_denied + n_geo_skipped > 0:
-            staging.write_append("errors", errors)
-
-        # 9. bloom insert for the newly-enqueued urls (no-op round → keep
-        #    the previous state version, saving the cogroup shuffle)
-        if self.bloom and n_new > 0:
-            new_bloom = self.bloom.insert(bloom_state, new_children.select("url"))
-            staging.write_replace("bloom_state", new_bloom)
 
         # 10. per-partition lineage: fetched/failed/new counts keyed by the
         #     url-hash bucket each row lives in — one slim agg over the
@@ -544,7 +587,27 @@ class CrawlDriver:
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("round", F.lit(round_no))
         )
-        staging.write_append("partition_metrics", part_delta)
+
+        # 7–10 fork-join: all four deltas derive from already-materialized
+        # parquet (next_frontier / attempted / misses / denied), land in
+        # disjoint tables, and none feeds another — submit together so four
+        # slim jobs cost ~one job wall instead of four.
+        tail_writes = [lambda: staging.write_append("url_seen", seen_delta)]
+        if n_failed + n_denied + n_geo_skipped > 0:
+            tail_writes.append(lambda: staging.write_append("errors", errors))
+        if self.bloom and n_new > 0:
+            # bloom insert for the newly-enqueued urls (no-op round → keep
+            # the previous state version, saving the cogroup shuffle)
+            tail_writes.append(
+                lambda: staging.write_replace(
+                    "bloom_state",
+                    self.bloom.insert(bloom_state, new_children.select("url")),
+                )
+            )
+        tail_writes.append(
+            lambda: staging.write_append("partition_metrics", part_delta)
+        )
+        _fork_join(cfg.concurrent_commits, *tail_writes)
 
         # 11. metrics — every number came off an Observation riding a write;
         #     the history lives in the commit pointer (one JSON, no extra

@@ -418,3 +418,75 @@ def test_block_domains_frontier_hygiene(spark, tmp_path):
     assert good in hygienic
     assert blocked not in hygienic and exact not in hygienic
     assert {blocked, exact, good} <= parity
+
+
+def test_concurrent_commits_equal_serial(spark, tmp_path):
+    """concurrent_commits=True only overlaps job submission for writes
+    into DISJOINT tables — every durable table (results, url_seen log,
+    errors, partition lineage) and every per-round counter must be
+    byte-for-byte the serial driver's. Config exercises every member of
+    both fork-join groups: politeness (ranked scratch), retries/failures
+    (miss_log + errors write), bloom (probe scratch + state replace)."""
+
+    from distributed_crawl_spark.schema import SEEDS_SCHEMA
+
+    dead = spark.createDataFrame(
+        [{"url": "http://sitea.test/missing", "seq": 999, "unique_id": None}],
+        schema=SEEDS_SCHEMA,
+    )
+
+    def crawl(name, concurrent):
+        drv = CrawlDriver(
+            spark,
+            corpus.tiny_pages(spark),
+            None,
+            CrawlConfig(
+                max_levels=3,
+                max_rounds=5,
+                host_budget=2,
+                retry_attempts=1,
+                concurrent_commits=concurrent,
+            ),
+            str(tmp_path / name),
+        )
+        drv.run(corpus.tiny_seeds(spark).unionByName(dead))
+        return drv
+
+    conc = crawl("ckpt_conc", True)
+    ser = crawl("ckpt_serial", False)
+
+    assert (
+        {(r.url, r.status) for r in conc.current_status().collect()}
+        == {(r.url, r.status) for r in ser.current_status().collect()}
+    )
+    assert (
+        {(r.url, r.md_hash) for r in conc.results().collect()}
+        == {(r.url, r.md_hash) for r in ser.results().collect()}
+    )
+    ignore = {"seconds"}
+    c_rounds = [
+        {k: v for k, v in m.asDict().items() if k not in ignore}
+        for m in conc.metrics().collect()
+    ]
+    s_rounds = [
+        {k: v for k, v in m.asDict().items() if k not in ignore}
+        for m in ser.metrics().collect()
+    ]
+    assert c_rounds == s_rounds
+    assert sorted(
+        tuple(r) for r in conc.partition_metrics().collect()
+    ) == sorted(tuple(r) for r in ser.partition_metrics().collect())
+
+    def errs(drv):
+        try:
+            return sorted(
+                (r.url, r.round, r.reason)
+                for r in drv.store.read(spark, "errors").collect()
+            )
+        except FileNotFoundError:
+            return []
+
+    assert errs(conc) == errs(ser)
+    # the error path actually ran (retry_attempts=1 + dead links in the
+    # tiny corpus), so the errors member of the fork-join group was tested
+    assert errs(conc)

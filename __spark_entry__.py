@@ -1963,6 +1963,26 @@ def q_source_entropy(spark, sf_dir):
     return CU.source_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Semantic benchmark decontamination (curation.decontaminate_semantic):
+    flag corpus vectors whose best cosine against ANY benchmark vector
+    reaches 0.35 — the paraphrase-leak complement of the 8-gram
+    `decontaminate` rule. Bench split is modular (vec_id % 10 == 0) so it
+    is non-empty at every sf. The bench suite collapses to ONE
+    collect_list row and broadcasts; the corpus side computes |bench|
+    codegen'd dot products per row (transform + array_max over the
+    broadcast array) with ZERO exchanges — the bounded 1-row
+    broadcast-nested-loop pattern mix_plan already uses. Scores quantize
+    to cosine milli-units BEFORE the argmax; ties pick the smallest
+    bench id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return CU.decontaminate_semantic(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        threshold_m=350,
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Interpolated-bigram LM quality score (textstats.bigram_logprob):
     one rung up the CCNet ladder from unigram_logprob — word-order
@@ -2094,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "bm25_index_search": q_bm25_index_search,
         "source_entropy": q_source_entropy,
+        "decontaminate_semantic": q_decontaminate_semantic,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4559,4 +4580,27 @@ def oracle_sql() -> dict[str, str]:
                  * 1000000) AS BIGINT)) AS BIGINT) AS entropy_q
         FROM census JOIN totals USING (lang)
         GROUP BY census.lang ORDER BY lang"""
+    out["decontaminate_semantic"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ),
+        corpus AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+        bench AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        scored AS (
+          SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+                 CAST(floor(list_cosine_similarity(c.e, b.e) * 1000)
+                      AS BIGINT) AS cos_m
+          FROM corpus c CROSS JOIN bench b
+        ),
+        ranked AS (
+          SELECT vec_id, bench_id, cos_m,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos_m DESC, bench_id
+                 ) AS rn
+          FROM scored
+        )
+        SELECT vec_id, bench_id AS best_bench_id, cos_m AS best_cos_m,
+               cos_m >= 350 AS contaminated
+        FROM ranked WHERE rn = 1"""
     return out

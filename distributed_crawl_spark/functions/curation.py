@@ -420,6 +420,63 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
     )
 
 
+def decontaminate_semantic(corpus_vecs: DataFrame, bench_vecs: DataFrame,
+                           threshold_m: int = 250,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus documents whose
+    embedding is too close (cosine) to ANY evaluation/benchmark
+    embedding — the paraphrase-leak complement of the n-gram
+    ``decontaminate`` rule (an eval question rephrased shares no 8-gram
+    but sits next to the original in embedding space).
+
+    Plan shape for 100 TB: a benchmark suite is tiny next to the corpus
+    (10^3–10^5 vectors), so it is collapsed to ONE row
+    (``collect_list(struct(id, vec))``) and cross-joined — the bounded
+    1-row broadcast-nested-loop pattern PLANS.md documents for
+    ``mix_plan``. The corpus side never shuffles: per-row work is
+    |bench| whole-stage-codegen dot products (``transform`` over the
+    broadcast array + ``array_max``), embarrassingly parallel, zero
+    exchanges. Scores are floor-quantized to cosine milli-units BEFORE
+    the argmax so the (score, tie-break) order is integer-exact and
+    hash-stable; ties pick the smallest benchmark id.
+
+    Returns one row per corpus vector:
+    (id_col, best_bench_id, best_cos_m, contaminated).
+    """
+    from .similarity import as_double, cosine
+
+    bench_row = bench_vecs.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("long").alias("bid"),
+                as_double(F.col(vec_col)).alias("bvec"),
+            )
+        ).alias("benches")
+    )
+    vec = as_double(F.col(vec_col))
+    scored = F.transform(
+        F.col("benches"),
+        lambda b: F.struct(
+            F.floor(cosine(vec, b["bvec"]) * 1000).cast("long").alias("cos_m"),
+            (-b["bid"]).alias("neg_bid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return (
+        corpus_vecs.crossJoin(F.broadcast(bench_row))
+        .withColumn("_best", best)
+        .select(
+            id_col,
+            (-F.col("_best.neg_bid")).alias("best_bench_id"),
+            F.col("_best.cos_m").alias("best_cos_m"),
+            (F.col("_best.cos_m") >= F.lit(int(threshold_m))).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def span_chunks(text: Column, w: int) -> Column:
     """Fixed-width word chunks as array<struct<pos,chunk>> (1-based pos,
     last chunk ragged; empty text → one empty chunk so every doc keeps a

@@ -478,3 +478,54 @@ def test_source_entropy(spark):
     assert out["de"].entropy_q == 0 and out["de"].n_sources == 1
     assert out["fr"].entropy_q == expected([9, 1])
     assert out["fr"].n_docs == 10
+
+
+def test_decontaminate_semantic_planted_neighbors(spark):
+    """Planted geometry: an exact bench copy, a near-paraphrase, an
+    orthogonal doc; argmax tie over two identical bench vectors must pick
+    the smaller bench id; values mirror a numpy brute force exactly."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    b0 = rng.normal(size=8)
+    near = b0 + rng.normal(scale=0.1, size=8)     # cos ~0.97 vs b0
+    ortho = np.zeros(8); ortho[0] = 1.0
+    b1 = np.zeros(8); b1[1] = 1.0                 # orthogonal to ortho
+    corpus = {0: b0.copy(), 1: near, 2: ortho}
+    bench = {100: b0.copy(), 101: b0.copy(), 102: b1}   # 100/101 identical
+
+    mk = lambda d: spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in d.items()],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {r.vec_id: r for r in CU.decontaminate_semantic(
+        mk(corpus), mk(bench), threshold_m=900
+    ).collect()}
+    assert len(got) == 3
+
+    def cos_m(a, b):
+        return math.floor(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+            * 1000
+        )
+
+    for cid, cvec in corpus.items():
+        best = max(
+            ((cos_m(cvec, bvec), -bid) for bid, bvec in bench.items()),
+        )
+        assert got[cid].best_cos_m == best[0], cid
+        assert got[cid].best_bench_id == -best[1], cid
+        assert got[cid].contaminated == (best[0] >= 900), cid
+    # the exact copy ties between bench 100 and 101 -> smaller id wins
+    assert got[0].best_bench_id == 100 and got[0].best_cos_m == 1000
+    assert got[0].contaminated and got[1].contaminated
+    assert not got[2].contaminated
+    # corpus side stays exchange-free: the only join is the broadcast
+    # 1-row bench array (the bounded mix_plan pattern)
+    plan = CU.decontaminate_semantic(
+        mk(corpus), mk(bench), threshold_m=900
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan

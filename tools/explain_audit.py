@@ -87,6 +87,26 @@ EXPECTED_FLAGS = {
     "ccnet_buckets": "NESTED_LOOP = the embedded unigram_logprob ONE-row "
     "corpus-total cross join (same bounded shape); the tertile thresholds "
     "and bucket assignment join via BroadcastHashJoin on lang",
+    "decontaminate_semantic": "NESTED_LOOP = broadcast cross join vs the "
+    "ONE-row collect_list(bench) aggregate — a benchmark suite is tiny "
+    "next to the corpus, so the corpus side scores it per-row "
+    "(transform + array_max) with zero exchanges",
+    "bm25_search": "NESTED_LOOP = broadcast cross join vs the ONE-row "
+    "corpus stats aggregate (N, avgdl for the BM25 length norm); the "
+    "query-term and doc-posting joins are BroadcastHashJoins on term",
+    "bm25_index_search": "NESTED_LOOP = the same ONE-row stats cross join "
+    "as bm25_search, read from the persisted index's 1-row stats table; "
+    "postings probe via BroadcastHashJoin on term + term_bucket pruning",
+    "bigram_logprob": "NESTED_LOOP = the unigram-backoff ONE-row "
+    "corpus-total cross join (same bounded shape as unigram_logprob); "
+    "vocab joins are BroadcastHashJoins on the capped token/bigram keys",
+    "recrawl_priority": "NESTED_LOOP = broadcast cross join vs the "
+    "ONE-row observation-horizon aggregate (max ts — the 'now' every "
+    "page's staleness is measured against); the revisit-log window and "
+    "per-page aggregate share one hash exchange",
+    "vector_index_search": "NESTED_LOOP = the IVF/PQ codebook broadcast "
+    "cross joins (n_cells / m*k rows, same bounded shape as ann_ivf / "
+    "pq_topk) read from the persisted index tables",
 }
 
 

@@ -1021,11 +1021,6 @@ def q_source_cap(spark, sf_dir):
 # substring_dedup synthesis: shared passages planted at per-doc variable
 # offsets (prefix length = doc_id%7+1), so copies are NEVER grid-aligned —
 # the case span_scrub's fixed chunk window provably misses.
-_SSD_A = " ".join(f"qa{j}" for j in range(1, 13))   # 12 tokens, docs %3==0
-_SSD_B = " ".join(f"qb{j}" for j in range(1, 13))   # 12 tokens, docs %6==0
-_SSD_NM = " ".join(f"nm{j}" for j in range(1, 8))   # 7 tokens < w: near-miss
-
-
 def q_substring_dedup(spark, sf_dir):
     """Arbitrary-offset exact-substring dedup (Lee et al. 2022 repeated-
     span pass): winnowed k-gram anchors (content-defined, so copies at
@@ -1034,11 +1029,30 @@ def q_substring_dedup(spark, sf_dir):
     documents with shared 12-token passages planted at doc_id-varying
     offsets (%3 passage A, %6 A+B adjacent — exercises touching-span
     merge) plus a 7-token near-miss below w=8 that must NOT flag.
+    Passage CONTENT varies per 60-id group, so each duplicated digest
+    occurs in a BOUNDED ~20-doc set at every sf — the production corpus
+    shape (duplicated mass spread over many distinct passages); a single
+    passage shared by an unbounded fraction of the corpus is the
+    pathological-anchor regime the documented ``max_df`` knob handles
+    (quadratic pairing per digest, like ngram_jaccard's cap).
     The oracle brute-forces every-offset duplicated-8-gram coverage —
     provably equal to the anchor plan's output (see substring_spans)."""
     docs = _t(spark, sf_dir, "documents")
     idc = F.col("doc_id")
     ids = idc.cast("string")
+    gs = F.floor(idc / 60).cast("long").cast("string")
+
+    def passage(prefix: str, n: int):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n)),
+                lambda j: F.concat(
+                    F.lit(prefix), gs, F.lit("x"), j.cast("string")
+                ),
+            ),
+            " ",
+        )
+
     pre = F.array_join(
         F.transform(
             F.sequence(F.lit(1), (idc % 7 + 1).cast("int")),
@@ -1051,9 +1065,9 @@ def q_substring_dedup(spark, sf_dir):
     text = F.concat_ws(
         " ",
         pre,
-        F.when(idc % 3 == 0, F.lit(_SSD_A)),
-        F.when(idc % 6 == 0, F.lit(_SSD_B)),
-        F.when(idc % 11 == 4, F.lit(_SSD_NM)),
+        F.when(idc % 3 == 0, passage("qa", 12)),
+        F.when(idc % 6 == 0, passage("qb", 12)),
+        F.when(idc % 11 == 4, passage("nm", 7)),
         suf,
     )
     return CU.substring_spans(
@@ -4297,15 +4311,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(floor(top_c * 10000 / n_grams), 0) AS BIGINT)
                      AS top_gram_share_x1e4
             FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id""",
-        "substring_dedup": f"""
+        "substring_dedup": """
             WITH syn AS (
               SELECT doc_id, concat_ws(' ',
                 array_to_string(list_transform(
                   range(1, CAST(doc_id % 7 + 2 AS BIGINT)),
                   j -> 'u' || doc_id::VARCHAR || 'w' || j::VARCHAR), ' '),
-                CASE WHEN doc_id % 3 = 0 THEN '{_SSD_A}' END,
-                CASE WHEN doc_id % 6 = 0 THEN '{_SSD_B}' END,
-                CASE WHEN doc_id % 11 = 4 THEN '{_SSD_NM}' END,
+                CASE WHEN doc_id % 3 = 0 THEN array_to_string(
+                  list_transform(range(1, 13),
+                    j -> 'qa' || (doc_id // 60)::VARCHAR
+                         || 'x' || j::VARCHAR), ' ') END,
+                CASE WHEN doc_id % 6 = 0 THEN array_to_string(
+                  list_transform(range(1, 13),
+                    j -> 'qb' || (doc_id // 60)::VARCHAR
+                         || 'x' || j::VARCHAR), ' ') END,
+                CASE WHEN doc_id % 11 = 4 THEN array_to_string(
+                  list_transform(range(1, 8),
+                    j -> 'nm' || (doc_id // 60)::VARCHAR
+                         || 'x' || j::VARCHAR), ' ') END,
                 'v' || doc_id::VARCHAR || 'w1 v' || doc_id::VARCHAR
                   || 'w2 v' || doc_id::VARCHAR || 'w3') AS text
               FROM documents

@@ -150,6 +150,7 @@ HEADLINE = [
     "c4_clean", "ccnet_buckets", "blocklist_filter", "dedup_exact_norm",
     "sitemap_lastmod", "image_dhash", "image_neardup",
     "recrawl_priority", "bm25_search", "bigram_logprob", "hits_scores",
+    "substring_dedup", "source_entropy", "decontaminate_semantic",
 ]
 
 

@@ -444,27 +444,39 @@ def decontaminate_semantic(corpus_vecs: DataFrame, bench_vecs: DataFrame,
     Returns one row per corpus vector:
     (id_col, best_bench_id, best_cos_m, contaminated).
     """
-    from .similarity import as_double, cosine
+    from .similarity import as_double, dot, norm
 
+    # Norms are hoisted out of the |corpus|×|bench| inner loop: the bench
+    # norm rides the collected struct (computed once per bench vector),
+    # the corpus norm is one column per row. cos = dot/(na*nb) keeps
+    # cosine()'s exact operand order, so every double — and therefore the
+    # milli-unit floor — is bit-identical to the unhoisted form the
+    # DuckDB oracle mirrors.
     bench_row = bench_vecs.agg(
         F.collect_list(
             F.struct(
                 F.col(id_col).cast("long").alias("bid"),
                 as_double(F.col(vec_col)).alias("bvec"),
+                norm(as_double(F.col(vec_col))).alias("bnorm"),
             )
         ).alias("benches")
     )
     vec = as_double(F.col(vec_col))
+    # "_na" is a BOUND column (computed once per corpus row); inside the
+    # lambda it is only an attribute read, not a re-evaluated sqrt/fold.
     scored = F.transform(
         F.col("benches"),
         lambda b: F.struct(
-            F.floor(cosine(vec, b["bvec"]) * 1000).cast("long").alias("cos_m"),
+            F.floor(
+                dot(vec, b["bvec"]) / (F.col("_na") * b["bnorm"]) * 1000
+            ).cast("long").alias("cos_m"),
             (-b["bid"]).alias("neg_bid"),
         ),
     )
     best = F.array_max(scored)
     return (
         corpus_vecs.crossJoin(F.broadcast(bench_row))
+        .withColumn("_na", norm(vec))
         .withColumn("_best", best)
         .select(
             id_col,

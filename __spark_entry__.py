@@ -1977,6 +1977,30 @@ def q_source_entropy(spark, sf_dir):
     return CU.source_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_source_similarity(spark, sf_dir):
+    """Source-vocabulary redundancy matrix (curation.source_similarity):
+    exact pairwise Jaccard between each source's distinct word-3-gram
+    vocabulary — the mix planner's diversity-discount input next to
+    source_entropy. Posting-list plan with the list bounded by |sources|
+    by construction (collect_set dedups map-side), so the one shingle
+    shuffle is the only corpus-sized exchange at any scale."""
+    return CU.source_similarity(_t(spark, sf_dir, "documents"))
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source near-duplication rate (curation.dup_rate_by_source
+    over the simhash64→components chain): the basis-point fraction of
+    each source's docs a keep-one dedup would drop — the health number
+    that discounts a source's raw token count in mix planning. One
+    doc-id join (components is pair-output-bound) + a |sources|-bounded
+    census."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = DD.near_dup_components(
+        DD.simhash_pairs64(docs, max_hamming=3)
+    )
+    return CU.dup_rate_by_source(docs, comp)
+
+
 def q_decontaminate_semantic(spark, sf_dir):
     """Semantic benchmark decontamination (curation.decontaminate_semantic):
     flag corpus vectors whose best cosine against ANY benchmark vector
@@ -2129,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "source_entropy": q_source_entropy,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "source_similarity": q_source_similarity,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4626,4 +4652,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, bench_id AS best_bench_id, cos_m AS best_cos_m,
                cos_m >= 350 AS contaminated
         FROM ranked WHERE rn = 1"""
+    out["source_similarity"] = f"""
+        WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+        sh AS (
+          SELECT source,
+                 unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                       i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sg AS (SELECT DISTINCT source, shingle FROM sh),
+        cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sg GROUP BY 1),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+               CAST(floor(n_inter / (ca.n_sh + cb.n_sh - n_inter) * 1000000)
+                    AS BIGINT) AS jaccard_u
+        FROM inter
+        JOIN cnt ca ON ca.source = source_a
+        JOIN cnt cb ON cb.source = source_b"""
+    out["dup_rate_by_source"] = f"""
+        WITH RECURSIVE {_SH64_PAIRS_CTES},
+        p AS (
+          SELECT id_a, id_b FROM cand
+          WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+        ),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM e
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+        flags AS (
+          SELECT d.source,
+                 CASE WHEN c.component_id IS NOT NULL
+                           AND c.component_id <> d.doc_id
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups,
+               CAST(floor(sum(is_dup) * 10000 / count(*)) AS BIGINT) AS dup_bp
+        FROM flags GROUP BY source"""
     return out

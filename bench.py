@@ -151,6 +151,7 @@ HEADLINE = [
     "sitemap_lastmod", "image_dhash", "image_neardup",
     "recrawl_priority", "bm25_search", "bigram_logprob", "hits_scores",
     "substring_dedup", "source_entropy", "decontaminate_semantic",
+    "source_similarity", "dup_rate_by_source",
 ]
 
 

@@ -1287,3 +1287,111 @@ def source_entropy(docs: DataFrame, lang_col: str = "lang",
         )
         .orderBy(lang_col)
     )
+
+
+def source_similarity(docs: DataFrame, source_col: str = "source",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exact pairwise Jaccard between source shingle VOCABULARIES — the
+    redundancy matrix a mix planner reads next to :func:`source_entropy`:
+    two sources whose word-n-gram vocabularies overlap heavily contribute
+    near-duplicate coverage, so upweighting both buys less diversity than
+    their token counts suggest (the source-level analog of doc-level
+    ngram Jaccard). Engine extension (the reference has no
+    corpus-analysis surface).
+
+    Plan (the posting-list shape of ``ngram_jaccard_pairs``, but with a
+    list bounded by |sources| BY CONSTRUCTION, so no ``max_df`` knob is
+    needed): explode shingles → ONE groupBy(shingle) whose partial
+    ``collect_set(source)`` dedups map-side into a ≤|sources| array →
+    per-source vocabulary sizes recovered from the same posting table
+    (exchange reused) → pair enumeration as a pure array projection
+    (≤|sources|² structs per shingle) → intersection census bounded by
+    |sources|² rows → broadcast joins against the tiny vocab table.
+    No exchange after the shingle shuffle ever carries more than
+    |shingles_distinct| × |sources| rows, at any corpus size.
+
+    Returns (source_a, source_b, n_inter, n_a, n_b, jaccard_u) with
+    source_a < source_b (binary string order in both engines) and
+    jaccard_u = floor(jaccard × 1e6) — floor-quantized, hash-stable.
+    Pairs with zero vocabulary intersection do not appear.
+    """
+    sg = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    posts = sg.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    vocab = (
+        posts.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    inter = (
+        posts.filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    va = vocab.select(F.col("source").alias("source_a"),
+                      F.col("n_sh").alias("n_a"))
+    vb = vocab.select(F.col("source").alias("source_b"),
+                      F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a", "source_b", "n_inter", "n_a", "n_b",
+            F.floor(jac * 1_000_000).cast("long").alias("jaccard_u"),
+        )
+    )
+
+
+def dup_rate_by_source(docs: DataFrame, components: DataFrame,
+                       id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Near-duplication rate per source: given a (doc_id, component_id)
+    table from :func:`~..functions.dedup.near_dup_components`, the
+    fraction of each source's documents that are NON-CANONICAL members
+    of a duplicate cluster (component_id ≠ doc_id) — i.e. the mass a
+    keep-one dedup pass would remove. The per-source health number a
+    mix planner uses to discount a source's raw token count before
+    weighting it.
+
+    Plan: one shuffle join on doc id (components is pair-output-bound,
+    far smaller than the corpus) and one map-side-combinable census
+    groupBy bounded by |sources|. Rate is integer basis points —
+    floor(n_dups × 10⁴ / n_docs) — so the value hash-matches the
+    DuckDB oracle.
+    """
+    comp = components.select(
+        F.col(id_col).alias("__cid"), F.col("component_id")
+    )
+    flags = docs.join(
+        comp, docs[id_col] == comp["__cid"], "left"
+    ).select(
+        F.col(source_col).alias("source"),
+        F.when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col(id_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_dup"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.floor(
+            F.sum("is_dup") * F.lit(10_000) / F.count(F.lit(1))
+        ).cast("long").alias("dup_bp"),
+    )

@@ -529,3 +529,69 @@ def test_decontaminate_semantic_planted_neighbors(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_source_similarity_matches_python_sets(spark):
+    """Handcrafted vocab overlap vs a pure-Python set mirror: identical
+    sources -> jaccard 1e6; disjoint pairs absent; partial overlap and
+    the duplicated-shingle case (vocabulary is DISTINCT grams) exact."""
+    import math
+
+    texts = {
+        "a": ["w1 w2 w3 w4", "w2 w3 w4 w5"],     # grams overlap within source
+        "b": ["w1 w2 w3 w4", "w2 w3 w4 w5"],     # identical vocab to a
+        "c": ["w3 w4 w5 w6"],                    # partial overlap with a/b
+        "d": ["x1 x2 x3 x4 x1 x2 x3"],           # disjoint; repeated gram
+    }
+    rows = [
+        (i, t, s)
+        for i, (s, t) in enumerate(
+            (s, t) for s, ts in sorted(texts.items()) for t in ts
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+
+    def vocab(s):
+        out = set()
+        for t in texts[s]:
+            w = t.split()
+            out |= {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return out
+
+    got = {(r.source_a, r.source_b): r
+           for r in CU.source_similarity(docs).collect()}
+    for sa in texts:
+        for sb in texts:
+            if sa >= sb:
+                continue
+            inter = vocab(sa) & vocab(sb)
+            if not inter:
+                assert (sa, sb) not in got, (sa, sb)
+                continue
+            r = got[(sa, sb)]
+            union = len(vocab(sa)) + len(vocab(sb)) - len(inter)
+            assert r.n_inter == len(inter)
+            assert (r.n_a, r.n_b) == (len(vocab(sa)), len(vocab(sb)))
+            assert r.jaccard_u == math.floor(len(inter) / union * 1_000_000)
+    assert got[("a", "b")].jaccard_u == 1_000_000
+    assert ("a", "d") not in got and ("c", "d") not in got
+
+
+def test_dup_rate_by_source(spark):
+    """Components drive the rate: non-canonical members count, canonical
+    picks and un-paired docs don't; a duplicate-free source reports 0;
+    basis points floor-quantize."""
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s1"),      # 2,3 dups of 1 -> 2/3
+         (4, "s2"), (5, "s2"),                 # 5 dup of 4   -> 1/2
+         (6, "s3")],                           # clean source -> 0
+        "doc_id LONG, source STRING",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id LONG, component_id LONG",
+    )
+    got = {r.source: r for r in CU.dup_rate_by_source(docs, comp).collect()}
+    assert (got["s1"].n_docs, got["s1"].n_dups, got["s1"].dup_bp) == (3, 2, 6666)
+    assert (got["s2"].n_docs, got["s2"].n_dups, got["s2"].dup_bp) == (2, 1, 5000)
+    assert (got["s3"].n_docs, got["s3"].n_dups, got["s3"].dup_bp) == (1, 0, 0)

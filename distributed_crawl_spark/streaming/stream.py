@@ -505,3 +505,115 @@ def run_available_now_to_dir(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_files_per_trigger: int | None = None,
+):
+    """CONTINUOUS NEAR-DUP DEDUP: documents landing as parquet files are
+    deduplicated in flight against everything already accepted — exact
+    (md5 digest) AND near (MinHash LSH band membership, the same
+    signature family as the batch pair dedup) — then published, with
+    the accepted docs' membership keys appended to a persistent
+    :func:`~..functions.dedup.dedup_index`. The streaming twin of the
+    batch ``dedup_index`` → ``incremental_dedup`` chain: a 24/7 crawl
+    never re-reads or re-shuffles the accepted corpus, each micro-batch
+    pays O(|batch| + index partitions probed), at any corpus size.
+
+    Per micro-batch (``foreachBatch``):
+
+    1. within-batch keep-one — exact keep-first (min id per digest),
+       then MinHash LSH pairs → connected components → non-canonical
+       members dropped (min id canonical, the batch semantics);
+    2. survivors probe the accumulated index — two LEFT SEMI joins via
+       :func:`~..functions.dedup.incremental_dedup`; docs whose digest
+       or any band key is already present are dropped;
+    3. the kept docs write to ``out_dir/batch-NNNNN/`` and their index
+       keys (digests + distinct band buckets) to
+       ``index_dir/batch-NNNNN/``.
+
+    Exactly-once across restarts: a replayed batch id overwrites its own
+    two ``batch-NNNNN`` directories (idempotent), and the probe reads
+    every index batch dir EXCEPT its own — so a half-written failed
+    attempt can never make the replay flag the batch as a duplicate of
+    itself. Read the accepted corpus with
+    ``spark.read.parquet(out_dir + "/batch-*")``.
+
+    Returns the started StreamingQuery (``Trigger.AvailableNow``,
+    already terminated — the drained run equals the batch chain applied
+    file-batch by file-batch, pytest parity).
+    """
+    import os
+
+    from ..functions import dedup as DD
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        me = f"batch-{batch_id:05d}"
+        # 1. within-batch exact keep-first (min id per digest)
+        dig = batch_df.select(
+            F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__d")
+        )
+        canon = dig.groupBy("__d").agg(F.min("__id").alias("__keep"))
+        b = (
+            batch_df.join(
+                dig.join(canon, "__d")
+                .filter(F.col("__id") == F.col("__keep"))
+                .select(F.col("__id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+        )
+        # ... then within-batch near-dup keep-one (min-id canonical)
+        pairs = DD.minhash_lsh_pairs(b, id_col=id_col, text_col=text_col, n=n)
+        drop = (
+            DD.near_dup_components(pairs)
+            .filter(F.col("component_id") != F.col(id_col))
+            .select(id_col)
+        )
+        b = b.join(drop, id_col, "left_anti")
+        # 2. probe the accumulated index (every batch dir except our own
+        #    possibly-half-written replay residue)
+        prior = sorted(
+            os.path.join(index_dir, d)
+            for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+            if d.startswith("batch-") and d != me
+        )
+        if prior:
+            flags = DD.incremental_dedup(
+                b, spark.read.parquet(*prior),
+                id_col=id_col, text_col=text_col, n=n,
+            )
+            b = b.join(
+                flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+            )
+        # 3. publish + index the accepted docs (one materialization
+        #    feeds both writes; lineage cut so the index write can't
+        #    recompute the probe against a directory we just extended)
+        b = b.localCheckpoint()
+        b.write.mode("overwrite").parquet(os.path.join(out_dir, me))
+        DD.dedup_index(b, id_col=id_col, text_col=text_col, n=n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, me))
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -464,3 +464,61 @@ def test_publish_wet_stream_roundtrip(spark, tmp_path):
         r.url for r in read_wet(spark, f"{out}/batch-*/*.warc.wet.gz").collect()
     }
     assert got2 == {f"https://h.test/d{i}" for i in range(12)}
+
+
+def test_stream_neardup_cross_batch_and_exactly_once(spark, tmp_path):
+    """Continuous incremental dedup: within-batch keep-one (exact + LSH
+    components, min id), cross-batch drops via the accumulated index,
+    and the drained stream equals the batch dedup_index/incremental_dedup
+    chain applied file by file. A second drain with new files extends the
+    output without re-emitting or re-flagging earlier batches."""
+    from distributed_crawl_spark.functions import dedup as DD
+    from distributed_crawl_spark.streaming.stream import stream_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs_dir = tmp_path / "nd_docs"
+    docs_dir.mkdir()
+    out = str(tmp_path / "nd_out")
+    idx = str(tmp_path / "nd_idx")
+    ck = str(tmp_path / "nd_ck")
+    sch = "doc_id LONG, text STRING"
+
+    # file a: original + in-batch exact copy + unique (coalesce(1): ONE
+    # part file per directory, so maxFilesPerTrigger=1 == one dir per batch)
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely unrelated words about ships")],
+        sch,
+    ).coalesce(1).write.parquet(str(docs_dir / "a"))
+    # file b: cross-batch exact copy of 1, near copy of 1, fresh doc
+    spark.createDataFrame(
+        [(10, base), (11, base.replace("today", "tonight")),
+         (12, "another disjoint document concerning volcanoes")],
+        sch,
+    ).coalesce(1).write.parquet(str(docs_dir / "b"))
+
+    stream_neardup(spark, str(docs_dir / "*"), out, idx, ck,
+                   max_files_per_trigger=1)
+
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/batch-*").collect()}
+    assert 1 in kept and 3 in kept and 12 in kept
+    assert 2 not in kept          # in-batch exact copy
+    assert 10 not in kept         # cross-batch exact copy
+    # the near copy's fate must MATCH the batch operator's verdict
+    b1 = spark.createDataFrame([(1, base), (3, "x")], sch)
+    near11 = (
+        DD.incremental_dedup(
+            spark.createDataFrame([(11, base.replace("today", "tonight"))], sch),
+            DD.dedup_index(b1),
+        ).collect()[0]
+    )
+    assert (11 in kept) == bool(near11.keep)
+    # second drain: one new file, one doc duplicating an accepted doc
+    spark.createDataFrame(
+        [(20, "completely unrelated words about ships"), (21, "brand new")],
+        sch,
+    ).coalesce(1).write.parquet(str(docs_dir / "c"))
+    stream_neardup(spark, str(docs_dir / "*"), out, idx, ck,
+                   max_files_per_trigger=1)
+    kept2 = [r.doc_id for r in spark.read.parquet(f"{out}/batch-*").collect()]
+    assert sorted(kept2) == sorted(kept | {21})   # 20 dropped, no re-emits
+    assert len(kept2) == len(set(kept2))

@@ -2049,6 +2049,49 @@ def q_hits_scores(spark, sf_dir):
     return GR.hits_scores(edges, iters=2)
 
 
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixture planning (curation.mix_temperature,
+    α = 0.3): the mT5/XLM-R sampling standard p_s ∝ t_s^α — small
+    sources upweighted, the smallest source IS the bottleneck and
+    samples at 100%. One float (the per-source floor(t^α·1e6)
+    quantization), then DECIMAL(38,0) integral division end-to-end;
+    census + two 1-row broadcasts, no exchange above |sources| rows."""
+    return CU.mix_temperature(
+        _t(spark, sf_dir, "documents"), alpha_bp=3000
+    )
+
+
+def q_quality_drift(spark, sf_dir):
+    """Snapshot-over-snapshot quality-distribution PSI
+    (curation.quality_drift): old = split buckets < 8000, new =
+    buckets ≥ 2000 with the 6000–7999 band's text DOUBLED — a planted
+    length-distribution shift, so high length bands gain mass and the
+    per-bucket PSI terms are non-trivial. Buckets are length deciles
+    min(len/50, 9). Two |bucket|-row censuses + a 1-row totals
+    broadcast; one-sided buckets report NULL psi with counts visible
+    (no epsilon smoothing)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = CU.split_bucket(F.col("doc_id"))
+    old = docs.filter(b < 8000).select(
+        F.least(
+            F.floor(F.length("text") / 50).cast("long"),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket")
+    )
+    new = docs.filter(b >= 2000).select(
+        F.when(
+            (b >= 6000) & (b < 8000),
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text")
+    ).select(
+        F.least(
+            F.floor(F.length("text") / 50).cast("long"),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket")
+    )
+    return CU.quality_drift(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2155,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "source_similarity": q_source_similarity,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "mix_temperature": q_mix_temperature,
+        "quality_drift": q_quality_drift,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4701,4 +4746,88 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(is_dup) AS BIGINT) AS n_dups,
                CAST(floor(sum(is_dup) * 10000 / count(*)) AS BIGINT) AS dup_bp
         FROM flags GROUP BY source"""
+    out["mix_temperature"] = """
+        WITH c AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                          END) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        q AS (
+          SELECT source, n_tokens,
+                 CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1000000)
+                      AS HUGEINT) AS wq
+          FROM c
+        ),
+        tot AS (SELECT CAST(COALESCE(sum(wq), 0) AS HUGEINT) AS q_tot FROM q),
+        star AS (
+          SELECT n_tokens AS t_star, wq AS q_star
+          FROM q WHERE n_tokens > 0
+          ORDER BY CAST(wq AS DOUBLE) / n_tokens DESC, source LIMIT 1
+        ),
+        r AS (
+          SELECT q.source, q.n_tokens,
+                 CAST(q.wq AS BIGINT) AS weight_q,
+                 CAST((10000::HUGEINT * q.wq)
+                      // greatest(t.q_tot, 1::HUGEINT) AS BIGINT)
+                   AS share_bp,
+                 CASE WHEN q.n_tokens > 0 THEN
+                   CAST((10000::HUGEINT * q.wq * s.t_star)
+                        // (s.q_star * q.n_tokens) AS BIGINT)
+                 ELSE 0 END AS rate_bp
+          FROM q, tot t, star s
+        )
+        SELECT source, n_tokens, weight_q, share_bp, rate_bp,
+               CAST((n_tokens * rate_bp) // 10000 AS BIGINT)
+                 AS planned_tokens
+        FROM r"""
+    out["quality_drift"] = """
+        WITH b AS (
+          SELECT text,
+                 CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT)
+                   % 10000 AS bkt
+          FROM documents
+        ),
+        old AS (
+          SELECT least(length(text) // 50, 9) AS bucket
+          FROM b WHERE bkt < 8000
+        ),
+        new AS (
+          SELECT least(length(CASE WHEN bkt >= 6000 AND bkt < 8000
+                                   THEN text || ' ' || text
+                                   ELSE text END) // 50, 9) AS bucket
+          FROM b WHERE bkt >= 2000
+        ),
+        co AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old
+               FROM old GROUP BY bucket),
+        cn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+               FROM new GROUP BY bucket),
+        t AS (
+          SELECT CAST((SELECT COALESCE(sum(n_old), 0) FROM co) AS BIGINT)
+                   AS t_old,
+                 CAST((SELECT COALESCE(sum(n_new), 0) FROM cn) AS BIGINT)
+                   AS t_new
+        ),
+        j AS (
+          SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+                 CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+                 CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+          FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_old, n_new,
+               CAST((1000000 * n_old) // greatest(t_old, 1) AS BIGINT)
+                 AS p_ppm_old,
+               CAST((1000000 * n_new) // greatest(t_new, 1) AS BIGINT)
+                 AS p_ppm_new,
+               CASE WHEN n_old > 0 AND n_new > 0 THEN
+                 CAST(floor(
+                   (CAST(n_old AS DOUBLE) / t_old
+                    - CAST(n_new AS DOUBLE) / t_new)
+                   * ln((CAST(n_old AS DOUBLE) / t_old)
+                        / (CAST(n_new AS DOUBLE) / t_new))
+                   * 1000000) AS BIGINT)
+               ELSE NULL END AS psi_q
+        FROM j, t"""
     return out

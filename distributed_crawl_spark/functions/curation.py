@@ -1395,3 +1395,158 @@ def dup_rate_by_source(docs: DataFrame, components: DataFrame,
             F.sum("is_dup") * F.lit(10_000) / F.count(F.lit(1))
         ).cast("long").alias("dup_bp"),
     )
+
+
+def mix_temperature(docs: DataFrame, alpha_bp: int = 3000,
+                    text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """Temperature-scaled mixture planning (the multilingual-LM
+    sampling standard: p_s ∝ t_s^α with α ∈ (0, 1], e.g. α = 0.3 for
+    mT5/XLM-R-style upsampling of small sources): given the per-source
+    token census, compute each source's target share and the
+    basis-point sampling rate that realizes the α-mix at the LARGEST
+    size the corpus supports in one pass — the bottleneck source
+    (largest t^α / t, i.e. the SMALLEST source for α < 1) samples at
+    exactly 100% and everything else downsamples proportionally, the
+    same bottleneck contract as :func:`mix_plan` (which is the α = 1 /
+    explicit-integer-weights special case).
+
+    Determinism contract: the only float is the per-source
+    ``floor(pow(t, α)·1e6)`` quantization (α = alpha_bp / 1e4); every
+    division after it is DECIMAL(38,0) integral (Spark ``DIV`` ==
+    DuckDB ``//``), so shares and rates hash-match the oracle. The
+    quantized weight must fit signed-64 to be reported
+    (α·log10(t) ≲ 12.9 — any α ≤ 0.5 is safe past 10²⁵ tokens; for
+    α = 1 use :func:`mix_plan`, which never leaves integers).
+
+    Plan: one map-combinable token census to ≤ |sources| rows, a 1-row
+    total + a 1-row bottleneck argmax (double compare for ORDERING
+    only, tie-broken by source name), both broadcast back. No window,
+    no skew exposure, no exchange above |sources| rows.
+
+    Returns (source, n_tokens, weight_q, share_bp, rate_bp,
+    planned_tokens); zero-token sources get share/rate 0.
+    """
+    alpha = alpha_bp / 10_000.0
+    census = docs.groupBy(source_col).agg(
+        F.sum(word_count(F.col(text_col)).cast("long")).alias("n_tokens")
+    )
+    wq = census.withColumn(
+        "__wq",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            * F.lit(1_000_000.0)
+        ).cast("decimal(38,0)"),
+    )
+    tot = wq.agg(
+        F.coalesce(F.sum("__wq"), F.lit(0))
+        .cast("decimal(38,0)").alias("__q_tot")
+    )
+    star = (
+        wq.filter(F.col("n_tokens") > 0)
+        .orderBy(
+            (F.col("__wq").cast("double") / F.col("n_tokens")).desc(),
+            F.col(source_col),
+        )
+        .limit(1)
+        .select(
+            F.col("n_tokens").alias("__t_star"),
+            F.col("__wq").alias("__q_star"),
+        )
+    )
+    return (
+        wq.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(star))
+        .select(
+            source_col,
+            "n_tokens",
+            F.col("__wq").cast("long").alias("weight_q"),
+            F.expr(
+                "CAST((CAST(10000 AS DECIMAL(38,0)) * __wq)"
+                " DIV greatest(__q_tot, CAST(1 AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("share_bp"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(
+                    "CAST((CAST(10000 AS DECIMAL(38,0)) * __wq * __t_star)"
+                    " DIV (__q_star * n_tokens) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("rate_bp"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.expr("CAST((n_tokens * rate_bp) DIV 10000 AS BIGINT)"),
+        )
+    )
+
+
+def quality_drift(old: DataFrame, new: DataFrame,
+                  bucket_col: str = "bucket") -> DataFrame:
+    """Population-stability index between two corpus snapshots' quality
+    distributions, per bucket: the monitoring number a pipeline reads
+    before retraining on a new crawl ("did this month's crawl shift the
+    quality mix, or can last month's gates be reused?"). Callers supply
+    an INTEGER bucket column (a quality decile, a ccnet bucket id, a
+    length band) on both snapshots; this operator owns the censuses and
+    the PSI arithmetic.
+
+    Per-bucket PSI term: (p_old − p_new) · ln(p_old / p_new), which is
+    ≥ 0 by construction (both factors share a sign), quantized
+    ``floor(term · 1e6)``; the conventional read is Σ psi_q < 0.1·1e6
+    stable, 0.1–0.25 drifting, > 0.25 retrain. One-sided buckets (the
+    classic PSI singularity) are NOT folded into an epsilon — psi_q is
+    NULL there and the raw counts stay visible, so a bucket appearing
+    or vanishing outright is loud instead of smoothed away. Shares are
+    exact integral parts-per-million; the only floats are the two
+    divisions and the ln inside the quantized term (same contract as
+    :func:`source_entropy`).
+
+    Plan: two map-combinable censuses (≤ |buckets| rows each), a 1-row
+    broadcast of both totals, a bucket-keyed full outer join of the two
+    tiny censuses. No exchange above |buckets| rows at any corpus size.
+
+    Returns (bucket, n_old, n_new, p_ppm_old, p_ppm_new, psi_q) for
+    every bucket present in either snapshot.
+    """
+    co = old.groupBy(F.col(bucket_col).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    cn = new.groupBy(F.col(bucket_col).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    totals = (
+        co.agg(F.coalesce(F.sum("n_old"), F.lit(0))
+               .cast("long").alias("__t_old"))
+        .crossJoin(
+            cn.agg(F.coalesce(F.sum("n_new"), F.lit(0))
+                   .cast("long").alias("__t_new"))
+        )
+    )
+    j = (
+        co.join(cn, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long")
+            .alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
+            .alias("n_new"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p_old = F.col("n_old").cast("double") / F.col("__t_old")
+    p_new = F.col("n_new").cast("double") / F.col("__t_new")
+    return j.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.expr("CAST((1000000 * n_old) DIV greatest(__t_old, 1) AS BIGINT)")
+        .alias("p_ppm_old"),
+        F.expr("CAST((1000000 * n_new) DIV greatest(__t_new, 1) AS BIGINT)")
+        .alias("p_ppm_new"),
+        F.when(
+            (F.col("n_old") > 0) & (F.col("n_new") > 0),
+            F.floor((p_old - p_new) * F.log(p_old / p_new)
+                    * F.lit(1_000_000.0)),
+        ).cast("long").alias("psi_q"),
+    ).orderBy("bucket")

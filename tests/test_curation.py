@@ -595,3 +595,84 @@ def test_dup_rate_by_source(spark):
     assert (got["s1"].n_docs, got["s1"].n_dups, got["s1"].dup_bp) == (3, 2, 6666)
     assert (got["s2"].n_docs, got["s2"].n_dups, got["s2"].dup_bp) == (2, 1, 5000)
     assert (got["s3"].n_docs, got["s3"].n_dups, got["s3"].dup_bp) == (1, 0, 0)
+
+
+def test_mix_temperature_matches_python_mirror(spark):
+    import math
+
+    rows = []
+    sizes = {"big": 400, "mid": 100, "tiny": 25}
+    for src, n in sizes.items():
+        rows.append((src, " ".join(["w"] * n)))
+    rows.append(("empty", "   "))          # zero-token source
+    docs = spark.createDataFrame(rows, "source STRING, text STRING")
+    got = {r.source: r for r in CU.mix_temperature(docs, alpha_bp=3000).collect()}
+
+    wq = {s: math.floor(math.pow(n, 0.3) * 1_000_000)
+          for s, n in sizes.items()}
+    wq["empty"] = 0
+    q_tot = sum(wq.values())
+    # bottleneck = max wq/t, i.e. the smallest source for alpha < 1
+    star = max(sizes, key=lambda s: (wq[s] / sizes[s], s))
+    assert star == "tiny"
+    for s, n in sizes.items():
+        r = got[s]
+        assert r.n_tokens == n
+        assert r.weight_q == wq[s]
+        assert r.share_bp == (10_000 * wq[s]) // q_tot
+        assert r.rate_bp == (10_000 * wq[s] * sizes[star]) // (wq[star] * n)
+        assert r.planned_tokens == (n * r.rate_bp) // 10_000
+    assert got["tiny"].rate_bp == 10_000          # bottleneck at 100%
+    assert got["big"].rate_bp < got["mid"].rate_bp < 10_000
+    assert got["empty"].rate_bp == 0 and got["empty"].share_bp == 0
+    # alpha -> 1 recovers proportional-to-size shares (mix_plan's regime)
+    flat = {r.source: r for r in
+            CU.mix_temperature(docs, alpha_bp=10_000).collect()}
+    tot = sum(sizes.values())
+    for s, n in sizes.items():
+        assert abs(flat[s].share_bp - (10_000 * n) // tot) <= 1
+
+
+def test_mix_temperature_small_sources_upweighted(spark):
+    docs = spark.createDataFrame(
+        [("a", " ".join(["w"] * 1000)), ("b", " ".join(["w"] * 10))],
+        "source STRING, text STRING",
+    )
+    got = {r.source: r for r in CU.mix_temperature(docs, alpha_bp=3000).collect()}
+    # temperature compresses the 100:1 size gap to ~100^0.3 ~ 4:1 shares
+    ratio = got["a"].share_bp / got["b"].share_bp
+    assert 3.5 < ratio < 4.5
+    assert got["b"].rate_bp == 10_000
+    # realized tokens follow the alpha-shares: planned_a/planned_b == ratio
+    assert abs(got["a"].planned_tokens / got["b"].planned_tokens - ratio) < 0.1
+
+
+def test_quality_drift_mirror_and_one_sided_buckets(spark):
+    import math
+
+    old = spark.createDataFrame(
+        [(b,) for b in [0] * 50 + [1] * 30 + [2] * 20],
+        "bucket LONG",
+    )
+    new = spark.createDataFrame(
+        [(b,) for b in [0] * 30 + [1] * 30 + [3] * 40],
+        "bucket LONG",
+    )
+    got = {r.bucket: r for r in CU.quality_drift(old, new).collect()}
+    assert set(got) == {0, 1, 2, 3}
+
+    def term(n_o, n_n, t_o=100, t_n=100):
+        p, q = n_o / t_o, n_n / t_n
+        return math.floor((p - q) * math.log(p / q) * 1_000_000)
+
+    assert got[0].psi_q == term(50, 30)
+    assert got[1].psi_q == term(30, 30) == 0
+    # one-sided buckets: counts visible, psi NULL (not epsilon-smoothed)
+    assert got[2].n_old == 20 and got[2].n_new == 0 and got[2].psi_q is None
+    assert got[3].n_old == 0 and got[3].n_new == 40 and got[3].psi_q is None
+    assert got[0].p_ppm_old == 500_000 and got[0].p_ppm_new == 300_000
+    # identical snapshots -> every psi term exactly 0
+    same = CU.quality_drift(old, old).collect()
+    assert all(r.psi_q == 0 for r in same)
+    # psi terms are >= 0 by construction
+    assert all(r.psi_q >= 0 for r in got.values() if r.psi_q is not None)

@@ -78,6 +78,13 @@ EXPECTED_FLAGS = {
     "mix_plan": "NESTED_LOOP = broadcast cross join vs the ONE-row "
     "bottleneck-source aggregate (t*, w*) joined back to the <=|sources| "
     "census — both sides bounded",
+    "mix_temperature": "NESTED_LOOP = broadcast cross joins vs the ONE-row "
+    "weight total and the ONE-row bottleneck aggregate joined back to the "
+    "<=|sources| census — same bounded shape as mix_plan",
+    "quality_drift": "NESTED_LOOP = broadcast cross join vs the ONE-row "
+    "(t_old, t_new) totals aggregate; the SortMergeJoin is the full outer "
+    "join of the two <=|buckets|-row censuses (full outer cannot "
+    "broadcast) — every side bounded by the bucket-domain size",
     "train_corpus_full": "NESTED_LOOP = the embedded unigram-LM gate's "
     "ONE-row corpus-total cross join (same bounded shape as "
     "unigram_logprob); all other gate joins are hash/broadcast",

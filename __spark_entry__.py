@@ -2092,6 +2092,45 @@ def q_quality_drift(spark, sf_dir):
     return CU.quality_drift(old, new)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (curation.chunk_documents,
+    win=32 stride=24): the prep step between a curated corpus and
+    context-window training / retrieval indexing. Chunk c covers tokens
+    [24c, 24c+32); a start survives only while it adds tokens beyond
+    its predecessor (start < n - win + stride), so the tail chunk may
+    be short but is never redundant. Pure projection + explode — zero
+    shuffle at any corpus size."""
+    return CU.chunk_documents(
+        _t(spark, sf_dir, "documents"), win=32, stride=24
+    )
+
+
+def q_blocklist_mine(spark, sf_dir):
+    """Blocklist candidate mining (curation.blocklist_mine over the
+    Gopher gate): per-source fail-rate census — sources whose
+    gate-failure rate ≥ 52% on ≥ 20 docs are promoted to blocklist
+    candidates, which is how UT1/FineWeb-style domain blocklists are
+    grown from corpus evidence. Gate is a zero-shuffle projection; the
+    only exchange is the |sources|-bounded census groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = TS.gopher_features(
+        F.col("text"), stopwords=sorted(["a", *TS.LANG_MARKERS["en"]])
+    )
+    return CU.blocklist_mine(
+        docs, TS.gopher_keep(feats), min_docs=20, min_fail_bp=5200
+    )
+
+
+def q_tokenizer_stats(spark, sf_dir):
+    """Per-language tokenizer census (textstats.tokenizer_stats):
+    UTF-8 bytes per BPE pre-token ×100 (compression) and pre-tokens
+    per whitespace word ×1e4 (fertility — the cross-language
+    tokenizer-fairness metric), over exact integral DIV of per-language
+    sums. One zero-shuffle projection + one |langs|-bounded map-side
+    combinable groupBy."""
+    return TS.tokenizer_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2200,6 +2239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "mix_temperature": q_mix_temperature,
         "quality_drift": q_quality_drift,
+        "chunk_documents": q_chunk_documents,
+        "blocklist_mine": q_blocklist_mine,
+        "tokenizer_stats": q_tokenizer_stats,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4830,4 +4872,78 @@ def oracle_sql() -> dict[str, str]:
                    * 1000000) AS BIGINT)
                ELSE NULL END AS psi_q
         FROM j, t"""
+    out["chunk_documents"] = f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE {_TOKS_SQL} END AS toks
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, len(toks), 24)) AS s
+          FROM tk WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(s // 24 AS BIGINT) AS chunk_idx,
+               CAST(least(32, n - s) AS BIGINT) AS n_tokens,
+               array_to_string(toks[s + 1 : s + 32], ' ') AS chunk
+        FROM st
+        WHERE s = 0 OR s < n - 32 + 24"""
+    out["blocklist_mine"] = f"""
+        WITH tk AS (
+          SELECT doc_id, source, text,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE {_TOKS_SQL} END AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        f AS (
+          SELECT source,
+            (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
+             AND CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                  * 100 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 300 AND 1000
+             AND CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 0 AND 1000
+             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 9000
+             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 3000
+             AND CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 8000 AND 10000
+             AND CAST({gopher_stop_sql} AS BIGINT) BETWEEN 2 AND 8
+             AND CAST(CASE WHEN len(lines) > 0
+                  THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
+                  ELSE 0 END AS BIGINT) BETWEEN 0 AND 3000) AS keep
+          FROM tk
+        ),
+        census AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+          FROM f GROUP BY source
+        )
+        SELECT source, n_docs, n_fail,
+               CAST((10000 * n_fail) // n_docs AS BIGINT) AS fail_bp
+        FROM census
+        WHERE n_docs >= 20 AND (10000 * n_fail) // n_docs >= 5200
+        ORDER BY source"""
+    out["tokenizer_stats"] = f"""
+        WITH b AS (
+          SELECT lang, CAST(strlen(text) AS BIGINT) AS nb,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len({_TOKS_SQL}) END AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS p
+          FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS n_bytes,
+               CAST(sum(w) AS BIGINT) AS ws_tokens,
+               CAST(sum(p) AS BIGINT) AS bpe_tokens,
+               CAST((100 * sum(nb)) // greatest(sum(p), 1) AS BIGINT)
+                 AS bytes_per_bpe_x100,
+               CAST((10000 * sum(p)) // greatest(sum(w), 1) AS BIGINT)
+                 AS fertility_x1e4
+        FROM b GROUP BY lang ORDER BY lang"""
     return out

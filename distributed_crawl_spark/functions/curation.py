@@ -1550,3 +1550,101 @@ def quality_drift(old: DataFrame, new: DataFrame,
                     * F.lit(1_000_000.0)),
         ).cast("long").alias("psi_q"),
     ).orderBy("bucket")
+
+
+def chunk_documents(docs: DataFrame, win: int = 128, stride: int = 96,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the prep step between a
+    curated corpus and context-window training or retrieval indexing
+    (every RAG/embedding pipeline chunks long documents before encoding;
+    :func:`pack_examples` is the non-overlapping training-packer sibling).
+
+    Contract (deterministic, oracle-matchable):
+      - whitespace tokens (Python ``str.split`` semantics, same as every
+        other token count in the engine);
+      - chunk ``c`` covers tokens ``[c·stride, c·stride + win)``;
+      - a start > 0 is emitted only while it adds new tokens beyond its
+        predecessor's end (``start < n - win + stride``), so the tail
+        chunk may be short but is never fully contained in the previous
+        one — and with ``stride >= win`` (no overlap) every start
+        survives;
+      - empty documents emit no rows.
+
+    Output: (id_col, chunk_idx, n_tokens, chunk), one row per chunk.
+
+    Scale: pure projection + explode — ZERO shuffle at any corpus size;
+    output is ~n/stride rows per doc, bounded by the input token count.
+    Engine extension (the reference stops at page storage).
+    """
+    if stride <= 0 or win <= 0:
+        raise ValueError("win and stride must be positive")
+    toks = tokens(F.col(text_col))
+    base = (
+        docs.select(id_col, toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    n = F.col("__n")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    live = F.filter(
+        starts,
+        lambda s: (s == 0) | (s < n - F.lit(win) + F.lit(stride)),
+    )
+    s = F.col("__start")
+    return (
+        base.select(id_col, "__toks", "__n",
+                    F.explode(live).alias("__start"))
+        .select(
+            id_col,
+            F.expr(f"CAST(__start DIV {stride} AS BIGINT)").alias("chunk_idx"),
+            F.least(F.lit(win), n - s).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(F.col("__toks"), s + 1, F.lit(win)), " ")
+            .alias("chunk"),
+        )
+    )
+
+
+def blocklist_mine(docs: DataFrame, keep: Column,
+                   source_col: str = "source",
+                   min_docs: int = 20,
+                   min_fail_bp: int = 5000) -> DataFrame:
+    """Blocklist candidate mining: per-source rollup of any per-document
+    quality gate into a fail-rate census, flagging sources whose gate
+    failure rate is high enough — on enough documents — that the whole
+    source should be blocked upstream instead of filtered per-document.
+
+    This is how static domain blocklists (UT1 and the FineWeb additions
+    consumed by :func:`~.url.blocklist_gate`) are grown from corpus
+    evidence: gate per doc, aggregate per origin, promote persistent
+    offenders. ``keep`` is any boolean Column over the doc row — the
+    Gopher conjunction, a C4 verdict, a classifier threshold — so one
+    miner serves every gate family.
+
+    Output: (source, n_docs, n_fail, fail_bp) for sources with
+    ``n_docs >= min_docs`` and ``fail_bp >= min_fail_bp``, basis points
+    floor-integer (``(10000·n_fail) DIV n_docs``), ordered by source.
+
+    Scale: the gate is a zero-shuffle projection; the only exchange is
+    the |sources|-bounded census groupBy (map-side combinable), so the
+    plan carries census rows regardless of corpus size.
+    """
+    census = (
+        docs.select(F.col(source_col).alias("source"),
+                    keep.cast("int").alias("__k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.lit(1) - F.col("__k")).cast("long").alias("n_fail"),
+        )
+    )
+    return (
+        census.select(
+            "source", "n_docs", "n_fail",
+            F.expr("CAST((10000 * n_fail) DIV n_docs AS BIGINT)")
+            .alias("fail_bp"),
+        )
+        .filter((F.col("n_docs") >= min_docs)
+                & (F.col("fail_bp") >= min_fail_bp))
+        .orderBy("source")
+    )

@@ -881,3 +881,50 @@ def bigram_logprob(docs, vocab_k: int = 50_000, bigram_k: int = 200_000,
         F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
         F.coalesce(F.col("logprob_q"), F.lit(0)).cast("long").alias("logprob_q"),
     )
+
+
+def tokenizer_stats(docs, lang_col: str = "lang",
+                    text_col: str = "text") -> "DataFrame":
+    """Per-language tokenizer census: document/byte/token totals plus
+    the two numbers a tokenizer evaluation reads first —
+
+    - ``bytes_per_bpe_x100``: compression, UTF-8 bytes per BPE-ish
+      pre-token ×100 (lower = the tokenizer packs more text per token);
+    - ``fertility_x1e4``: BPE-ish pre-tokens per whitespace word ×1e4
+      (how many subword pieces an average word fragments into — the
+      standard cross-language tokenizer-fairness metric).
+
+    Token definitions are the engine-wide ones (:data:`BPE_TOKEN_RE`
+    pre-tokens, ``str.split`` words) so the numbers are comparable with
+    every other census; byte counts are ``octet_length`` (UTF-8), which
+    is what a storage/training-budget planner actually pays. Ratios are
+    integral ``DIV`` on the per-language sums — order-free, exact,
+    hash-matchable.
+
+    Scale: one zero-shuffle projection + one |langs|-bounded groupBy
+    (map-side combinable). Engine extension (no reference analog).
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.octet_length(t).cast("long").alias("__b"),
+        whitespace_token_count(t).cast("long").alias("__w"),
+        bpe_token_count(t).cast("long").alias("__p"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__b").cast("long").alias("n_bytes"),
+            F.sum("__w").cast("long").alias("ws_tokens"),
+            F.sum("__p").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "n_bytes", "ws_tokens", "bpe_tokens",
+            F.expr("CAST((100 * n_bytes) DIV greatest(bpe_tokens, 1)"
+                   " AS BIGINT)").alias("bytes_per_bpe_x100"),
+            F.expr("CAST((10000 * bpe_tokens) DIV greatest(ws_tokens, 1)"
+                   " AS BIGINT)").alias("fertility_x1e4"),
+        )
+        .orderBy("lang")
+    )

@@ -676,3 +676,100 @@ def test_quality_drift_mirror_and_one_sided_buckets(spark):
     assert all(r.psi_q == 0 for r in same)
     # psi terms are >= 0 by construction
     assert all(r.psi_q >= 0 for r in got.values() if r.psi_q is not None)
+
+
+def test_chunk_documents_matches_python_mirror(spark):
+    """Chunk grid vs a pure-Python mirror over every regime: shorter
+    than one window, exactly one window, one-token spill, redundant
+    tail start (the start that adds nothing and must be dropped),
+    multi-chunk, and empty/whitespace docs (no rows)."""
+    win, stride = 8, 6
+    texts = {
+        0: "a b c",                                   # n < win: 1 chunk
+        1: " ".join(f"t{i}" for i in range(8)),       # n == win
+        2: " ".join(f"t{i}" for i in range(9)),       # n = win+1: 2 chunks
+        3: " ".join(f"t{i}" for i in range(7)),       # start 6 adds nothing
+        4: " ".join(f"t{i}" for i in range(25)),      # several chunks
+        5: "",                                        # no rows
+        6: "   ",                                     # no rows
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
+        for r in CU.chunk_documents(docs, win=win, stride=stride).collect()
+    }
+
+    expect = {}
+    for did, text in texts.items():
+        tk = text.split()
+        n = len(tk)
+        for s in range(0, n, stride):
+            if s == 0 or s < n - win + stride:
+                expect[(did, s // stride)] = (
+                    min(win, n - s),
+                    " ".join(tk[s : s + win]),
+                )
+    assert got == expect
+    # doc 3: n=7, start 6 covers tokens already inside chunk 0 -> dropped
+    assert (3, 1) not in got and (3, 0) in got
+    # coverage: every token of doc 4 appears in >=1 chunk
+    covered = set()
+    for (did, ci), (nt, _) in got.items():
+        if did == 4:
+            covered.update(range(ci * stride, ci * stride + nt))
+    assert covered == set(range(25))
+
+
+def test_chunk_documents_no_overlap_keeps_every_start(spark):
+    """stride >= win (disjoint chunks): the redundancy rule never
+    fires, so the grid is the plain ceil(n/stride) split."""
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    out = sorted(
+        (r.chunk_idx, r.n_tokens)
+        for r in CU.chunk_documents(docs, win=4, stride=4).collect()
+    )
+    assert out == [(0, 4), (1, 4), (2, 2)]
+
+
+def test_blocklist_mine_thresholds_and_floor_division(spark):
+    """Census + basis-point floor vs hand-computed values, both
+    thresholds exercised: a failing-enough source passes, one doc
+    short of min_docs is dropped, one basis point under min_fail_bp
+    is dropped, and the bp value is the floor (2/3 -> 6666, not 6667)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        # srcA: 3 docs, 2 fail -> 6666 bp (floor), selected at 6666
+        [(i, "srcA", i == 0) for i in range(3)]
+        # srcB: 3 docs, 2 fail -> selected at min_docs=3, dropped at 4
+        + [(i, "srcB", i == 10) for i in range(10, 13)]
+        # srcC: 4 docs, 2 fail -> 5000 bp, below 6666 -> dropped
+        + [(i, "srcC", i < 22) for i in range(20, 24)]
+        # srcD: 4 docs, 4 fail -> 10000 bp, selected
+        + [(i, "srcD", False) for i in range(30, 34)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, ok BOOLEAN"
+    )
+    out = {
+        r.source: r
+        for r in CU.blocklist_mine(
+            docs, F.col("ok"), min_docs=3, min_fail_bp=6666
+        ).collect()
+    }
+    assert set(out) == {"srcA", "srcB", "srcD"}
+    assert (out["srcA"].n_docs, out["srcA"].n_fail, out["srcA"].fail_bp) == (
+        3, 2, 6666,
+    )
+    assert out["srcD"].fail_bp == 10000
+    # min_docs drops srcB even though its rate qualifies
+    out4 = {
+        r.source
+        for r in CU.blocklist_mine(
+            docs, F.col("ok"), min_docs=4, min_fail_bp=5000
+        ).collect()
+    }
+    assert out4 == {"srcC", "srcD"}

@@ -629,3 +629,42 @@ def test_bigram_logprob_matches_python_reference(spark):
         want[d] = ((len(qs), oov, math.floor(sum(qs) / len(qs)))
                    if qs else (0, 0, 0))
     assert got == want
+
+
+def test_tokenizer_stats_matches_python_mirror(spark):
+    """Per-language byte/token census vs a pure-Python mirror,
+    including multi-byte UTF-8 (bytes != chars), digits+symbols
+    splitting into separate BPE pre-tokens, and an empty doc."""
+    import re
+
+    texts = [
+        (0, "en", "the cat sat"),
+        (1, "en", "price: 42 dollars!!"),
+        (2, "fr", "héllo déjà vu…"),          # multibyte
+        (3, "fr", ""),                        # zero tokens, zero bytes
+        (4, "de", "a" * 7),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id LONG, lang STRING, text STRING")
+    got = {r.lang: r for r in TS.tokenizer_stats(docs).collect()}
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    agg = {}
+    for _, lang, text in texts:
+        b, w, p = (
+            len(text.encode("utf-8")),
+            len(text.split()),
+            len(pat.findall(text)),
+        )
+        d = agg.setdefault(lang, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += b
+        d[2] += w
+        d[3] += p
+    assert set(got) == set(agg)
+    for lang, (nd, nb, w, p) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.n_bytes, r.ws_tokens, r.bpe_tokens) == (nd, nb, w, p)
+        assert r.bytes_per_bpe_x100 == (100 * nb) // max(p, 1)
+        assert r.fertility_x1e4 == (10000 * p) // max(w, 1)
+    # the multibyte row really contributes more bytes than chars
+    assert agg["fr"][1] > sum(len(t) for _, l, t in texts if l == "fr")

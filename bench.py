@@ -152,6 +152,7 @@ HEADLINE = [
     "recrawl_priority", "bm25_search", "bigram_logprob", "hits_scores",
     "substring_dedup", "source_entropy", "decontaminate_semantic",
     "source_similarity", "dup_rate_by_source",
+    "chunk_documents", "blocklist_mine", "tokenizer_stats",
 ]
 
 

@@ -2121,6 +2121,21 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_url_template_mine(spark, sf_dir):
+    """URL-template mining (url.url_template_mine): long-hex runs →
+    {h}, digit runs → {n}; (host, template) census + per-host share in
+    basis points (scale-free thresholds); templates owning ≥ 25% of a
+    host's URLs on ≥ 5 URLs are trap/explosion candidates — the
+    corpus-evidence complement of the per-URL is_trap heuristics. One
+    census groupBy (bounded by distinct templates) + |hosts|-row
+    broadcast rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    return U.url_template_mine(
+        docs.select(_doc_url_col().alias("url")),
+        min_urls=5, min_share_bp=2500,
+    )
+
+
 def q_tokenizer_stats(spark, sf_dir):
     """Per-language tokenizer census (textstats.tokenizer_stats):
     UTF-8 bytes per BPE pre-token ×100 (compression) and pre-tokens
@@ -2242,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "blocklist_mine": q_blocklist_mine,
         "tokenizer_stats": q_tokenizer_stats,
+        "url_template_mine": q_url_template_mine,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4946,4 +4962,30 @@ def oracle_sql() -> dict[str, str]:
                CAST((10000 * sum(p)) // greatest(sum(w), 1) AS BIGINT)
                  AS fertility_x1e4
         FROM b GROUP BY lang ORDER BY lang"""
+    out["url_template_mine"] = f"""
+        WITH u AS (SELECT {_URL_SQL} AS url FROM documents),
+        t AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) AS host,
+                 regexp_replace(
+                   regexp_replace(url, '[0-9a-f]{{16,}}', '{{h}}', 'g'),
+                   '[0-9]+', '{{n}}', 'g') AS template,
+                 url
+          FROM u
+        ),
+        census AS (
+          SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+                 min(url) AS example_url
+          FROM t GROUP BY host, template
+        ),
+        totals AS (
+          SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+          FROM census GROUP BY host
+        )
+        SELECT host, template, n_urls, host_urls,
+               CAST((10000 * n_urls) // host_urls AS BIGINT) AS share_bp,
+               example_url
+        FROM census JOIN totals USING (host)
+        WHERE n_urls >= 5 AND (10000 * n_urls) // host_urls >= 2500
+        ORDER BY host, template"""
     return out

@@ -380,3 +380,70 @@ def blocklist_filter(docs, blocklist, url_col: str = "url",
         F.col("matched_domain").isNull()
         & (F.col("kw_hits") < F.lit(kw_threshold)),
     )
+
+
+# ---- URL template mining (corpus-evidence trap detection) -------------------
+
+def url_template(url: Column) -> Column:
+    """Structural URL template: long lowercase-hex runs (≥16 chars —
+    session ids, digestless UUIDs) collapse to ``{h}`` first, then any
+    digit run collapses to ``{n}``.
+
+    Two URLs share a template iff they differ only in identifiers —
+    the equivalence class a crawler budgets, not the individual URL.
+    Pure regexp_replace (JVM codegen, no UDF); the same two replaces
+    run verbatim in DuckDB (with the 'g' flag) for the oracle.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(url, "[0-9a-f]{16,}", "{h}"),
+        "[0-9]+", "{n}",
+    )
+
+
+def url_template_mine(urls, url_col: str = "url",
+                      min_urls: int = 5,
+                      min_share_bp: int = 2500):
+    """Mine URL templates that dominate a host — the corpus-evidence
+    complement of the per-URL :func:`is_trap` heuristics, exactly as
+    :func:`~.curation.blocklist_mine` complements the static domain
+    blocklist: calendar pages, session-id echoes, and faceted-search
+    grids show up as ONE template owning an outsized share of a host's
+    distinct URLs long before any single URL looks trap-shaped.
+
+    Output per (host, template) with ``n_urls >= min_urls`` and
+    ``share_bp >= min_share_bp``: n_urls, host_urls, basis-point share
+    (``(10000·n_urls) DIV host_urls`` — scale-free, so thresholds
+    survive corpus growth), and ``example_url`` = min(url) for triage.
+
+    Scale: one (host, template) census groupBy (map-side combinable,
+    bounded by distinct templates, not URLs) + a |hosts|-row broadcast
+    rollup — no exchange above census size at any frontier scale.
+    """
+    url = F.col(url_col)
+    census = (
+        urls.select(
+            url_host(url).alias("host"),
+            url_template(url).alias("template"),
+            url.alias("__url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("__url").alias("example_url"),
+        )
+    )
+    totals = census.groupBy("host").agg(
+        F.sum("n_urls").cast("long").alias("host_urls")
+    )
+    return (
+        census.join(F.broadcast(totals), "host")
+        .select(
+            "host", "template", "n_urls", "host_urls",
+            F.expr("CAST((10000 * n_urls) DIV host_urls AS BIGINT)")
+            .alias("share_bp"),
+            "example_url",
+        )
+        .filter((F.col("n_urls") >= min_urls)
+                & (F.col("share_bp") >= min_share_bp))
+        .orderBy("host", "template")
+    )

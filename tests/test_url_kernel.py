@@ -260,3 +260,60 @@ def test_blocklist_filter_planted(spark):
     # the depth cap bounds how SPECIFIC a blocklist ENTRY can be, so the
     # 7-label 'toodeep' entry never matches and the depth-2 parent wins.
     assert out[6].matched_domain == "bad.example" and not out[6].keep
+
+
+def test_url_template_mine_finds_dominating_template(spark):
+    """A calendar template owning most of one host is promoted; a host
+    with an even template spread is not; thresholds and the basis-point
+    floor match a Python mirror."""
+    import re
+    from collections import Counter, defaultdict
+
+    urls = (
+        # trap.example.org: 12 calendar URLs (one template) + 3 articles
+        [f"https://trap.example.org/cal/2024-{m}-{d}" for m, d in
+         [(1, 2), (1, 3), (2, 4), (3, 1), (4, 9), (5, 5),
+          (6, 6), (7, 7), (8, 8), (9, 9), (10, 1), (11, 2)]]
+        + [f"https://trap.example.org/post/alpha{i}x" for i in (1, 2, 3)]
+        # even.example.org: 4 templates x 3 urls each -> 2500 bp each,
+        # but n_urls=3 < min_urls=5 keeps them all out
+        + [f"https://even.example.org/{p}/{i}" for p in
+           ("a", "b", "c", "d") for i in (1, 2, 3)]
+        # sess.example.org: 6 urls differing only in a 32-hex session id
+        + [f"https://sess.example.org/view?sid={'%032x' % (i * 7919)}"
+           for i in range(6)]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = {
+        (r.host, r.template): (r.n_urls, r.host_urls, r.share_bp,
+                               r.example_url)
+        for r in U.url_template_mine(df, min_urls=5,
+                                     min_share_bp=2500).collect()
+    }
+
+    def tmpl(u):
+        return re.sub(r"[0-9]+", "{n}", re.sub(r"[0-9a-f]{16,}", "{h}", u))
+
+    census = Counter()
+    example = {}
+    for u in urls:
+        host = u.split("//")[1].split("/")[0].lower()
+        key = (host, tmpl(u))
+        census[key] += 1
+        example[key] = min(example.get(key, u), u)
+    host_tot = defaultdict(int)
+    for (h, _), c in census.items():
+        host_tot[h] += c
+    expect = {
+        k: (c, host_tot[k[0]], (10000 * c) // host_tot[k[0]], example[k])
+        for k, c in census.items()
+        if c >= 5 and (10000 * c) // host_tot[k[0]] >= 2500
+    }
+    assert got == expect
+    # exactly the two trap-shaped templates surface
+    assert set(got) == {
+        ("trap.example.org", "https://trap.example.org/cal/{n}-{n}-{n}"),
+        ("sess.example.org", "https://sess.example.org/view?sid={h}"),
+    }
+    assert got[("trap.example.org",
+                "https://trap.example.org/cal/{n}-{n}-{n}")][2] == 8000

@@ -44,6 +44,7 @@ from distributed_crawl_spark.functions.text import (
 )
 from distributed_crawl_spark.operators.fetch import fetch_and_extract
 from distributed_crawl_spark.operators.multimodal import image_metadata
+from distributed_crawl_spark.operators import politeness as PO
 from distributed_crawl_spark.operators.politeness import select_round
 
 SF0001 = "/root/testdata/sf0.001"
@@ -2121,6 +2122,53 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_politeness_audit(spark, sf_dir):
+    """Politeness-compliance audit (politeness.politeness_audit over
+    the events log as a fetch log, host = 'h'||user_id%16, delay
+    1800 s): per-host inter-fetch gap census vs the delay the crawler
+    was configured to honor — the operational close of the W1 loop
+    (planned politeness vs observed fetch behaviour). ONE host-keyed
+    window exchange (lag with seq tie-break) + a map-side census;
+    sessionize's plan shape and skew story."""
+    log = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 16).cast("string"))
+        .alias("host"),
+        "ts", "event_id",
+    )
+    return PO.politeness_audit(log, delay_s=1800)
+
+
+def q_mirror_detect(spark, sf_dir):
+    """Host-mirror detection (dedup.mirror_detect): host pairs whose
+    distinct-content overlap (shared md5 digests, normalized by the
+    SMALLER host's digest count) marks one as a partial mirror of the
+    other — the above-document dedup pass that removes every future
+    fetch from a mirror at once. Planted fixture: each source's docs
+    live on <source>.example.org; every 5th doc is mirrored onto
+    m-<source>.example.org (a true partial mirror → 10000 bp) and
+    every 7th onto a shared cdn.example.org host (boilerplate decoy —
+    fails the share threshold, and its cross pairs fail min_shared).
+    Posting-list plan: one digest shuffle, per-digest host lists
+    bounded by max_df, pair census output-bound, totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        "text",
+    )
+    m = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("m-"), F.col("source"), F.lit(".example.org"))
+        .alias("host"),
+        "text",
+    )
+    cdn = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit("cdn.example.org").alias("host"), "text"
+    )
+    return DD.mirror_detect(
+        base.unionByName(m).unionByName(cdn),
+        min_shared=2, min_share_bp=2500,
+    )
+
+
 def q_url_template_mine(spark, sf_dir):
     """URL-template mining (url.url_template_mine): long-hex runs →
     {h}, digit runs → {n}; (host, template) census + per-host share in
@@ -2258,6 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_mine": q_blocklist_mine,
         "tokenizer_stats": q_tokenizer_stats,
         "url_template_mine": q_url_template_mine,
+        "politeness_audit": q_politeness_audit,
+        "mirror_detect": q_mirror_detect,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4988,4 +5038,53 @@ def oracle_sql() -> dict[str, str]:
         FROM census JOIN totals USING (host)
         WHERE n_urls >= 5 AND (10000 * n_urls) // host_urls >= 2500
         ORDER BY host, template"""
+    out["politeness_audit"] = """
+        WITH g AS (
+          SELECT 'h' || (user_id % 16)::VARCHAR AS host,
+                 date_diff('second',
+                           lag(ts) OVER (PARTITION BY user_id % 16
+                                         ORDER BY ts, event_id),
+                           ts) AS gap
+          FROM events
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_fetches,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(min(gap) AS BIGINT) AS min_gap_s,
+               CAST(sum(CASE WHEN gap < 1800 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST((10000 * sum(CASE WHEN gap < 1800 THEN 1 ELSE 0 END))
+                    // greatest(count(gap), 1) AS BIGINT) AS violation_bp
+        FROM g GROUP BY host ORDER BY host"""
+    out["mirror_detect"] = """
+        WITH hosted AS (
+          SELECT source || '.example.org' AS host, text FROM documents
+          UNION ALL
+          SELECT 'm-' || source || '.example.org', text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'cdn.example.org', text
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        x AS (SELECT DISTINCT host, md5(text) AS dg FROM hosted),
+        df AS (
+          SELECT dg FROM x GROUP BY dg HAVING count(*) BETWEEN 2 AND 64
+        ),
+        p AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM x a JOIN x b USING (dg) JOIN df USING (dg)
+          WHERE a.host < b.host GROUP BY 1, 2
+        ),
+        t AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY host)
+        SELECT host_a, host_b, n_shared,
+               CAST(least(ta.n, tb.n) AS BIGINT) AS n_smaller,
+               CAST((10000 * n_shared) // least(ta.n, tb.n) AS BIGINT)
+                 AS share_bp
+        FROM p
+        JOIN t ta ON ta.host = p.host_a
+        JOIN t tb ON tb.host = p.host_b
+        WHERE n_shared >= 2
+          AND (10000 * n_shared) // least(ta.n, tb.n) >= 2500
+        ORDER BY host_a, host_b"""
     return out

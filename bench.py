@@ -153,7 +153,7 @@ HEADLINE = [
     "substring_dedup", "source_entropy", "decontaminate_semantic",
     "source_similarity", "dup_rate_by_source",
     "chunk_documents", "blocklist_mine", "tokenizer_stats",
-    "url_template_mine",
+    "url_template_mine", "politeness_audit", "mirror_detect",
 ]
 
 

@@ -1036,3 +1036,71 @@ def canonical_groups(pages_meta, url_col: str = "url",
             F.count(F.lit(1)).alias("n_pages"),
         )
     )
+
+
+def mirror_detect(docs: DataFrame, host_col: str = "host",
+                  text_col: str = "text", min_shared: int = 2,
+                  min_share_bp: int = 2500,
+                  max_df: int = 64) -> DataFrame:
+    """Host-mirror detection: pairs of hosts whose content overlaps so
+    heavily that one is (partly) a mirror of the other — the classic
+    web-crawl dedup pass ABOVE document granularity (Bharat & Broder's
+    mirror study): catching the mirror once removes every future fetch
+    from it, which document-level dedup never does.
+
+    Census: distinct (host, md5(text)) → digests shared by 2..max_df
+    hosts become host-pair votes → per-pair shared-digest count,
+    normalized by the SMALLER host's distinct-digest total (a tiny
+    mirror of a huge host must still score high). Pairs with
+    ``n_shared >= min_shared`` and ``share_bp >= min_share_bp`` are
+    candidates, ordered by host pair.
+
+    Scale: the standard posting-list shape used by every pair operator
+    in this module — one digest shuffle, per-digest host lists bounded
+    by ``max_df`` (template/boilerplate pages shared by more hosts than
+    that are navigation noise, not mirror evidence — same documented
+    knob as ngram_jaccard's), pair census bounded by |host pairs that
+    actually share content|, host totals broadcast back.
+    """
+    x = docs.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.col(text_col)).alias("__dg"),
+    ).distinct()
+    totals = x.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests")
+    )
+    hosts = (
+        x.groupBy("__dg")
+        .agg(F.sort_array(F.collect_set("host")).alias("__hosts"))
+        .filter((F.size("__hosts") >= 2) & (F.size("__hosts") <= max_df))
+    )
+    pairs = (
+        hosts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__hosts, (a, i) -> "
+                    "transform(slice(__hosts, i + 2, size(__hosts)), "
+                    "b -> struct(a as host_a, b as host_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.host_a", "p.host_b")
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("host").alias("host_a"),
+                       F.col("n_digests").alias("n_a"))
+    tb = totals.select(F.col("host").alias("host_b"),
+                       F.col("n_digests").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "host_a").join(F.broadcast(tb), "host_b")
+        .select(
+            "host_a", "host_b", "n_shared",
+            F.least("n_a", "n_b").cast("long").alias("n_smaller"),
+            F.expr("CAST((10000 * n_shared) DIV least(n_a, n_b) AS BIGINT)")
+            .alias("share_bp"),
+        )
+        .filter((F.col("n_shared") >= min_shared)
+                & (F.col("share_bp") >= min_share_bp))
+        .orderBy("host_a", "host_b")
+    )

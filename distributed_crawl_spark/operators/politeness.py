@@ -144,3 +144,50 @@ def error_backoff_budgets(failures: DataFrame, base_budget: int,
             F.lit(floor_budget).cast("long"), shifted.cast("long")
         ).alias("budget"),
     )
+
+
+def politeness_audit(fetch_log: DataFrame, delay_s: int,
+                     host_col: str = "host", ts_col: str = "ts",
+                     seq_col: str = "event_id") -> DataFrame:
+    """Compliance audit of a fetch log against a politeness delay: for
+    each host, the observed inter-fetch gaps vs the delay the crawler
+    was supposed to honor (robots Crawl-delay or the configured
+    default). The operational closing-of-the-loop on W1: the window
+    scheduler PLANS polite rounds; this measures what the fetch layer
+    actually DID — drift here means rounds overlap on a host, retries
+    bypass the ranker, or a mirror host aliases to the same origin.
+
+    Output per host: n_fetches, n_gaps (= n_fetches − 1), min_gap_s,
+    n_violations (gaps strictly under ``delay_s``), violation_bp
+    (``(10000·n_violations) DIV max(n_gaps, 1)``, floor basis points).
+
+    Plan: ONE window exchange keyed by host (lag over (ts, seq) — the
+    seq tie-break makes simultaneous fetches deterministic), then a
+    map-side-combinable per-host census; the same shape and skew story
+    as sessionize (a bot-heavy host is an AQE-skew case, not a plan
+    change). Integer-seconds arithmetic, oracle-portable.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col, seq_col)
+    gap = (
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lag(F.col(ts_col)).over(w))
+    ).cast("long")
+    return (
+        fetch_log.select(F.col(host_col).alias("host"), gap.alias("__gap"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count("__gap").cast("long").alias("n_gaps"),
+            F.min("__gap").cast("long").alias("min_gap_s"),
+            F.coalesce(
+                F.sum((F.col("__gap") < delay_s).cast("int")), F.lit(0)
+            ).cast("long").alias("n_violations"),
+        )
+        .select(
+            "host", "n_fetches", "n_gaps",
+            "min_gap_s", "n_violations",
+            F.expr("CAST((10000 * n_violations) DIV greatest(n_gaps, 1)"
+                   " AS BIGINT)").alias("violation_bp"),
+        )
+        .orderBy("host")
+    )

@@ -444,3 +444,73 @@ def test_exact_duplicates_normalized(spark):
     assert out == {0: 3, 3: 1}
     norm = docs.select(normalize_for_dedup(F.col("text")).alias("n")).collect()
     assert norm[1].n == "the cafe menu lists 00 items"
+
+
+def test_mirror_detect_thresholds_and_boilerplate_cap(spark):
+    """Full mirror scores 10000 bp; a partial mirror is normalized by
+    the SMALLER host (tiny mirror of a big host still scores); a
+    boilerplate digest shared by more than max_df hosts contributes to
+    no pair; a pair sharing one doc fails min_shared."""
+    docs = []
+    # big host: 8 unique docs
+    for i in range(8):
+        docs.append(("big.org", f"doc {i} body"))
+    # full mirror of 3 of big's docs, nothing else -> n_smaller=3, 10000bp
+    for i in range(3):
+        docs.append(("tinymirror.org", f"doc {i} body"))
+    # partial: shares 2 of 8 with big, has 4 own -> n_smaller=6,
+    # share = 2*10000//6 = 3333 >= 2500 -> kept
+    for i in range(2):
+        docs.append(("partial.org", f"doc {i} body"))
+    for i in range(4):
+        docs.append(("partial.org", f"own {i} partial"))
+    # single-shared-doc host -> fails min_shared=2
+    docs.append(("oneoff.org", "doc 0 body"))
+    docs.append(("oneoff.org", "own oneoff"))
+    # boilerplate footer on 5 hosts with max_df=4 -> no pair votes
+    for h in ("big.org", "partial.org", "oneoff.org", "x.org", "y.org"):
+        docs.append((h, "copyright footer"))
+    df = spark.createDataFrame(docs, "host STRING, text STRING")
+    got = {(r.host_a, r.host_b): (r.n_shared, r.n_smaller, r.share_bp)
+           for r in DD.mirror_detect(df, min_shared=2, min_share_bp=2500,
+                                     max_df=4).collect()}
+    assert got == {
+        ("big.org", "tinymirror.org"): (3, 3, 10000),
+        ("big.org", "partial.org"): (2, 7, 2857),
+        # partial shares docs 0,1 with the tiny mirror too: 2 of its
+        # smaller side's 3 digests -> 6666 bp, legitimately a candidate
+        ("partial.org", "tinymirror.org"): (2, 3, 6666),
+    }
+
+
+def test_mirror_detect_matches_bruteforce(spark):
+    """Randomized-ish (seeded arithmetic) host/doc layout vs a Python
+    set mirror of the whole pipeline incl. the max_df exclusion."""
+    rows = [(f"h{(i * 7) % 5}", f"text {(i * 3) % 17}") for i in range(60)]
+    df = spark.createDataFrame(rows, "host STRING, text STRING")
+    got = {(r.host_a, r.host_b): (r.n_shared, r.n_smaller, r.share_bp)
+           for r in DD.mirror_detect(df, min_shared=2, min_share_bp=1000,
+                                     max_df=3).collect()}
+
+    from collections import defaultdict
+    by_host = defaultdict(set)
+    for h, t in rows:
+        by_host[h].add(t)
+    by_dg = defaultdict(set)
+    for h, ts in by_host.items():
+        for t in ts:
+            by_dg[t].add(h)
+    pairs = defaultdict(int)
+    for t, hs in by_dg.items():
+        if 2 <= len(hs) <= 3:
+            hs = sorted(hs)
+            for i in range(len(hs)):
+                for j in range(i + 1, len(hs)):
+                    pairs[(hs[i], hs[j])] += 1
+    expect = {}
+    for (a, b), n in pairs.items():
+        sm = min(len(by_host[a]), len(by_host[b]))
+        bp = (10000 * n) // sm
+        if n >= 2 and bp >= 1000:
+            expect[(a, b)] = (n, sm, bp)
+    assert got == expect and got

@@ -165,3 +165,39 @@ def test_error_backoff_budgets_composition(spark):
         sel[r.host] += 1
     assert sel == {"ok.com": 8, "flaky.com": 2, "dead.com": 1}
     assert selected.count() + deferred.count() == 30
+
+
+def test_politeness_audit_gap_census(spark):
+    """Known gap layout: violations counted strictly-under the delay, a
+    boundary gap (== delay) is compliant, a single-fetch host reports
+    zero gaps / NULL min, simultaneous fetches tie-break on seq (gap 0
+    counted once, deterministically)."""
+    from datetime import datetime, timedelta
+
+    from distributed_crawl_spark.operators.politeness import politeness_audit
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # hostA: gaps 5s (violation), 10s (== delay, compliant), 30s
+        ("a", t0, 0),
+        ("a", t0 + timedelta(seconds=5), 1),
+        ("a", t0 + timedelta(seconds=15), 2),
+        ("a", t0 + timedelta(seconds=45), 3),
+        # hostB: one fetch -> no gaps
+        ("b", t0, 4),
+        # hostC: two fetches at the SAME ts -> gap 0 (violation)
+        ("c", t0, 6),
+        ("c", t0, 5),
+    ]
+    log = spark.createDataFrame(rows, "host STRING, ts TIMESTAMP, event_id LONG")
+    out = {r.host: r for r in politeness_audit(log, delay_s=10).collect()}
+
+    a = out["a"]
+    assert (a.n_fetches, a.n_gaps, a.min_gap_s, a.n_violations) == (4, 3, 5, 1)
+    assert a.violation_bp == 3333          # floor(1/3 * 10000)
+    b = out["b"]
+    assert (b.n_fetches, b.n_gaps, b.min_gap_s, b.n_violations,
+            b.violation_bp) == (1, 0, None, 0, 0)
+    c = out["c"]
+    assert (c.n_fetches, c.n_gaps, c.min_gap_s, c.n_violations,
+            c.violation_bp) == (2, 1, 0, 1, 10000)

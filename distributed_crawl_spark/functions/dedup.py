@@ -1041,7 +1041,7 @@ def canonical_groups(pages_meta, url_col: str = "url",
 def mirror_detect(docs: DataFrame, host_col: str = "host",
                   text_col: str = "text", min_shared: int = 2,
                   min_share_bp: int = 2500,
-                  max_df: int = 64) -> DataFrame:
+                  max_df: int = 64, materializer=None) -> DataFrame:
     """Host-mirror detection: pairs of hosts whose content overlaps so
     heavily that one is (partly) a mirror of the other — the classic
     web-crawl dedup pass ABOVE document granularity (Bharat & Broder's
@@ -1060,12 +1060,20 @@ def mirror_detect(docs: DataFrame, host_col: str = "host",
     by ``max_df`` (template/boilerplate pages shared by more hosts than
     that are navigation noise, not mirror evidence — same documented
     knob as ngram_jaccard's), pair census bounded by |host pairs that
-    actually share content|, host totals broadcast back.
+    actually share content|, host totals broadcast back. The distinct
+    (host, digest) census feeds BOTH the totals rollup and the pair
+    enumeration, so it is persisted by default (same two-consumer
+    rationale as the MinHash signature persist); pass
+    ``materializer=False`` for the pure plan.
     """
-    x = docs.select(
-        F.col(host_col).alias("host"),
-        F.md5(F.col(text_col)).alias("__dg"),
-    ).distinct()
+    mat = _resolve_materializer(materializer, "persist")
+    x = mat(
+        docs.select(
+            F.col(host_col).alias("host"),
+            F.md5(F.col(text_col)).alias("__dg"),
+        ).distinct(),
+        "mirror_digests",
+    )
     totals = x.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_digests")
     )

@@ -55,6 +55,12 @@ QUERIES = [
     "bigram_logprob",       # two censuses -> broadcast scoring
     "hits_scores",          # 2x2 integer power half-steps + 1-row max
     "recrawl_visits",       # lag window + per-page agg, one page shuffle
+    # round-5 session-2 additions (documents-only contract queries):
+    "chunk_documents",      # zero-shuffle projection+explode, output-bound
+    "blocklist_mine",       # Gopher-feature scan + |sources| census
+    "tokenizer_stats",      # one projection + |langs| census
+    "url_template_mine",    # template census + |hosts| broadcast rollup
+    "mirror_detect",        # digest shuffle + max_df posting-list pairs
 ]
 
 

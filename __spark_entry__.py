@@ -2122,6 +2122,26 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_gate_agreement(spark, sf_dir):
+    """Gate confusion census (curation.gate_agreement): verdict-cell
+    counts + basis-point share for {Gopher keep, quality_score_int ≥
+    57000 (the corpus median), lang_id == labeled lang} — the tuning
+    diagnostic that shows which mass two gates disagree on before one
+    replaces or conjoins the other. All gates evaluate in one
+    zero-shuffle projection; census ≤ 2³ cells; share via 1-row
+    broadcast total."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = TS.gopher_features(
+        t, stopwords=sorted(["a", *TS.LANG_MARKERS["en"]])
+    )
+    return CU.gate_agreement(docs, {
+        "keep_gopher": TS.gopher_keep(feats),
+        "keep_quality": TS.quality_score_int(t) >= 57000,
+        "lang_ok": TS.lang_id(t) == F.col("lang"),
+    })
+
+
 def q_politeness_audit(spark, sf_dir):
     """Politeness-compliance audit (politeness.politeness_audit over
     the events log as a fetch log, host = 'h'||user_id%16, delay
@@ -2308,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_mine": q_url_template_mine,
         "politeness_audit": q_politeness_audit,
         "mirror_detect": q_mirror_detect,
+        "gate_agreement": q_gate_agreement,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5087,4 +5108,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE n_shared >= 2
           AND (10000 * n_shared) // least(ta.n, tb.n) >= 2500
         ORDER BY host_a, host_b"""
+    out["gate_agreement"] = f"""
+        WITH tk AS (
+          SELECT doc_id, lang, text,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE {_TOKS_SQL} END AS toks,
+                 string_split(text, chr(10)) AS lines,
+                 {score_cols}
+          FROM documents
+        ),
+        g AS (
+          SELECT
+            (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
+             AND CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                  * 100 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 300 AND 1000
+             AND CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 0 AND 1000
+             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 9000
+             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 3000
+             AND CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 8000 AND 10000
+             AND CAST({gopher_stop_sql} AS BIGINT) BETWEEN 2 AND 8
+             AND CAST(CASE WHEN len(lines) > 0
+                  THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
+                  ELSE 0 END AS BIGINT) BETWEEN 0 AND 3000) AS keep_gopher,
+            (5 * floor(len(regexp_extract_all(text, '[A-Za-z]'))
+                 / greatest(length(text), 1) * 10000)
+             + 3 * least(floor(len(regexp_extract_all(lower(text), '{all_stop}'))
+                 / greatest(len(toks), 1) * 10000) * 5, 10000)
+             + 2 * least(len(toks) * 100, 10000)) >= 57000 AS keep_quality,
+            ({pred_case}) = lang AS lang_ok
+          FROM tk
+        ),
+        census AS (
+          SELECT keep_gopher, keep_quality, lang_ok,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM g GROUP BY 1, 2, 3
+        ),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM census)
+        SELECT keep_gopher, keep_quality, lang_ok, n_docs,
+               CAST((10000 * n_docs) // total AS BIGINT) AS share_bp
+        FROM census, t
+        ORDER BY keep_gopher, keep_quality, lang_ok"""
     return out

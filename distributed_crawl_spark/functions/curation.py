@@ -1648,3 +1648,44 @@ def blocklist_mine(docs: DataFrame, keep: Column,
                 & (F.col("fail_bp") >= min_fail_bp))
         .orderBy("source")
     )
+
+
+def gate_agreement(docs: DataFrame, gates: dict[str, Column]) -> DataFrame:
+    """Confusion census between quality gates: one row per verdict
+    combination with its count and basis-point share — the tuning
+    diagnostic read BEFORE swapping or conjoining gates (does the
+    classifier subsume Gopher? which mass does C4 alone reject? is a
+    new gate redundant?). ``gates`` maps gate name → boolean Column
+    over the doc row, so any mix of Gopher / C4 / classifier /
+    language gates composes.
+
+    Output: one boolean column per gate (in name-sorted order), n_docs,
+    share_bp (``(10000·n_docs) DIV total``), ordered by the gate
+    columns. NULL gate verdicts are kept as NULL (their own cells) —
+    an undecidable doc is signal, not a third boolean.
+
+    Scale: all gates evaluate in ONE zero-shuffle projection over the
+    corpus scan; the census groupBy is bounded by ≤ 3^k cells (k =
+    #gates), and the share divides by a 1-row broadcast total (the
+    same bounded crossJoin pattern as mix_report) — no corpus-sized
+    exchange anywhere.
+    """
+    if not gates:
+        raise ValueError("gates must be non-empty")
+    names = sorted(gates)
+    census = (
+        docs.select(*[gates[n].alias(n) for n in names])
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    total = census.agg(F.sum("n_docs").cast("long").alias("__total"))
+    return (
+        census.join(F.broadcast(total))
+        .select(
+            *names,
+            "n_docs",
+            F.expr("CAST((10000 * n_docs) DIV __total AS BIGINT)")
+            .alias("share_bp"),
+        )
+        .orderBy(*names)
+    )

@@ -773,3 +773,29 @@ def test_blocklist_mine_thresholds_and_floor_division(spark):
         ).collect()
     }
     assert out4 == {"srcC", "srcD"}
+
+
+def test_gate_agreement_census(spark):
+    """Verdict-cell counts and floor shares vs hand-computed values;
+    a NULL gate verdict is its own cell, not coerced to a boolean."""
+    rows = [
+        (0, 10, True), (1, 10, True), (2, 10, False),
+        (3, 3, True), (4, 3, None), (5, 3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, score LONG, flag BOOLEAN")
+    out = CU.gate_agreement(docs, {
+        "big": F.col("score") >= 5,
+        "flag": F.col("flag"),
+    }).collect()
+    cells = {(r.big, r.flag): (r.n_docs, r.share_bp) for r in out}
+    assert cells == {
+        (True, True): (2, 3333),
+        (True, False): (1, 1666),
+        (False, True): (1, 1666),
+        (False, None): (2, 3333),
+    }
+    assert sum(r.n_docs for r in out) == 6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CU.gate_agreement(docs, {})

@@ -522,3 +522,31 @@ def test_stream_neardup_cross_batch_and_exactly_once(spark, tmp_path):
     kept2 = [r.doc_id for r in spark.read.parquet(f"{out}/batch-*").collect()]
     assert sorted(kept2) == sorted(kept | {21})   # 20 dropped, no re-emits
     assert len(kept2) == len(set(kept2))
+
+
+def test_stream_chunk_documents_equals_batch(spark, tmp_path):
+    """chunk_documents is a stateless projection+explode, so the SAME
+    operator body applies to a streaming frame unchanged (no watermark,
+    no state) and matches its batch twin row-for-row — the property
+    that lets a continuous curation pipeline chunk in-flight."""
+    from distributed_crawl_spark.functions import curation as CU
+
+    docs_dir = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = CU.chunk_documents(
+        spark.readStream.schema(schema).parquet(docs_dir), win=32, stride=24
+    )
+    assert stream.isStreaming
+    run_available_now(stream, str(tmp_path / "ck_chunks"), "chunks")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
+        for r in spark.table("chunks").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
+        for r in CU.chunk_documents(
+            spark.read.parquet(docs_dir), win=32, stride=24
+        ).collect()
+    }
+    assert got == want and got

@@ -2122,6 +2122,31 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_drain_plan(spark, sf_dir):
+    """Frontier drain forecast (politeness.drain_plan): queued-URL
+    census per host ÷ per-host politeness budget → ceil-division
+    rounds-to-drain, sorted worst-first — the crawl-horizon bound that
+    executor count cannot move. Hosts = the synthetic URL space;
+    budgets = 1 + md5int48(host) % 4 (hash-portable), with one host
+    deliberately absent to exercise the default_budget fallback. One
+    census + |hosts|-keyed join; zero corpus-sized exchange after the
+    census."""
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        U.url_host(_doc_url_col()).alias("host")
+    )
+    budgets = (
+        frontier.distinct()
+        .filter(F.col("host") != "src0.example.org")
+        .select(
+            "host",
+            (F.lit(1) + F.pmod(DD.md5_int48(F.col("host")), F.lit(4)))
+            .cast("long").alias("budget"),
+        )
+    )
+    return PO.drain_plan(frontier, budgets, default_budget=2)
+
+
 def q_gate_agreement(spark, sf_dir):
     """Gate confusion census (curation.gate_agreement): verdict-cell
     counts + basis-point share for {Gopher keep, quality_score_int ≥
@@ -2329,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "mirror_detect": q_mirror_detect,
         "gate_agreement": q_gate_agreement,
+        "drain_plan": q_drain_plan,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5152,4 +5178,31 @@ def oracle_sql() -> dict[str, str]:
                CAST((10000 * n_docs) // total AS BIGINT) AS share_bp
         FROM census, t
         ORDER BY keep_gopher, keep_quality, lang_ok"""
+    out["drain_plan"] = f"""
+        WITH u AS (SELECT {_URL_SQL} AS url FROM documents),
+        f AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) AS host
+          FROM u
+        ),
+        census AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n_queued
+          FROM f GROUP BY host
+        ),
+        b AS (
+          SELECT host,
+                 CAST(1 + ({_MD5I48.format(x='host')} % 4) AS BIGINT) AS bb
+          FROM (SELECT DISTINCT host FROM f)
+          WHERE host != 'src0.example.org'
+        ),
+        j AS (
+          SELECT census.host AS host, n_queued,
+                 CAST(CASE WHEN bb > 0 THEN bb ELSE 2 END AS BIGINT)
+                   AS budget
+          FROM census LEFT JOIN b USING (host)
+        )
+        SELECT host, n_queued, budget,
+               CAST((n_queued + budget - 1) // budget AS BIGINT)
+                 AS rounds_needed
+        FROM j ORDER BY rounds_needed DESC, host"""
     return out

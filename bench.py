@@ -154,7 +154,7 @@ HEADLINE = [
     "source_similarity", "dup_rate_by_source",
     "chunk_documents", "blocklist_mine", "tokenizer_stats",
     "url_template_mine", "politeness_audit", "mirror_detect",
-    "gate_agreement",
+    "gate_agreement", "drain_plan",
 ]
 
 

@@ -191,3 +191,53 @@ def politeness_audit(fetch_log: DataFrame, delay_s: int,
         )
         .orderBy("host")
     )
+
+
+def drain_plan(frontier: DataFrame, budgets: DataFrame | None = None,
+               default_budget: int = 1,
+               host_col: str = "host") -> DataFrame:
+    """Frontier drain forecast: given the queued URLs and each host's
+    per-round politeness budget, how many polite rounds until each
+    host's queue empties — the capacity-planning number behind the A6
+    rate/ETA metric (ETA says how fast the crawl IS going; this says
+    how long it MUST take, because politeness caps per-host progress
+    no matter how many executors exist: a 10M-URL host at budget 100
+    pins the tail at 100k rounds, and adding machines cannot help).
+
+    ``budgets`` is an optional (host, budget) table — e.g.
+    :func:`error_backoff_budgets` or graph.py's rank-weighted budgets;
+    hosts absent from it (or with a non-positive budget) fall back to
+    ``default_budget``. Output per host: n_queued, budget,
+    rounds_needed (= ceil-division ``(n_queued + budget − 1) DIV
+    budget``), ordered by rounds_needed descending then host — the
+    head IS the list of hosts that bound the crawl horizon.
+
+    Scale: one map-side-combinable host census over the frontier, then
+    a |hosts|-keyed join against the budgets table (census-sized on
+    BOTH sides — deliberately not forced to broadcast; at 10^10-URL
+    frontiers the host table is millions of rows and AQE picks the
+    right strategy), zero corpus-sized exchange after the census.
+    """
+    census = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queued")
+    )
+    if budgets is not None:
+        b = budgets.select(
+            F.col(host_col).alias("host"),
+            F.col("budget").cast("long").alias("__b"),
+        )
+        census = census.join(b, "host", "left")
+    else:
+        census = census.withColumn("__b", F.lit(None).cast("long"))
+    eff = F.when(F.col("__b") > 0, F.col("__b")).otherwise(
+        F.lit(default_budget).cast("long")
+    )
+    return (
+        census.select("host", "n_queued", eff.alias("budget"))
+        .select(
+            "host", "n_queued", "budget",
+            F.expr("CAST((n_queued + budget - 1) DIV budget AS BIGINT)")
+            .alias("rounds_needed"),
+        )
+        .orderBy(F.desc("rounds_needed"), "host")
+    )

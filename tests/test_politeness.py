@@ -201,3 +201,33 @@ def test_politeness_audit_gap_census(spark):
     c = out["c"]
     assert (c.n_fetches, c.n_gaps, c.min_gap_s, c.n_violations,
             c.violation_bp) == (2, 1, 0, 1, 10000)
+
+
+def test_drain_plan_ceil_and_fallback(spark):
+    """Ceil division pinned on exact/inexact multiples, a host missing
+    from budgets and a non-positive budget both fall back to
+    default_budget, and worst-host-first ordering holds."""
+    from distributed_crawl_spark.operators.politeness import drain_plan
+
+    frontier = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 7 + [("c",)] * 3 + [("d",)] * 1,
+        "host STRING",
+    )
+    budgets = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 0)],   # c: non-positive -> fallback
+        "host STRING, budget LONG",       # d: absent -> fallback
+    )
+    rows = drain_plan(frontier, budgets, default_budget=2).collect()
+    got = {r.host: (r.n_queued, r.budget, r.rounds_needed) for r in rows}
+    assert got == {
+        "a": (10, 5, 2),    # exact multiple
+        "b": (7, 3, 3),     # ceil(7/3)
+        "c": (3, 2, 2),     # fallback budget, ceil(3/2)
+        "d": (1, 2, 1),
+    }
+    assert [r.host for r in rows] == ["b", "a", "c", "d"]  # ties: host asc
+
+    # no budgets table at all -> every host at default
+    nb = {r.host: r.rounds_needed
+          for r in drain_plan(frontier, default_budget=4).collect()}
+    assert nb == {"a": 3, "b": 2, "c": 1, "d": 1}

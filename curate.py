@@ -255,6 +255,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep only docs the n-gram heuristic language "
                     "ID classifies as LANG (de/en/es/fr; pure "
                     "projection, zero shuffle)")
+    ap.add_argument("--chunk", metavar="WIN[:STRIDE]",
+                    help="emit overlapping token-window chunks instead "
+                         "of whole documents (one row per chunk: id, "
+                         "chunk_idx, n_tokens, chunk); STRIDE defaults "
+                         "to 3*WIN/4; exclusive with document-shaped "
+                         "output stages (pack/wet/scrub/split/index/"
+                         "diff/mix-report)")
     ap.add_argument("--pack-tokens", type=int, metavar="B",
                     help="assign each output doc a training shard id: "
                     "seeded deterministic shuffle order + ~B whitespace "
@@ -730,6 +737,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = docs.join(pk, docs[id_c] == pk["__pk_id"], "left").drop("__pk_id")
         out_cols += ["writer", "shard_id", "offset_tokens"]
+    if args.chunk:
+        clash = [f for f, v in [("--pack-tokens", args.pack_tokens),
+                                ("--out-format wet", args.out_format == "wet"),
+                                ("--scrub-spans", args.scrub_spans),
+                                ("--split", args.split),
+                                ("--write-index", args.write_index),
+                                ("--diff-against", args.diff_against),
+                                ("--mix-report", args.mix_report)] if v]
+        if clash:
+            ap.error("--chunk emits chunk rows, which the following "
+                     "document-shaped stages cannot consume: "
+                     + ", ".join(clash))
+        parts = args.chunk.split(":")
+        win = int(parts[0])
+        stride = int(parts[1]) if len(parts) > 1 else max(1, win * 3 // 4)
+        # the output rows ARE chunks from here on: one zero-shuffle
+        # projection+explode, so it composes with every gate above
+        docs = CU.chunk_documents(
+            docs, win=win, stride=stride, id_col=id_c, text_col=text_c
+        )
+        out_cols = [id_c, "chunk_idx", "n_tokens", "chunk"]
 
     out_aggs = [F.count(F.lit(1)).alias("n_output")]
     if args.scrub_spans:

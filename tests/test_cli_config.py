@@ -934,3 +934,53 @@ def test_curate_cli_bpe_train(tmp_path):
         f"SELECT count(*) FROM read_parquet('{tmp_path}/merges/*.parquet')"
     ).fetchone()[0]
     assert m == 6
+
+
+def test_curate_cli_chunk_output(tmp_path):
+    """curate.py --chunk: gates compose upstream, the output rows ARE
+    chunks (id, chunk_idx, n_tokens, chunk), chunk token counts respect
+    the window, and document-shaped stages are rejected loudly."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "chunks"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--gopher", "--gopher-stopwords", "a,the,and,is,of,to,in,that,it",
+            "--chunk", "32:24",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT * FROM read_parquet('{out}/*.parquet')"
+    ).fetchdf()
+    assert sorted(df.columns) == ["chunk", "chunk_idx", "doc_id", "n_tokens"]
+    assert len(df) == report["n_output"] > report["stages"]["keep_gopher"] / 2
+    assert df["n_tokens"].max() <= 32
+    assert (df["chunk"].str.split().str.len() == df["n_tokens"]).all()
+    # every surviving doc contributes a chunk 0
+    assert (df[df["chunk_idx"] == 0].shape[0]
+            == df["doc_id"].nunique() == report["stages"]["keep_gopher"])
+
+    # document-shaped stages are rejected
+    r2 = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "bad"),
+            "--chunk", "32", "--pack-tokens", "2048",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r2.returncode != 0 and "--pack-tokens" in r2.stderr

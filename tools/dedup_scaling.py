@@ -61,6 +61,8 @@ QUERIES = [
     "tokenizer_stats",      # one projection + |langs| census
     "url_template_mine",    # template census + |hosts| broadcast rollup
     "mirror_detect",        # digest shuffle + max_df posting-list pairs
+    "gate_agreement",       # 3-gate regex scan + <=8-cell census
+    "drain_plan",           # host census + |hosts|-keyed budget join
 ]
 
 

@@ -57,6 +57,9 @@ def audit(name: str, df) -> dict:
 
 # Flags that are DESIGN, not defects — justification shown in PLANS.md.
 EXPECTED_FLAGS = {
+    "gate_agreement": "NESTED_LOOP = broadcast cross join vs the 1-row "
+    "census total (share_bp denominator; census is <= 3^k cells — same "
+    "bounded pattern as mix_report)",
     "dedup_minhash_lsh": "NESTED_LOOP = broadcast cross join vs the 16-row "
     "minhash-parameter table (k-way signature expansion; build side is constant)",
     "dedup_simhash": "NESTED_LOOP = broadcast cross join vs the 32-row bit-"

@@ -45,6 +45,7 @@ from distributed_crawl_spark.functions.text import (
 from distributed_crawl_spark.operators.fetch import fetch_and_extract
 from distributed_crawl_spark.operators.multimodal import image_metadata
 from distributed_crawl_spark.operators import politeness as PO
+from distributed_crawl_spark.operators import robots as RO
 from distributed_crawl_spark.operators.politeness import select_round
 
 SF0001 = "/root/testdata/sf0.001"
@@ -2122,6 +2123,41 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size census (dedup.cluster_stats over the
+    simhash64→components chain): n_clusters and corpus mass per
+    cluster size, plus the singleton row (docs in no component) so
+    n_docs sums to the corpus — the first table of every dedup report
+    (is one template dominating, or is it a size-2 tail?). Component
+    census is output-bound like the pair set; the singleton row is two
+    1-row aggregates joined lazily."""
+    docs = _t(spark, sf_dir, "documents")
+    comp = DD.near_dup_components(
+        DD.simhash_pairs64(docs, max_hamming=3)
+    )
+    return DD.cluster_stats(comp, docs)
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage audit (robots.sitemap_coverage):
+    per-host declared-vs-fetched census — coverage basis points over
+    the sitemap set and the unlisted-fetched count (stale/ignored
+    sitemaps vs off-map discovery). Fixture: sitemap lists doc_id%2==0
+    URLs, the crawl fetched doc_id%3!=0 URLs, so every host has both
+    misses and unlisted fetches. Two url-keyed distincts + co-
+    partitioned SEMI/ANTI joins + |hosts| censuses."""
+    docs = _t(spark, sf_dir, "documents")
+    url = _doc_url_col()
+    host = U.url_host(url)
+    sitemap = docs.filter(F.col("doc_id") % 2 == 0).select(
+        host.alias("host"), url.alias("url")
+    )
+    fetched = docs.filter(F.col("doc_id") % 3 != 0).select(
+        host.alias("host"), url.alias("url")
+    )
+    return RO.sitemap_coverage(sitemap, fetched)
+
+
 def q_drain_plan(spark, sf_dir):
     """Frontier drain forecast (politeness.drain_plan): queued-URL
     census per host ÷ per-host politeness budget → ceil-division
@@ -2355,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_detect": q_mirror_detect,
         "gate_agreement": q_gate_agreement,
         "drain_plan": q_drain_plan,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "sitemap_coverage": q_sitemap_coverage,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5205,4 +5243,83 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_queued + budget - 1) // budget AS BIGINT)
                  AS rounds_needed
         FROM j ORDER BY rounds_needed DESC, host"""
+    out["dedup_cluster_stats"] = f"""
+        WITH RECURSIVE {_SH64_PAIRS_CTES},
+        p AS (
+          SELECT id_a, id_b FROM cand
+          WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+        ),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM e
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        cc AS (SELECT id AS doc_id, min(r) AS component_id
+               FROM reach GROUP BY 1),
+        sizes AS (
+          SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY 1
+        ),
+        hist AS (
+          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY 1
+        ),
+        single AS (
+          SELECT CAST(1 AS BIGINT) AS cluster_size,
+                 CAST((SELECT count(DISTINCT doc_id) FROM documents)
+                      - (SELECT count(DISTINCT doc_id) FROM cc)
+                      AS BIGINT) AS n_clusters,
+                 CAST((SELECT count(DISTINCT doc_id) FROM documents)
+                      - (SELECT count(DISTINCT doc_id) FROM cc)
+                      AS BIGINT) AS n_docs
+        )
+        SELECT * FROM hist UNION ALL SELECT * FROM single
+        ORDER BY cluster_size"""
+    out["sitemap_coverage"] = f"""
+        WITH u AS (
+          SELECT doc_id, {_URL_SQL} AS url FROM documents
+        ),
+        hu AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) AS host,
+                 url
+          FROM u
+        ),
+        listed AS (SELECT DISTINCT host, url FROM hu WHERE doc_id % 2 = 0),
+        got AS (SELECT DISTINCT host, url FROM hu WHERE doc_id % 3 != 0),
+        nl AS (SELECT host, CAST(count(*) AS BIGINT) AS n_listed
+               FROM listed GROUP BY host),
+        hit AS (
+          SELECT l.host, CAST(count(*) AS BIGINT) AS n_fetched_listed
+          FROM listed l
+          WHERE EXISTS (SELECT 1 FROM got g
+                        WHERE g.host = l.host AND g.url = l.url)
+          GROUP BY l.host
+        ),
+        extra AS (
+          SELECT g.host, CAST(count(*) AS BIGINT) AS n_unlisted_fetched
+          FROM got g
+          WHERE NOT EXISTS (SELECT 1 FROM listed l
+                            WHERE l.host = g.host AND l.url = g.url)
+          GROUP BY g.host
+        )
+        SELECT coalesce(nl.host, extra.host) AS host,
+               CAST(coalesce(n_listed, 0) AS BIGINT) AS n_listed,
+               CAST(coalesce(n_fetched_listed, 0) AS BIGINT)
+                 AS n_fetched_listed,
+               CAST((10000 * coalesce(n_fetched_listed, 0))
+                    // greatest(coalesce(n_listed, 0), 1) AS BIGINT)
+                 AS coverage_bp,
+               CAST(coalesce(n_unlisted_fetched, 0) AS BIGINT)
+                 AS n_unlisted_fetched
+        FROM nl
+        LEFT JOIN hit USING (host)
+        FULL JOIN extra ON nl.host = extra.host
+        ORDER BY host"""
     return out

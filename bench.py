@@ -154,7 +154,8 @@ HEADLINE = [
     "source_similarity", "dup_rate_by_source",
     "chunk_documents", "blocklist_mine", "tokenizer_stats",
     "url_template_mine", "politeness_audit", "mirror_detect",
-    "gate_agreement", "drain_plan",
+    "gate_agreement", "drain_plan", "dedup_cluster_stats",
+    "sitemap_coverage",
 ]
 
 

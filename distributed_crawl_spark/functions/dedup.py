@@ -1112,3 +1112,53 @@ def mirror_detect(docs: DataFrame, host_col: str = "host",
                 & (F.col("share_bp") >= min_share_bp))
         .orderBy("host_a", "host_b")
     )
+
+
+def cluster_stats(components: DataFrame, docs: DataFrame | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup cluster-size census — the first table every dedup
+    report shows: how many clusters of each size, and how much of the
+    corpus sits in them (a handful of giant clusters means one template
+    or mirror dominates; a long size-2 tail means ordinary near-dups).
+
+    Input: (id, component_id) from :func:`near_dup_components`. When
+    ``docs`` is given, documents absent from any component are counted
+    as the ``cluster_size = 1`` row, so the n_docs column sums to the
+    corpus and the keep-one savings is readable directly
+    (``n_docs − n_clusters`` over sizes ≥ 2).
+
+    Output: (cluster_size, n_clusters, n_docs) ordered by size.
+
+    Scale: component census (one combinable groupBy keyed by
+    component_id, output-bound like the pair set that built it) → size
+    histogram (≤ |distinct sizes| rows) → optional 1-row singleton
+    append from two 1-row count aggregates joined lazily (no driver
+    action). Nothing exceeds the components input.
+    """
+    sizes = components.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+    ).select(
+        "cluster_size", "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+        .alias("n_docs"),
+    )
+    if docs is not None:
+        total = docs.select(id_col).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("__t")
+        )
+        covered = components.select(id_col).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        single = (
+            total.join(F.broadcast(covered))
+            .select(
+                F.lit(1).cast("long").alias("cluster_size"),
+                (F.col("__t") - F.col("__c")).alias("n_clusters"),
+                (F.col("__t") - F.col("__c")).alias("n_docs"),
+            )
+        )
+        hist = hist.unionByName(single)
+    return hist.orderBy("cluster_size")

@@ -254,3 +254,61 @@ def sitemap_url_entries(pages: DataFrame, url_col: str = "url",
         .cast("long").alias("priority_milli"),
         F.col("pos").cast("long").alias("pos"),
     ).filter(F.col("url") != "")
+
+
+def sitemap_coverage(sitemap_urls, fetched, host_col: str = "host",
+                     url_col: str = "url"):
+    """Sitemap-vs-crawl coverage audit: for each host, how much of what
+    the site DECLARED (its sitemap URL set) the crawl actually fetched,
+    and how much the crawl fetched that the sitemap never listed — the
+    two numbers a crawl operator reads after a round to find hosts
+    whose sitemaps are stale, blocked, or ignored (and hosts whose
+    link-discovery is wandering off-map).
+
+    Inputs: ``sitemap_urls`` (host, url) from :func:`parse_sitemap`;
+    ``fetched`` (host, url) from the results/status table. Both sides
+    are DISTINCT'd — a sitemap listing a URL twice or a refetch does
+    not change coverage.
+
+    Output per host: n_listed, n_fetched_listed, coverage_bp
+    (``(10000·fetched_listed) DIV listed``), n_unlisted_fetched,
+    ordered by host.
+
+    Scale: two url-keyed distincts + one url-keyed LEFT SEMI and one
+    LEFT ANTI join (co-partitioned on the same key, so AQE reuses the
+    exchange) + |hosts|-bounded censuses. No exchange wider than the
+    URL sets themselves — the same budget any frontier round already
+    pays for its seen-probe.
+    """
+    from pyspark.sql import functions as F
+
+    listed = sitemap_urls.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct()
+    got = fetched.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct()
+    n_listed = listed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_listed")
+    )
+    hit = listed.join(got, ["host", "url"], "left_semi").groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetched_listed")
+    )
+    extra = got.join(listed, ["host", "url"], "left_anti").groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unlisted_fetched")
+    )
+    return (
+        n_listed.join(hit, "host", "left").join(extra, "host", "full")
+        .select(
+            "host",
+            F.coalesce("n_listed", F.lit(0)).cast("long").alias("n_listed"),
+            F.coalesce("n_fetched_listed", F.lit(0)).cast("long")
+            .alias("n_fetched_listed"),
+            F.expr("CAST((10000 * coalesce(n_fetched_listed, 0))"
+                   " DIV greatest(coalesce(n_listed, 0), 1) AS BIGINT)")
+            .alias("coverage_bp"),
+            F.coalesce("n_unlisted_fetched", F.lit(0)).cast("long")
+            .alias("n_unlisted_fetched"),
+        )
+        .orderBy("host")
+    )

@@ -514,3 +514,25 @@ def test_mirror_detect_matches_bruteforce(spark):
         if n >= 2 and bp >= 1000:
             expect[(a, b)] = (n, sm, bp)
     assert got == expect and got
+
+
+def test_cluster_stats_histogram_and_singletons(spark):
+    """Hand-built components: histogram rows per size, corpus mass adds
+    up, singleton row = docs in no component, keep-one savings readable
+    as n_docs - n_clusters over sizes >= 2."""
+    comp = spark.createDataFrame(
+        # cluster 0: {0,1,2}; cluster 10: {10,11}; cluster 20: {20,21}
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id LONG, component_id LONG",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 10, 11, 20, 21, 30, 31, 32]],
+        "doc_id LONG",
+    )
+    rows = {r.cluster_size: (r.n_clusters, r.n_docs)
+            for r in DD.cluster_stats(comp, docs).collect()}
+    assert rows == {1: (3, 3), 2: (2, 4), 3: (1, 3)}
+    assert sum(n for _, n in rows.values()) == 10
+    # without docs: no singleton row
+    rows2 = {r.cluster_size for r in DD.cluster_stats(comp).collect()}
+    assert rows2 == {2, 3}

@@ -488,6 +488,14 @@ def main(argv: list[str] | None = None) -> int:
         else:
             pairs = DD.minhash_lsh_pairs(docs, id_col=id_c, text_col=text_c)
         comp = DD.near_dup_components(pairs)
+        # dedup-report histogram: comp is already localCheckpoint'ed by
+        # the CC iterations, so this is one tiny census job over the
+        # materialized labels (<= |distinct sizes| rows collected)
+        neardup_hist = [
+            {"cluster_size": int(r.cluster_size),
+             "n_clusters": int(r.n_clusters), "n_docs": int(r.n_docs)}
+            for r in DD.cluster_stats(comp).collect()
+        ]
         drop = comp.filter(F.col("component_id") != F.col("doc_id")).select(
             F.col("doc_id").alias("__drop_id")
         )
@@ -842,6 +850,8 @@ def main(argv: list[str] | None = None) -> int:
         },
         "args": {k: v for k, v in vars(args).items() if k != "cores"},
     }
+    if args.neardup:
+        report["neardup_clusters"] = neardup_hist
     if args.scrub_spans:
         report["n_spans_removed"] = int(out_vals["n_spans_removed"])
     if bpe_merges is not None:

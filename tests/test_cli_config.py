@@ -89,6 +89,12 @@ def test_curate_cli_end_to_end(tmp_path):
     assert report["n_input"] == 500
     assert 0 < report["n_output"] <= report["stages"]["keep_gopher"]
     assert report["stages"]["keep_neardup"] <= 500
+    # dedup-report histogram rides the neardup stage: sizes >= 2 only
+    # (no docs-side singleton row), mass consistent with the drop count
+    hist = report["neardup_clusters"]
+    assert hist and all(h["cluster_size"] >= 2 for h in hist)
+    dropped = 500 - report["stages"]["keep_neardup"]
+    assert sum(h["n_docs"] - h["n_clusters"] for h in hist) == dropped
 
     import duckdb
 

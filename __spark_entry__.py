@@ -2123,6 +2123,31 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_robots_audit(spark, sf_dir):
+    """Robots-compliance audit (robots.robots_audit): per-host count of
+    FETCHED urls the host's robots.txt disallowed — the post-hoc twin
+    of the pre-fetch gate; >0 names a gate bypass. Fixture: every host
+    except src0 (absent from robots → allowed-all fallback) publishes
+    'Disallow: /d/3/', so urls with doc_id%5==3 are violations; Spark
+    runs the REAL robotparser (Arrow-batched) while the oracle mirrors
+    the planted rule's prefix semantics — the query cross-validates
+    robotparser on prefix rules. One broadcast join + |hosts| census."""
+    docs = _t(spark, sf_dir, "documents")
+    url = _doc_url_col()
+    fetched = docs.select(
+        U.url_host(url).alias("host"), url.alias("url")
+    )
+    robots = (
+        fetched.select("host").distinct()
+        .filter(F.col("host") != "src0.example.org")
+        .withColumn(
+            "robots_txt",
+            F.lit("User-agent: *\nDisallow: /d/3/"),
+        )
+    )
+    return RO.robots_audit(fetched, robots)
+
+
 def q_dedup_cluster_stats(spark, sf_dir):
     """Near-dup cluster-size census (dedup.cluster_stats over the
     simhash64→components chain): n_clusters and corpus mass per
@@ -2393,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_plan": q_drain_plan,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "sitemap_coverage": q_sitemap_coverage,
+        "robots_audit": q_robots_audit,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5322,4 +5348,28 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN hit USING (host)
         FULL JOIN extra ON nl.host = extra.host
         ORDER BY host"""
+    out["robots_audit"] = f"""
+        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+        f AS (
+          SELECT lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) AS host,
+                 url, doc_id
+          FROM u
+        ),
+        flagged AS (
+          SELECT host, url,
+                 -- the planted rule: hosts other than src0 disallow
+                 -- /d/3/ prefixes; src0 has no robots -> allowed
+                 (host != 'src0.example.org'
+                  AND doc_id % 5 = 3) AS denied
+          FROM f
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_fetched,
+               CAST(sum(CASE WHEN denied THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_denied,
+               CAST((10000 * sum(CASE WHEN denied THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS denied_bp,
+               min(CASE WHEN denied THEN url END) AS example_denied
+        FROM flagged GROUP BY host ORDER BY host"""
     return out

@@ -312,3 +312,55 @@ def sitemap_coverage(sitemap_urls, fetched, host_col: str = "host",
         )
         .orderBy("host")
     )
+
+
+def robots_audit(fetched: DataFrame, robots: DataFrame,
+                 host_col: str = "host", url_col: str = "url",
+                 broadcast_robots: bool = True) -> DataFrame:
+    """Robots-compliance audit of a FETCH LOG: which already-fetched
+    URLs the host's robots.txt disallowed. Zero is the only acceptable
+    number — anything above it means a gate bypass (a retry path that
+    skipped the gate, a stale robots cache, an alias host) and names
+    exactly where. The post-hoc twin of :func:`apply_robots_gate`
+    (which filters BEFORE fetching); same parsing path, so the audit
+    disagrees with the gate only when the log really did.
+
+    Output per host: n_fetched, n_denied, denied_bp (floor basis
+    points), example_denied (min denied URL, NULL when clean), ordered
+    by host.
+
+    Scale: one broadcast join vs the (host, robots_txt) table (same
+    broadcast the gate already pays; pass ``broadcast_robots=False``
+    for a giant robots corpus), the Arrow-batched robotparser UDF, and
+    one |hosts|-bounded census. Reference analog: the reference checks
+    robots per-request at fetch time (crawler.py); an audit over the
+    stored log has no analog there — engine extension.
+    """
+    r = robots.select(F.col(host_col).alias("host"), "robots_txt")
+    if broadcast_robots:
+        r = F.broadcast(r)
+    flagged = (
+        fetched.select(F.col(host_col).alias("host"),
+                       F.col(url_col).alias("url"))
+        .join(r, "host", "left")
+        .withColumn(
+            "__ok", robots_allowed_udf(F.col("url"), F.col("robots_txt"))
+        )
+    )
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetched"),
+            F.coalesce(F.sum((~F.col("__ok")).cast("int")), F.lit(0))
+            .cast("long").alias("n_denied"),
+            F.min(F.when(~F.col("__ok"), F.col("url")))
+            .alias("example_denied"),
+        )
+        .select(
+            "host", "n_fetched", "n_denied",
+            F.expr("CAST((10000 * n_denied) DIV n_fetched AS BIGINT)")
+            .alias("denied_bp"),
+            "example_denied",
+        )
+        .orderBy("host")
+    )

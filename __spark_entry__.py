@@ -2550,6 +2550,26 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN regexp_matches(lower(text), '\\b%s\\b') THEN 1 ELSE 0 END" % w
         for w in sorted(["a", *TS.LANG_MARKERS["en"]])
     )
+    # One boolean expression = the full Gopher conjunction over a row of
+    # (text, toks, lines) — shared by blocklist_mine / gate_agreement so
+    # the rule set is written once (train_corpus_gopher keeps its named
+    # per-feature CTE because it EMITS the feature columns).
+    gopher_keep_sql = f"""
+            (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
+             AND CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                  * 100 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 300 AND 1000
+             AND CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 0 AND 1000
+             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 9000
+             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 3000
+             AND CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 8000 AND 10000
+             AND CAST({gopher_stop_sql} AS BIGINT) BETWEEN 2 AND 8
+             AND CAST(CASE WHEN len(lines) > 0
+                  THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
+                  ELSE 0 END AS BIGINT) BETWEEN 0 AND 3000)"""
 
     out = {
         "url_slug": _slug_sql(_URL_SQL),
@@ -5076,22 +5096,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ),
         f AS (
-          SELECT source,
-            (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
-             AND CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-                  * 100 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 300 AND 1000
-             AND CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 0 AND 1000
-             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
-                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 9000
-             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
-                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 3000
-             AND CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 8000 AND 10000
-             AND CAST({gopher_stop_sql} AS BIGINT) BETWEEN 2 AND 8
-             AND CAST(CASE WHEN len(lines) > 0
-                  THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
-                  ELSE 0 END AS BIGINT) BETWEEN 0 AND 3000) AS keep
+          SELECT source, {gopher_keep_sql} AS keep
           FROM tk
         ),
         census AS (
@@ -5209,21 +5214,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         g AS (
           SELECT
-            (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
-             AND CAST(floor(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-                  * 100 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 300 AND 1000
-             AND CAST(floor(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 0 AND 1000
-             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
-                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 9000
-             AND CAST(floor(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
-                  * 10000 / greatest(len(lines), 1)) AS BIGINT) BETWEEN 0 AND 3000
-             AND CAST(floor(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-                  * 10000 / greatest(len(toks), 1)) AS BIGINT) BETWEEN 8000 AND 10000
-             AND CAST({gopher_stop_sql} AS BIGINT) BETWEEN 2 AND 8
-             AND CAST(CASE WHEN len(lines) > 0
-                  THEN floor((len(lines) - len(list_distinct(lines))) * 10000 / len(lines))
-                  ELSE 0 END AS BIGINT) BETWEEN 0 AND 3000) AS keep_gopher,
+            {gopher_keep_sql} AS keep_gopher,
             (5 * floor(len(regexp_extract_all(text, '[A-Za-z]'))
                  / greatest(length(text), 1) * 10000)
              + 3 * least(floor(len(regexp_extract_all(lower(text), '{all_stop}'))

@@ -57,6 +57,9 @@ def audit(name: str, df) -> dict:
 
 # Flags that are DESIGN, not defects — justification shown in PLANS.md.
 EXPECTED_FLAGS = {
+    "dedup_cluster_stats": "NESTED_LOOP = the lazily-derived singleton row: "
+    "two 1-row count aggregates (corpus total x covered docs) cross-joined — "
+    "bounded by construction, replaces two driver-side .count() actions",
     "gate_agreement": "NESTED_LOOP = broadcast cross join vs the 1-row "
     "census total (share_bp denominator; census is <= 3^k cells — same "
     "bounded pattern as mix_report)",

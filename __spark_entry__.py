@@ -2123,6 +2123,23 @@ def q_blocklist_mine(spark, sf_dir):
     )
 
 
+def q_importance_sample(spark, sf_dir):
+    """Quality-weighted downsampling (curation.importance_sample over
+    quality_score_int, 10 rank-deciles, linear ramp alpha=1.0, 500 bp
+    floor): bucket b keeps 500 + floor(9500·(b+1)/10) basis points via
+    the same seeded hash threshold as corpus_sample — the DCLM-style
+    quality axis next to mix_temperature's source axis. The linear
+    ramp keeps the oracle bit-exact (pow(x,1)=x is exact IEEE; the
+    remaining ops are correctly-rounded mul/div, identical across
+    engines). Distinct-score census + broadcast bucket map +
+    zero-shuffle hash filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.importance_sample(
+        docs, TS.quality_score_int(F.col("text")),
+        n_buckets=10, alpha_bp=10000, floor_bp=500,
+    )
+
+
 def q_robots_audit(spark, sf_dir):
     """Robots-compliance audit (robots.robots_audit): per-host count of
     FETCHED urls the host's robots.txt disallowed — the post-hoc twin
@@ -2419,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "sitemap_coverage": q_sitemap_coverage,
         "robots_audit": q_robots_audit,
+        "importance_sample": q_importance_sample,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5363,4 +5381,37 @@ def oracle_sql() -> dict[str, str]:
                     // count(*) AS BIGINT) AS denied_bp,
                min(CASE WHEN denied THEN url END) AS example_denied
         FROM flagged GROUP BY host ORDER BY host"""
+    out["importance_sample"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(5 * floor(len(regexp_extract_all(text, '[A-Za-z]'))
+                        / greatest(length(text), 1) * 10000)
+                    + 3 * least(floor(len(regexp_extract_all(lower(text), '{all_stop}'))
+                        / greatest(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                                   END, 1) * 10000) * 5, 10000)
+                    + 2 * least(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                                END * 100, 10000) AS BIGINT) AS s
+          FROM documents
+        ),
+        dom AS (SELECT DISTINCT s FROM b),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dom),
+        bk AS (
+          SELECT s, least(CAST(floor(
+                   (row_number() OVER (ORDER BY s) - 1) * 10
+                   / (SELECT nd FROM n)) AS BIGINT), 9) AS score_bucket
+          FROM dom
+        ),
+        j AS (
+          SELECT doc_id, score_bucket,
+                 CAST('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 12)
+                      AS BIGINT) % 10000 AS sample_key,
+                 CAST(500 + floor(9500 * ((score_bucket + 1) / 10))
+                      AS BIGINT) AS rate
+          FROM b JOIN bk USING (s)
+        )
+        SELECT doc_id, CAST(score_bucket AS BIGINT) AS score_bucket,
+               CAST(sample_key AS BIGINT) AS sample_key
+        FROM j WHERE sample_key < rate""".replace("{all_stop}", all_stop)
     return out

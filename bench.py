@@ -155,7 +155,7 @@ HEADLINE = [
     "chunk_documents", "blocklist_mine", "tokenizer_stats",
     "url_template_mine", "politeness_audit", "mirror_detect",
     "gate_agreement", "drain_plan", "dedup_cluster_stats",
-    "sitemap_coverage", "robots_audit",
+    "sitemap_coverage", "robots_audit", "importance_sample",
 ]
 
 

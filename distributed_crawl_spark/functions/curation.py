@@ -1689,3 +1689,62 @@ def gate_agreement(docs: DataFrame, gates: dict[str, Column]) -> DataFrame:
         )
         .orderBy(*names)
     )
+
+
+def importance_sample(docs: DataFrame, score: Column,
+                      n_buckets: int = 10,
+                      alpha_bp: int = 10000,
+                      floor_bp: int = 0,
+                      seed: str = "s42",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Quality-weighted downsampling (the DCLM/DataComp recipe on the
+    QUALITY axis, as :func:`mix_temperature` is on the source axis):
+    bucket every document by score rank, then keep docs with a
+    deterministic hash-threshold rate that RISES with the bucket —
+    the top bucket keeps everything, bucket b of B keeps
+    ``floor_bp + (10000 − floor_bp) · ((b+1)/B)^(alpha_bp/10000)``
+    basis points. ``alpha_bp=10000`` is the linear ramp; higher is
+    more top-heavy; ``floor_bp`` guarantees every bucket keeps a
+    trickle (diversity insurance against hard quality cutoffs).
+
+    Buckets are exact score-rank deciles over the DISTINCT score
+    domain (same bounded-domain trick as the quantile gate — integer
+    scores only, so ties land in one bucket deterministically).
+    Membership depends only on (seed, id), so samples are reproducible
+    and rate-monotone exactly like :func:`corpus_sample`.
+
+    Returns (id_col, score_bucket, sample_key) for kept docs.
+
+    Scale: one DISTINCT-score census (bounded by the integer score
+    domain) + a broadcast bucket map + the zero-shuffle hash filter.
+    The corpus itself is never shuffled.
+    """
+    scored = docs.select(id_col, score.cast("long").alias("__s"))
+    dom = scored.select("__s").distinct()
+    w = Window.orderBy("__s")
+    buckets = dom.select(
+        "__s",
+        F.least(
+            F.floor((F.row_number().over(w) - 1) * n_buckets
+                    / F.count(F.lit(1)).over(Window.partitionBy())),
+            F.lit(n_buckets - 1),
+        ).cast("long").alias("score_bucket"),
+    )
+    rate = F.lit(floor_bp) + F.floor(
+        (F.lit(10000 - floor_bp))
+        * F.pow((F.col("score_bucket") + 1) / F.lit(n_buckets),
+                F.lit(alpha_bp) / F.lit(10000.0))
+    ).cast("long")
+    key = md5_int48(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    ) % F.lit(SPLIT_BUCKETS)
+    return (
+        scored.join(F.broadcast(buckets), "__s")
+        .select(
+            id_col, "score_bucket",
+            key.alias("sample_key"),
+            rate.alias("__rate"),
+        )
+        .filter(F.col("sample_key") < F.col("__rate"))
+        .drop("__rate")
+    )

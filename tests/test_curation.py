@@ -799,3 +799,62 @@ def test_gate_agreement_census(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         CU.gate_agreement(docs, {})
+
+
+def test_importance_sample_linear_ramp_matches_mirror(spark):
+    """Linear ramp (alpha=1.0): per-bucket keep rates and membership
+    match a pure-Python mirror of the whole pipeline (rank deciles
+    over the distinct score domain, md5 hash threshold)."""
+    import hashlib
+    import math
+
+    rows = [(i, (i * 37) % 23) for i in range(200)]   # 23 distinct scores
+    docs = spark.createDataFrame(rows, "doc_id LONG, score LONG")
+    got = {(r.doc_id): (r.score_bucket, r.sample_key)
+           for r in CU.importance_sample(
+               docs, F.col("score"), n_buckets=10,
+               alpha_bp=10000, floor_bp=500).collect()}
+
+    dom = sorted({s for _, s in rows})
+    bucket = {s: min((r * 10) // len(dom), 9) for r, s in enumerate(dom)}
+
+    def key(i):
+        return int(hashlib.md5(f"s42:{i}".encode()).hexdigest()[:12], 16) % 10000
+
+    expect = {}
+    for i, s in rows:
+        b = bucket[s]
+        rate = 500 + math.floor(9500 * ((b + 1) / 10))
+        if key(i) < rate:
+            expect[i] = (b, key(i))
+    assert got == expect and got
+    # top bucket keeps everything passing rate 10000 == all of it
+    top = [i for i, s in rows if bucket[s] == 9]
+    assert all(i in got for i in top)
+
+
+def test_importance_sample_alpha_shapes_rates(spark):
+    """alpha=2.0 is strictly more top-heavy than linear; the floor
+    keeps every bucket non-empty-in-expectation (rate >= floor_bp);
+    rates are non-decreasing in the bucket."""
+    rows = [(i, i % 10) for i in range(2000)]         # dense buckets
+    docs = spark.createDataFrame(rows, "doc_id LONG, score LONG")
+
+    def kept_by_bucket(alpha_bp):
+        out = CU.importance_sample(
+            docs, F.col("score"), n_buckets=10,
+            alpha_bp=alpha_bp, floor_bp=500).collect()
+        by = {}
+        for r in out:
+            by[r.score_bucket] = by.get(r.score_bucket, 0) + 1
+        return by
+
+    lin = kept_by_bucket(10000)
+    sq = kept_by_bucket(20000)
+    assert set(lin) == set(range(10))          # floor keeps every bucket
+    # same seed => squared-ramp sample is a SUBSET per bucket, and
+    # strictly smaller in the low buckets
+    assert all(sq.get(b, 0) <= lin[b] for b in range(10))
+    assert sq.get(0, 0) < lin[0] and sq.get(3, 0) < lin[3]
+    # top bucket: both ramps keep the full bucket (rate 10000)
+    assert sq[9] == lin[9] == 200

@@ -63,6 +63,9 @@ QUERIES = [
     "mirror_detect",        # digest shuffle + max_df posting-list pairs
     "gate_agreement",       # 3-gate regex scan + <=8-cell census
     "drain_plan",           # host census + |hosts|-keyed budget join
+    "sitemap_coverage",     # url-keyed distincts + semi/anti + census
+    "robots_audit",         # broadcast robots join + robotparser UDF
+    "importance_sample",    # distinct-score census + hash filter
 ]
 
 

@@ -2317,6 +2317,25 @@ def q_tokenizer_stats(spark, sf_dir):
     return TS.tokenizer_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (similarity.bitext_mine — the
+    CCMatrix/WikiMatrix parallel-pair miner): mutual nearest pairs
+    between two embedding shards under the Artetxe & Schwenk ratio
+    margin (cosine normalized by the mean of both rows' top-k
+    neighbourhood cosines), everything floor-quantized to shifted
+    milli-cosines / basis-point margins so the argmaxes are
+    integer-exact.  Shards split by vec_id parity so both are non-empty
+    at every sf.  Four zero-corpus-exchange broadcast passes + one
+    |tgt|-bounded mutual join; the scale path runs the same scorer on a
+    persisted-IVF shortlist instead of the broadcast array."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4, threshold_bp=10500,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2437,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "robots_audit": q_robots_audit,
         "importance_sample": q_importance_sample,
+        "bitext_mine": q_bitext_mine,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5414,4 +5434,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(score_bucket AS BIGINT) AS score_bucket,
                CAST(sample_key AS BIGINT) AS sample_key
         FROM j WHERE sample_key < rate""".replace("{all_stop}", all_stop)
+    out["bitext_mine"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ),
+        src AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+        tgt AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+        p AS (
+          SELECT s.vec_id AS sid, t.vec_id AS tid,
+                 CAST(floor(list_cosine_similarity(s.e, t.e) * 1000)
+                      AS BIGINT) + 1000 AS cs
+          FROM src s CROSS JOIN tgt t
+        ),
+        kx AS (
+          SELECT sid, CAST(sum(cs) AS BIGINT) AS sumk FROM (
+            SELECT sid, cs,
+                   row_number() OVER (PARTITION BY sid ORDER BY cs DESC) AS rn
+            FROM p) WHERE rn <= 4 GROUP BY sid
+        ),
+        ky AS (
+          SELECT tid, CAST(sum(cs) AS BIGINT) AS sumk FROM (
+            SELECT tid, cs,
+                   row_number() OVER (PARTITION BY tid ORDER BY cs DESC) AS rn
+            FROM p) WHERE rn <= 4 GROUP BY tid
+        ),
+        m AS (
+          SELECT p.sid, p.tid, p.cs,
+                 (p.cs * 80000) // (kx.sumk + ky.sumk) AS margin_bp
+          FROM p JOIN kx USING (sid) JOIN ky USING (tid)
+        ),
+        fwd AS (
+          SELECT sid, tid, cs, margin_bp,
+                 row_number() OVER (
+                   PARTITION BY sid ORDER BY margin_bp DESC, cs DESC, tid
+                 ) AS rn
+          FROM m
+        ),
+        bwd AS (
+          SELECT sid, tid,
+                 row_number() OVER (
+                   PARTITION BY tid ORDER BY margin_bp DESC, cs DESC, sid
+                 ) AS rn
+          FROM m
+        )
+        SELECT f.sid AS src_id, f.tid AS tgt_id, f.cs - 1000 AS cos_m,
+               CAST(f.margin_bp AS BIGINT) AS margin_bp,
+               coalesce(b.sid = f.sid, FALSE) AS mutual,
+               (coalesce(b.sid = f.sid, FALSE)
+                AND f.margin_bp >= 10500) AS mined
+        FROM fwd f LEFT JOIN bwd b ON b.tid = f.tid AND b.rn = 1
+        WHERE f.rn = 1"""
     return out

@@ -801,3 +801,176 @@ def pq_topk_rerank(vectors: DataFrame, queries: DataFrame, k: int = 5,
             F.floor(F.col("cos") * scale).cast("long").alias("cos_m"),
         )
     )
+
+
+# ---- bitext mining (margin-based parallel-text pairs) ----------------------
+
+def _side_sumk(side: DataFrame, other: DataFrame, k: int,
+               id_name: str, vec_name: str, norm_name: str,
+               sumk_name: str, id_col: str, vec_col: str) -> DataFrame:
+    """One side of the margin denominator: for every row of ``side``,
+    the sum of its top-``k`` SHIFTED milli-cosines (floor(cos*1000)+1000,
+    so every term is a non-negative long) against ALL rows of ``other``.
+
+    ``other`` collapses to ONE collect_list row (id, f64 vec, norm) and
+    broadcasts — the corpus side never shuffles; per-row work is
+    |other| codegen'd dot products (the decontaminate_semantic pattern).
+    Norms are hoisted: the broadcast rows carry theirs, the side row
+    computes its own once.
+    """
+    other_row = other.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("long").alias("oid"),
+                as_double(F.col(vec_col)).alias("ovec"),
+                norm(as_double(F.col(vec_col))).alias("onorm"),
+            )
+        ).alias("_others")
+    )
+    vec = as_double(F.col(vec_col))
+    cs = F.transform(
+        F.col("_others"),
+        lambda o: (
+            F.floor(dot(vec, o["ovec"]) / (F.col("_n") * o["onorm"]) * 1000)
+            + 1000
+        ).cast("long"),
+    )
+    topk = F.slice(F.sort_array(F.col("_cs"), asc=False), 1, k)
+    return (
+        side.crossJoin(F.broadcast(other_row))
+        .withColumn("_n", norm(vec))
+        .withColumn("_cs", cs)
+        .select(
+            F.col(id_col).cast("long").alias(id_name),
+            vec.alias(vec_name),
+            F.col("_n").alias(norm_name),
+            F.aggregate(topk, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias(sumk_name),
+        )
+    )
+
+
+def _best_by_margin(rows: DataFrame, others: DataFrame, k: int,
+                    row_id: str, row_vec: str, row_norm: str, row_sumk: str,
+                    o_id: str, o_vec: str, o_norm: str, o_sumk: str,
+                    best_prefix: str) -> DataFrame:
+    """argmax over ``others`` of the ratio margin for every row of
+    ``rows``: margin_bp = floor(shifted_cos_m * 2k * 10000 /
+    (row_sumk + other_sumk)).  All operands are exact-in-double longs
+    (numerator <= 2000*2k*10000 = 1.6e8 at k=4, denominator <= 4000k,
+    and |true - rounded| < 1/denominator >> double ulp at 2e4), so the
+    floor of the double quotient equals exact integer floor division —
+    the DuckDB oracle's BIGINT ``//`` matches bit-for-bit.  Ties pick
+    larger cosine, then the smallest other-id.
+    """
+    others_row = others.agg(
+        F.collect_list(
+            F.struct(
+                F.col(o_id).alias("oid"),
+                F.col(o_vec).alias("ovec"),
+                F.col(o_norm).alias("onorm"),
+                F.col(o_sumk).alias("osumk"),
+            )
+        ).alias("_others")
+    )
+    vec = F.col(row_vec)
+    scored = F.transform(
+        F.col("_others"),
+        lambda o: F.struct(
+            (
+                F.floor(dot(vec, o["ovec"])
+                        / (F.col(row_norm) * o["onorm"]) * 1000) + 1000
+            ).cast("long").alias("cs"),
+            o["oid"].alias("oid"),
+            o["osumk"].alias("osumk"),
+        ),
+    )
+    margins = F.transform(
+        F.col("_scored"),
+        lambda p: F.struct(
+            F.floor(
+                p["cs"] * F.lit(2 * k * 10000)
+                / (F.col(row_sumk) + p["osumk"])
+            ).cast("long").alias("margin_bp"),
+            p["cs"].alias("cs"),
+            (-p["oid"]).alias("neg_oid"),
+        ),
+    )
+    return (
+        rows.crossJoin(F.broadcast(others_row))
+        .withColumn("_scored", scored)
+        .withColumn("_best", F.array_max(margins))
+        .select(
+            F.col(row_id),
+            (-F.col("_best.neg_oid")).alias(f"{best_prefix}_id"),
+            (F.col("_best.cs") - 1000).alias(f"{best_prefix}_cos_m"),
+            F.col("_best.margin_bp").alias(f"{best_prefix}_margin_bp"),
+        )
+    )
+
+
+def bitext_mine(src_vecs: DataFrame, tgt_vecs: DataFrame, k: int = 4,
+                threshold_bp: int = 10500, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19 "ratio"
+    margin, the CCMatrix/CCAligned/WikiMatrix pipeline): mine candidate
+    parallel pairs between two embedding shards (e.g. the English and
+    German halves of a multilingual-encoder corpus) as the MUTUAL
+    nearest pairs under margin(x,y) = cos(x,y) / mean of the two sides'
+    top-k neighbourhood cosines — raw cosine over-fires in dense hubs,
+    the margin normalizes by local density.
+
+    Integer-exact contract: cosines floor-quantize to SHIFTED
+    milli-units (floor(cos*1000)+1000 >= 0, so top-k sums and the
+    basis-point margin stay in non-negative long arithmetic and Spark's
+    double floor == DuckDB's BIGINT floor division, see _best_by_margin),
+    margin_bp = 10000 is the neutral ratio 1.0.  Ties: larger cosine,
+    then smallest id, on both axes.
+
+    Plan shape: the exact baseline is quadratic BY DEFINITION (every
+    margin needs both rows' neighbourhood sums), expressed as four
+    zero-corpus-exchange broadcast passes — per-side top-k sums
+    (_side_sumk), then forward and backward argmax (_best_by_margin) —
+    plus one |tgt|-bounded broadcast join for the mutual check; the only
+    exchanges are the 1-row collect_list aggregates.  The 100-TB path is
+    the standard CCMatrix shape: shortlist ~k' candidates per row with
+    the persisted IVF index (vecindex.index_topk / ivf_topk) and compute
+    margins on shortlists only; this operator IS that scorer run on a
+    shortlist join instead of the broadcast array.  Both sides must have
+    >= k rows (the denominator assumes k neighbours each side).
+
+    Returns one row per src vector: (src_id, tgt_id, cos_m, margin_bp,
+    mutual, mined) — its best target, the raw milli-cosine, the margin,
+    whether the pair is mutual-best, and mutual AND margin >= threshold.
+    """
+    src_k = _side_sumk(src_vecs, tgt_vecs, k, "sid", "svec", "snorm",
+                       "sumk_x", id_col, vec_col).persist()
+    tgt_k = _side_sumk(tgt_vecs, src_vecs, k, "tid", "tvec", "tnorm",
+                       "sumk_y", id_col, vec_col).persist()
+    fwd = _best_by_margin(
+        src_k, tgt_k, k, "sid", "svec", "snorm", "sumk_x",
+        "tid", "tvec", "tnorm", "sumk_y", "best_tgt",
+    )
+    bwd = _best_by_margin(
+        tgt_k, src_k, k, "tid", "tvec", "tnorm", "sumk_y",
+        "sid", "svec", "snorm", "sumk_x", "best_src",
+    )
+    mutual = F.coalesce(
+        F.col("best_src_id") == F.col("sid"), F.lit(False)
+    )
+    return (
+        fwd.join(
+            F.broadcast(bwd.select("tid", "best_src_id")),
+            fwd["best_tgt_id"] == F.col("tid"),
+            "left",
+        )
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("best_tgt_id").alias("tgt_id"),
+            F.col("best_tgt_cos_m").alias("cos_m"),
+            F.col("best_tgt_margin_bp").alias("margin_bp"),
+            mutual.alias("mutual"),
+            (mutual & (F.col("best_tgt_margin_bp")
+                       >= F.lit(int(threshold_bp)))).alias("mined"),
+        )
+    )

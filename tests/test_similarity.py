@@ -322,3 +322,82 @@ def test_pq_rerank_full_shortlist_equals_exact(vec_df):
         ).orderBy("query_id", "rank").collect()
     ]
     assert two_stage == exact
+
+
+# ---- bitext mining ----------------------------------------------------------
+
+
+def _bitext_mirror(S, T, k):
+    """Pure-Python/numpy mirror of bitext_mine's integer contract."""
+    import math
+
+    Sd, Td = S.astype(np.float64), T.astype(np.float64)
+
+    def cs(a, b):
+        c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return int(math.floor(c * 1000)) + 1000
+
+    ns, nt = len(S), len(T)
+    C = np.array([[cs(Sd[i], Td[j]) for j in range(nt)] for i in range(ns)],
+                 dtype=np.int64)
+    kx = np.sort(C, axis=1)[:, -k:].sum(axis=1)
+    ky = np.sort(C, axis=0)[-k:, :].sum(axis=0)
+    M = (C * (2 * k * 10000)) // (kx[:, None] + ky[None, :])
+    return C, M
+
+
+def test_bitext_mine_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    ns, nt, d, k, tau = 18, 21, 12, 4, 10500
+    S = rng.randn(ns, d).astype(np.float32)
+    T = rng.randn(nt, d).astype(np.float32)
+    T[7] = S[3] + rng.randn(d).astype(np.float32) * 0.01  # planted pair
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in S[i]]) for i in range(ns)], schema)
+    tdf = spark.createDataFrame(
+        [(100 + j, [float(x) for x in T[j]]) for j in range(nt)], schema)
+
+    got = {r.src_id: (r.tgt_id, r.cos_m, r.margin_bp, r.mutual, r.mined)
+           for r in SIM.bitext_mine(sdf, tdf, k=k,
+                                    threshold_bp=tau).collect()}
+    assert len(got) == ns  # one row per src vector
+
+    C, M = _bitext_mirror(S, T, k)
+    for i in range(ns):
+        order = sorted(range(nt), key=lambda j: (-M[i, j], -C[i, j], j))
+        j = order[0]
+        back = sorted(range(ns), key=lambda i2: (-M[i2, j], -C[i2, j], i2))
+        mut = back[0] == i
+        assert got[i] == (100 + j, int(C[i, j]) - 1000, int(M[i, j]), mut,
+                          bool(mut and M[i, j] >= tau)), f"src {i}"
+
+    # the planted parallel pair is mutual-best and mined
+    assert got[3][0] == 107 and got[3][3] and got[3][4]
+
+
+def test_bitext_mine_mined_pairs_are_injective(spark):
+    """Mutual-best mining is one-to-one: no target is claimed by two
+    mined sources (the property that makes the output a candidate
+    BITEXT, not a nearest-neighbour list)."""
+    rng = np.random.RandomState(23)
+    n, d = 30, 10
+    S = rng.randn(n, d).astype(np.float32)
+    T = rng.randn(n, d).astype(np.float32)
+    T[:10] = S[:10] + rng.randn(10, d).astype(np.float32) * 0.02
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in S[i]]) for i in range(n)], schema)
+    tdf = spark.createDataFrame(
+        [(100 + j, [float(x) for x in T[j]]) for j in range(n)], schema)
+    mined = [r for r in SIM.bitext_mine(sdf, tdf, k=4).collect() if r.mined]
+    assert len(mined) >= 10  # every planted translation is found
+    tgts = [r.tgt_id for r in mined]
+    assert len(tgts) == len(set(tgts))
+    assert all(r.mutual for r in mined)

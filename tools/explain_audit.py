@@ -104,6 +104,11 @@ EXPECTED_FLAGS = {
     "ONE-row collect_list(bench) aggregate — a benchmark suite is tiny "
     "next to the corpus, so the corpus side scores it per-row "
     "(transform + array_max) with zero exchanges",
+    "bitext_mine": "NESTED_LOOP = the four broadcast cross joins vs ONE-row "
+    "collect_list side aggregates (per-side top-k neighbourhood sums, then "
+    "forward/backward margin argmax) — the exact quadratic baseline the "
+    "margin DEFINITION requires; the 100-TB path scores a persisted-IVF "
+    "shortlist join with the same arithmetic",
     "bm25_search": "NESTED_LOOP = broadcast cross join vs the ONE-row "
     "corpus stats aggregate (N, avgdl for the BM25 length norm); the "
     "query-term and doc-posting joins are BroadcastHashJoins on term",

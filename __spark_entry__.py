@@ -2336,6 +2336,22 @@ def q_bitext_mine(spark, sf_dir):
     )
 
 
+def q_bitext_mine_ivf(spark, sf_dir):
+    """IVF-shortlist bitext mining (similarity.bitext_mine_ivf — the
+    100-TB path of bitext_mine): identical ratio-margin contract, but
+    every row scores only its IVF shortlist (two ivf_topk passes through
+    the shared seeded coarse quantizer), neighbourhood sums are rank<=k
+    shortlist aggregates, and the margin is exact long `div` arithmetic.
+    No full-side broadcast arrays — both shards stream; the sum/mutual
+    joins are side-bounded hash joins AQE is free to broadcast."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.bitext_mine_ivf(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4, threshold_bp=10500, shortlist=8, n_cells=32, nprobe=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2457,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit": q_robots_audit,
         "importance_sample": q_importance_sample,
         "bitext_mine": q_bitext_mine,
+        "bitext_mine_ivf": q_bitext_mine_ivf,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5477,6 +5494,110 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY tid ORDER BY margin_bp DESC, cs DESC, sid
                  ) AS rn
           FROM m
+        )
+        SELECT f.sid AS src_id, f.tid AS tgt_id, f.cs - 1000 AS cos_m,
+               CAST(f.margin_bp AS BIGINT) AS margin_bp,
+               coalesce(b.sid = f.sid, FALSE) AS mutual,
+               (coalesce(b.sid = f.sid, FALSE)
+                AND f.margin_bp >= 10500) AS mined
+        FROM fwd f LEFT JOIN bwd b ON b.tid = f.tid AND b.rn = 1
+        WHERE f.rn = 1"""
+    out["bitext_mine_ivf"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ),
+        src AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+        tgt AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+        cent AS (
+          SELECT vec_id AS cell_id, e AS ce FROM v
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32
+        ),
+        tc AS (
+          SELECT vec_id, e, cell_id FROM (
+            SELECT t.vec_id, t.e, c.cell_id,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_cosine_similarity(t.e, c.ce) DESC,
+                              c.cell_id) AS rn
+            FROM tgt t CROSS JOIN cent c) WHERE rn = 1
+        ),
+        sc AS (
+          SELECT vec_id, e, cell_id FROM (
+            SELECT s.vec_id, s.e, c.cell_id,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY list_cosine_similarity(s.e, c.ce) DESC,
+                              c.cell_id) AS rn
+            FROM src s CROSS JOIN cent c) WHERE rn = 1
+        ),
+        sq AS (
+          SELECT vec_id, e, cell_id FROM (
+            SELECT s.vec_id, s.e, c.cell_id,
+                   row_number() OVER (PARTITION BY s.vec_id
+                     ORDER BY list_cosine_similarity(s.e, c.ce) DESC,
+                              c.cell_id) AS rn
+            FROM src s CROSS JOIN cent c) WHERE rn <= 4
+        ),
+        tq AS (
+          SELECT vec_id, e, cell_id FROM (
+            SELECT t.vec_id, t.e, c.cell_id,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY list_cosine_similarity(t.e, c.ce) DESC,
+                              c.cell_id) AS rn
+            FROM tgt t CROSS JOIN cent c) WHERE rn <= 4
+        ),
+        cf0 AS (
+          SELECT q.vec_id AS sid, c.vec_id AS tid,
+                 list_cosine_similarity(q.e, c.e) AS cos
+          FROM tc c JOIN sq q USING (cell_id)
+          WHERE c.vec_id != q.vec_id
+        ),
+        cf AS (
+          SELECT sid, tid,
+                 CAST(floor(cos * 1000) AS BIGINT) + 1000 AS cs,
+                 row_number() OVER (PARTITION BY sid
+                                    ORDER BY cos DESC, tid) AS rn
+          FROM cf0 QUALIFY rn <= 8
+        ),
+        cb0 AS (
+          SELECT q.vec_id AS tid, c.vec_id AS sid,
+                 list_cosine_similarity(q.e, c.e) AS cos
+          FROM sc c JOIN tq q USING (cell_id)
+          WHERE c.vec_id != q.vec_id
+        ),
+        cb AS (
+          SELECT tid, sid,
+                 CAST(floor(cos * 1000) AS BIGINT) + 1000 AS cs,
+                 row_number() OVER (PARTITION BY tid
+                                    ORDER BY cos DESC, sid) AS rn
+          FROM cb0 QUALIFY rn <= 8
+        ),
+        kx AS (SELECT sid, CAST(sum(cs) AS BIGINT) AS sumk_x
+               FROM cf WHERE rn <= 4 GROUP BY sid),
+        ky AS (SELECT tid, CAST(sum(cs) AS BIGINT) AS sumk_y
+               FROM cb WHERE rn <= 4 GROUP BY tid),
+        mf AS (
+          SELECT cf.sid, cf.tid, cf.cs,
+                 (cf.cs * 80000) // (kx.sumk_x + ky.sumk_y) AS margin_bp
+          FROM cf JOIN kx USING (sid) JOIN ky USING (tid)
+        ),
+        mb AS (
+          SELECT cb.tid, cb.sid, cb.cs,
+                 (cb.cs * 80000) // (kx.sumk_x + ky.sumk_y) AS margin_bp
+          FROM cb JOIN ky USING (tid) JOIN kx USING (sid)
+        ),
+        fwd AS (
+          SELECT sid, tid, cs, margin_bp,
+                 row_number() OVER (
+                   PARTITION BY sid ORDER BY margin_bp DESC, cs DESC, tid
+                 ) AS rn
+          FROM mf
+        ),
+        bwd AS (
+          SELECT tid, sid,
+                 row_number() OVER (
+                   PARTITION BY tid ORDER BY margin_bp DESC, cs DESC, sid
+                 ) AS rn
+          FROM mb
         )
         SELECT f.sid AS src_id, f.tid AS tgt_id, f.cs - 1000 AS cos_m,
                CAST(f.margin_bp AS BIGINT) AS margin_bp,

@@ -974,3 +974,104 @@ def bitext_mine(src_vecs: DataFrame, tgt_vecs: DataFrame, k: int = 4,
                        >= F.lit(int(threshold_bp)))).alias("mined"),
         )
     )
+
+
+def bitext_mine_ivf(src_vecs: DataFrame, tgt_vecs: DataFrame, k: int = 4,
+                    threshold_bp: int = 10500, shortlist: int = 16,
+                    n_cells: int = 32, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: DataFrame | None = None) -> DataFrame:
+    """The 100-TB path of :func:`bitext_mine`: identical margin contract,
+    but every row scores only an IVF SHORTLIST instead of the whole other
+    shard — the standard CCMatrix shape (FAISS kNN shards → margin on
+    the k-NN lists).  Neighbourhood sums use the top-k of the shortlist,
+    exact whenever the shortlist's recall covers the true top-k (pytest
+    asserts the mined set matches the exact miner on clustered data).
+
+    Plan: two ivf_topk passes (|side| × shortlist candidate rows, probed
+    through the shared coarse quantizer — never |src|×|tgt|), per-side
+    top-k sums as rank<=k aggregates, margins via a tid-keyed hash join
+    of the |tgt|-bounded sum table (AQE picks broadcast vs shuffle),
+    max_by argmaxes, and the same mutual join.  No full-side broadcast
+    arrays anywhere, so both shards stream at corpus scale.  Margin
+    division is exact long ``div`` arithmetic (no double floor needed —
+    the operands are plain columns here).
+
+    A src row with no probed candidates emits nothing; a forward pair
+    whose target drew no backward candidates cannot be mutual and is
+    dropped by the inner sumk_y join.  Returns the same schema as
+    bitext_mine: (src_id, tgt_id, cos_m, margin_bp, mutual, mined).
+    """
+    cent = centroids if centroids is not None else seed_centroids(
+        src_vecs.unionByName(tgt_vecs), n_cells, id_col, vec_col
+    )
+    cand_f = ivf_topk(tgt_vecs, src_vecs, k=shortlist, nprobe=nprobe,
+                      id_col=id_col, vec_col=vec_col,
+                      centroids=cent).persist()
+    cand_b = ivf_topk(src_vecs, tgt_vecs, k=shortlist, nprobe=nprobe,
+                      id_col=id_col, vec_col=vec_col,
+                      centroids=cent).persist()
+
+    def _sumk(cand: DataFrame, name: str) -> DataFrame:
+        # rank is ordered by raw cosine; floor is monotone, so the rank<=k
+        # prefix is also a maximal top-k multiset of the quantized values
+        return (
+            cand.filter(F.col("rank") <= k)
+            .groupBy("query_id")
+            .agg(F.sum(F.col("cos_m") + 1000).alias(name))
+        )
+
+    sumk_x = _sumk(cand_f, "sumk_x")          # one row per src with cands
+    sumk_y = _sumk(cand_b, "sumk_y")          # one row per tgt with cands
+
+    def _best(cand: DataFrame, my_sumk: DataFrame, my_key: str,
+              other_sumk: DataFrame, other_key: str,
+              prefix: str) -> DataFrame:
+        scored = (
+            cand.withColumnRenamed("query_id", my_key)
+            .withColumnRenamed("vec_id", other_key)
+            .join(my_sumk.withColumnRenamed("query_id", my_key), my_key)
+            .join(other_sumk.withColumnRenamed("query_id", other_key),
+                  other_key)
+            .withColumn(
+                "margin_bp",
+                F.expr(
+                    f"((cos_m + 1000) * {2 * k * 10000}) "
+                    "div (sumk_x + sumk_y)"
+                ),
+            )
+        )
+        return scored.groupBy(my_key).agg(
+            F.max_by(
+                F.struct(
+                    F.col(other_key).alias("oid"),
+                    F.col("cos_m").alias("cos_m"),
+                    F.col("margin_bp").alias("margin_bp"),
+                ),
+                F.struct(F.col("margin_bp").alias("m"),
+                         F.col("cos_m").alias("c"),
+                         (-F.col(other_key)).alias("negid")),
+            ).alias("b")
+        ).select(
+            my_key,
+            F.col("b.oid").alias(f"{prefix}_id"),
+            F.col("b.cos_m").alias(f"{prefix}_cos_m"),
+            F.col("b.margin_bp").alias(f"{prefix}_margin_bp"),
+        )
+
+    fwd = _best(cand_f, sumk_x, "sid", sumk_y, "tid", "best_tgt")
+    bwd = _best(cand_b, sumk_y, "tid", sumk_x, "sid", "best_src")
+    mutual = F.coalesce(F.col("best_src_id") == F.col("sid"), F.lit(False))
+    return (
+        fwd.join(bwd.select("tid", "best_src_id"),
+                 fwd["best_tgt_id"] == F.col("tid"), "left")
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("best_tgt_id").alias("tgt_id"),
+            F.col("best_tgt_cos_m").alias("cos_m"),
+            F.col("best_tgt_margin_bp").alias("margin_bp"),
+            mutual.alias("mutual"),
+            (mutual & (F.col("best_tgt_margin_bp")
+                       >= F.lit(int(threshold_bp)))).alias("mined"),
+        )
+    )

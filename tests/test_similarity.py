@@ -401,3 +401,57 @@ def test_bitext_mine_mined_pairs_are_injective(spark):
     tgts = [r.tgt_id for r in mined]
     assert len(tgts) == len(set(tgts))
     assert all(r.mutual for r in mined)
+
+
+def test_bitext_mine_ivf_full_probe_equals_exact(spark):
+    """At nprobe = n_cells and shortlist = |other side| the IVF miner's
+    shortlists are total, so margins, argmaxes, mutual flags — the whole
+    output — must equal the exact broadcast miner row-for-row."""
+    rng = np.random.RandomState(31)
+    n, d = 24, 12
+    S = rng.randn(n, d).astype(np.float32)
+    T = rng.randn(n, d).astype(np.float32)
+    T[:6] = S[:6] + rng.randn(6, d).astype(np.float32) * 0.02
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    sdf = spark.createDataFrame(
+        [(2 * i, [float(x) for x in S[i]]) for i in range(n)], schema)
+    tdf = spark.createDataFrame(
+        [(2 * j + 1, [float(x) for x in T[j]]) for j in range(n)], schema)
+    key = lambda rows: sorted(map(tuple, rows))
+    exact = key(SIM.bitext_mine(sdf, tdf, k=4, threshold_bp=10200).collect())
+    ivf = key(SIM.bitext_mine_ivf(sdf, tdf, k=4, threshold_bp=10200,
+                                  shortlist=n, n_cells=8,
+                                  nprobe=8).collect())
+    assert ivf == exact
+
+
+def test_bitext_mine_ivf_partial_probe_mines_planted(spark):
+    """Clustered shards at partial probe: every planted translation is
+    still mined (the pairs IVF exists to find live in shared cells) and
+    the mined set stays a subset of the mutual pairs."""
+    rng = np.random.RandomState(7)
+    n, d = 48, 16
+    centers = rng.randn(6, d)
+    S = np.vstack([centers[i % 6] + rng.randn(d) * 0.15
+                   for i in range(n)]).astype(np.float32)
+    T = np.vstack([centers[i % 6] + rng.randn(d) * 0.15
+                   for i in range(n)]).astype(np.float32)
+    T[:16] = S[:16] + rng.randn(16, d).astype(np.float32) * 0.02
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    sdf = spark.createDataFrame(
+        [(2 * i, [float(x) for x in S[i]]) for i in range(n)], schema)
+    tdf = spark.createDataFrame(
+        [(2 * j + 1, [float(x) for x in T[j]]) for j in range(n)], schema)
+    rows = SIM.bitext_mine_ivf(sdf, tdf, k=4, threshold_bp=10010,
+                               shortlist=12, n_cells=12,
+                               nprobe=3).collect()
+    mined = {(r.src_id, r.tgt_id) for r in rows if r.mined}
+    planted = {(2 * i, 2 * i + 1) for i in range(16)}
+    assert planted <= mined
+    assert all(r.mutual for r in rows if r.mined)

@@ -104,6 +104,10 @@ EXPECTED_FLAGS = {
     "ONE-row collect_list(bench) aggregate — a benchmark suite is tiny "
     "next to the corpus, so the corpus side scores it per-row "
     "(transform + array_max) with zero exchanges",
+    "bitext_mine_ivf": "NESTED_LOOP = the IVF coarse-assignment broadcast "
+    "cross joins vs the n_cells-row centroid codebook (same bounded shape as "
+    "ann_ivf, paid once per shard side); candidate, sum, and mutual joins "
+    "are all hash joins on cell/sid/tid",
     "bitext_mine": "NESTED_LOOP = the four broadcast cross joins vs ONE-row "
     "collect_list side aggregates (per-side top-k neighbourhood sums, then "
     "forward/backward margin argmax) — the exact quadratic baseline the "

@@ -2352,6 +2352,38 @@ def q_bitext_mine_ivf(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase BM25 top-k (search.phrase_topk): documents containing
+    the token phrase "hash join" (bag-of-words BM25 cannot tell it from
+    "join ... hash"), scored with the phrase as a unit term under the
+    same integer-exact k1=1.2/b=0.75 normalization as bm25_search.
+    Anchor-coverage plan: matching tokens vote for compatible phrase
+    START positions via a |phrase|-row broadcast offset join, a
+    (doc, anchor) census keeps starts covered by all offsets — one
+    posexplode + two uniform censuses, no arrays, no per-doc state."""
+    return SE.phrase_topk(_t(spark, sf_dir, "documents"),
+                          "hash join", k=20)
+
+
+def q_phrase_index_search(spark, sf_dir):
+    """Exact-phrase search against the PERSISTED positional index
+    (search.text_index_phrase): build the index with positions=True
+    into /tmp, read it back, and answer the same "hash join" query with
+    the corpus never re-read — postings scan pruned to the phrase
+    terms' hash buckets, positions re-exploded into the same
+    anchor-coverage census, dl riding the postings, n_docs/avgdl from
+    the 1-row stats table. Equals phrase_topk computed directly, so the
+    oracle scores the corpus in place."""
+    import re as _re
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/textindex_pos_contract_{tag}"
+    SE.write_text_index(docs, path, positions=True)
+    idx = SE.read_text_index(spark, path)
+    return SE.text_index_phrase(idx, "hash join", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2474,6 +2506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "bitext_mine": q_bitext_mine,
         "bitext_mine_ivf": q_bitext_mine_ivf,
+        "phrase_search": q_phrase_search,
+        "phrase_index_search": q_phrase_index_search,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5502,6 +5536,50 @@ def oracle_sql() -> dict[str, str]:
                 AND f.margin_bp >= 10500) AS mined
         FROM fwd f LEFT JOIN bwd b ON b.tid = f.tid AND b.rn = 1
         WHERE f.rn = 1"""
+    out["phrase_search"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+        toks AS (SELECT doc_id, unnest(t) AS term FROM t),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM toks GROUP BY doc_id
+        ),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS a
+          FROM dl
+        ),
+        occ AS (
+          SELECT doc_id,
+                 least(CAST(len(list_filter(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   p -> t[p] = 'hash' AND t[p+1] = 'join')) AS BIGINT),
+                   1000) AS ptf
+          FROM t
+        ),
+        pp AS (
+          SELECT o.doc_id, o.ptf, dl.dl
+          FROM occ o JOIN dl USING (doc_id) WHERE o.ptf > 0
+        ),
+        idf AS (
+          SELECT CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                            * 1000000) AS BIGINT) AS idf_q, a
+          FROM (SELECT CAST(count(*) AS BIGINT) AS df FROM pp)
+          CROSS JOIN st
+        ),
+        sc AS (
+          SELECT doc_id, ptf,
+                 CAST((idf_q * 22 * ptf * a)
+                      // (10 * a * ptf + 3 * a + 9000 * dl)
+                      AS BIGINT) AS score_q
+          FROM pp CROSS JOIN idf
+        )
+        SELECT doc_id, ptf, score_q,
+               CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM sc ORDER BY score_q DESC, doc_id LIMIT 20"""
+    # the positional-index round trip answers the same phrase query from
+    # the persisted postings — same oracle, corpus scored in place.
+    out["phrase_index_search"] = out["phrase_search"]
     out["bitext_mine_ivf"] = """
         WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

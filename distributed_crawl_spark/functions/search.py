@@ -58,17 +58,26 @@ TF_CAP = 1_000  # BM25 tf saturation guard; keeps products inside int64
 
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   positions: bool = False) -> DataFrame:
     """Inverted-index postings: one row per (term, doc) with the term
     frequency ``tf`` (capped at :data:`TF_CAP`) and the document length
-    ``dl`` in tokens. One explode + one map-combinable groupBy."""
+    ``dl`` in tokens. One explode + one map-combinable groupBy.
+
+    With ``positions=True`` each posting also carries the sorted
+    0-based token positions of the term in the doc (the classic
+    positional-postings layout phrase queries need); the collect_list
+    rides the SAME groupBy, so the plan shape is unchanged."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
     )
+    aggs = [F.count(F.lit(1)).alias("tf_raw")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return (
         toks.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf_raw"))
+        .agg(*aggs)
         .withColumn("tf", F.least(F.col("tf_raw"), F.lit(TF_CAP)).cast("long"))
         .drop("tf_raw")
         .join(
@@ -162,6 +171,111 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
     )
 
 
+def _phrase_terms(phrase) -> list[str]:
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    return terms
+
+
+def _phrase_coverage(tok_rows: DataFrame, terms: Sequence[str]) -> DataFrame:
+    """(doc_id, ptf) — how many times the exact token phrase occurs
+    (overlaps counted, capped at :data:`TF_CAP`).
+
+    Anchor-coverage plan: every matching token votes for the phrase
+    START positions it is compatible with (``anchor = pos - i`` for its
+    offsets ``i`` in the phrase — a term repeated in the phrase votes
+    once per offset), then a (doc, anchor) census keeps anchors covered
+    by ALL |phrase| distinct offsets. One broadcast join against the
+    |phrase|-row offset table + one map-combinable census — no arrays,
+    no per-doc state, uniform in (doc, anchor) at any corpus size.
+    """
+    spark = tok_rows.sparkSession
+    offsets = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "i long, term string"
+    )
+    return (
+        tok_rows.join(F.broadcast(offsets), "term")
+        .select(
+            "doc_id", (F.col("pos") - F.col("i")).alias("anchor"), "i"
+        )
+        .filter(F.col("anchor") >= 0)
+        .groupBy("doc_id", "anchor")
+        .agg(F.count_distinct(F.col("i")).alias("nc"))
+        .filter(F.col("nc") == len(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(TF_CAP)).cast("long")
+            .alias("ptf")
+        )
+    )
+
+
+_PHRASE_SCORE = (
+    "(idf_q * 22 * ptf * avgdl_x1000) div "
+    "(10 * avgdl_x1000 * ptf + 3 * avgdl_x1000 + 9000 * dl)"
+)
+
+
+def phrase_topk(docs: DataFrame, phrase, k: int = 20,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents containing an exact token PHRASE, BM25-scored
+    with the phrase as a unit term: ``ptf`` = phrase occurrences
+    (overlaps counted), ``df`` = documents containing it, and the same
+    integer-exact k1=1.2/b=0.75 normalization as :func:`bm25_topk` — so
+    the score is hash-stable and comparable to single-term scores.
+    Bag-of-words BM25 cannot distinguish "hash join" from "join ...
+    hash"; this is the standard positional-adjacency upgrade.
+
+    Plan: one posexplode + the |phrase|-row broadcast offset join +
+    two map-combinable censuses (anchors, dl), a 1-row stats broadcast,
+    and TakeOrdered top-k. The only corpus-sized exchanges are the two
+    uniform censuses. Returns (doc_id, ptf, score_q, rank)."""
+    terms = _phrase_terms(phrase)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(1)").cast("long")
+        .alias("avgdl_x1000"),
+    )
+    pp = _phrase_coverage(toks, terms).join(dl, "doc_id")
+    idf = pp.agg(F.count(F.lit(1)).cast("long").alias("df")).crossJoin(
+        F.broadcast(stats)
+    ).select(
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * IDF_SCALE
+        ).cast("long").alias("idf_q"),
+        "avgdl_x1000",
+    )
+    scored = (
+        pp.crossJoin(F.broadcast(idf))
+        .select(
+            "doc_id", "ptf",
+            F.expr(_PHRASE_SCORE).cast("long").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return scored.select(
+        "doc_id", "ptf", "score_q",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persistent inverted index: build once, search forever, add increments.
 # The text twin of functions/vecindex.py (same build/read/search/add API).
@@ -190,7 +304,8 @@ def _bucket(term):
 
 
 def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
-                     text_col: str = "text") -> dict:
+                     text_col: str = "text",
+                     positions: bool = False) -> dict:
     """Build and persist the inverted index; returns the manifest dict.
 
     Layout under ``path`` (plain parquet):
@@ -203,9 +318,15 @@ def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     - ``idf/``     (term, df, idf_q) — vocabulary-sized.
     - ``stats/``   1 row (n_docs, sum_dl, avgdl_x1000) — sum_dl is kept
       so stats stay incrementally updatable (see add_to_text_index).
-    - ``manifest/`` 1-row JSON: format tag + n_buckets.
+    - ``manifest/`` 1-row JSON: format tag + n_buckets + positional.
+
+    ``positions=True`` stores positional postings (sorted 0-based token
+    positions per (term, doc)) so :func:`text_index_phrase` can answer
+    exact-phrase queries from the index alone; increments added later
+    inherit the layout via the manifest flag.
     """
-    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    postings = build_postings(docs, id_col=id_col, text_col=text_col,
+                              positions=positions)
     per_doc = postings.select("doc_id", "dl").groupBy("doc_id").agg(
         F.first("dl").alias("dl")
     )
@@ -223,7 +344,8 @@ def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     ).partitionBy("term_bucket").parquet(f"{path}/postings")
     idf.write.mode("overwrite").parquet(f"{path}/idf")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
-    manifest = {"format": TEXT_INDEX_FORMAT, "n_buckets": 64}
+    manifest = {"format": TEXT_INDEX_FORMAT, "n_buckets": 64,
+                "positional": positions}
     docs.sparkSession.createDataFrame(
         [(_json.dumps(manifest),)], "manifest string"
     ).coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
@@ -257,7 +379,8 @@ def add_to_text_index(spark: SparkSession, path: str, docs: DataFrame,
     old quantized values. Caller contract (same as the dedup index):
     doc_ids must be new; re-adding an id duplicates its rows."""
     idx = read_text_index(spark, path)
-    inc = build_postings(docs, id_col=id_col, text_col=text_col)
+    inc = build_postings(docs, id_col=id_col, text_col=text_col,
+                         positions=bool(idx.params.get("positional")))
     inc_per_doc = inc.select("doc_id", "dl").groupBy("doc_id").agg(
         F.first("dl").alias("dl")
     )
@@ -347,6 +470,70 @@ def text_index_topk(index: TextIndex, terms: Sequence[str],
     return scored.select(
         "doc_id",
         "score_q",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+def text_index_phrase(index: TextIndex, phrase, k: int = 20) -> DataFrame:
+    """Exact-phrase top-k against a POSITIONAL persisted index —
+    :func:`phrase_topk` semantics with the corpus never re-read: the
+    postings scan is pruned to the phrase terms' hash buckets
+    (≤ |phrase| of 64 directories), positions re-explode into the same
+    anchor-coverage census, ``dl`` rides the postings rows, and
+    n_docs/avgdl come from the 1-row stats table. The phrase's df is the
+    one number no single-term index can precompute, so it is a 1-row
+    aggregate over the (already pruned) coverage output.
+    Returns (doc_id, ptf, score_q, rank)."""
+    if not index.params.get("positional"):
+        raise ValueError(
+            "text index was built without positions=True; "
+            "phrase queries need positional postings"
+        )
+    terms = _phrase_terms(phrase)
+    spark = index.postings.sparkSession
+    uniq = list(dict.fromkeys(terms))
+    qterms = spark.createDataFrame([(t,) for t in uniq], "term string")
+    buckets = sorted(
+        {r.b for r in qterms.select(_bucket(F.col("term")).alias("b"))
+         .collect()}
+    )
+    post = (
+        index.postings.where(F.col("term_bucket").isin(buckets))
+        .join(F.broadcast(qterms), "term")
+        .persist()
+    )
+    toks = post.select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
+    dl = post.groupBy("doc_id").agg(F.first("dl").cast("long").alias("dl"))
+    pp = _phrase_coverage(toks, terms).join(dl, "doc_id")
+    idf = pp.agg(F.count(F.lit(1)).cast("long").alias("df")).crossJoin(
+        F.broadcast(index.stats.select("n_docs", "avgdl_x1000"))
+    ).select(
+        F.floor(
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * IDF_SCALE
+        ).cast("long").alias("idf_q"),
+        "avgdl_x1000",
+    )
+    scored = (
+        pp.crossJoin(F.broadcast(idf))
+        .select(
+            "doc_id", "ptf",
+            F.expr(_PHRASE_SCORE).cast("long").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return scored.select(
+        "doc_id", "ptf", "score_q",
         F.row_number()
         .over(Window.orderBy(F.col("score_q").desc(), F.col("doc_id")))
         .cast("long")

@@ -179,3 +179,89 @@ def test_text_index_compaction(spark, tmp_path):
     after = sorted(map(tuple, S.text_index_topk(
         S.read_text_index(spark, path), terms, k=10).collect()))
     assert before == after
+
+
+# ---- exact-phrase search -----------------------------------------------------
+
+
+def _py_phrase_q(docs, phrase, scale=1_000_000):
+    """Pure-python mirror of phrase_topk: overlapping occurrence counts
+    + the same quantized unit-term BM25 formula."""
+    words = phrase.split()
+    q = len(words)
+    toks = {d: t.split() for d, t in docs if t.split()}
+    n = len(toks)
+    dls = {d: len(t) for d, t in toks.items()}
+    a = (sum(dls.values()) * 1000) // n
+    ptfs = {}
+    for d, t in toks.items():
+        c = sum(1 for p in range(len(t) - q + 1) if t[p:p + q] == words)
+        if c:
+            ptfs[d] = min(c, S.TF_CAP)
+    df = len(ptfs)
+    if not df:
+        return {}
+    idf_q = math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * scale)
+    return {
+        d: (ptf, (idf_q * 22 * ptf * a)
+            // (10 * a * ptf + 3 * a + 9000 * dls[d]))
+        for d, ptf in ptfs.items()
+    }
+
+
+PHRASE_DOCS = DOCS + [
+    (7, "hash join beats sort merge join when the hash join fits"),
+    (8, "join hash is not hash join but join hash appears twice"),
+    (9, "aa aa aa"),
+]
+
+
+def test_phrase_topk_matches_python_and_word_order(spark):
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    got = {r.doc_id: (r.ptf, r.score_q)
+           for r in S.phrase_topk(docs, "hash join", k=20).collect()}
+    assert got == _py_phrase_q(PHRASE_DOCS, "hash join")
+    # word order matters: doc 8 has both words 4x but the phrase once
+    assert got[7][0] == 2 and got[8][0] == 1
+    # bag-of-words BM25 sees them as near-equals — the phrase query is
+    # the only one that separates them
+    assert got[7][1] > got[8][1]
+
+
+def test_phrase_topk_counts_overlaps(spark):
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    got = {r.doc_id: r.ptf
+           for r in S.phrase_topk(docs, "aa aa", k=5).collect()}
+    assert got == {9: 2}  # overlapping starts both count
+
+
+def test_phrase_index_round_trip_add_compact(spark, tmp_path):
+    """Positional index answers phrase queries identically to the direct
+    operator, stays exact through an incremental add (increment inherits
+    positions via the manifest flag) and through compaction; an index
+    built without positions refuses phrase queries."""
+    path = str(tmp_path / "tix_pos")
+    first = [r for r in PHRASE_DOCS if r[0] != 8]
+    S.write_text_index(spark.createDataFrame(first, ["doc_id", "text"]),
+                       path, positions=True)
+    S.add_to_text_index(spark, path,
+                        spark.createDataFrame([PHRASE_DOCS[8]],
+                                              ["doc_id", "text"]))
+    docs = spark.createDataFrame(PHRASE_DOCS, ["doc_id", "text"])
+    direct = sorted(map(tuple,
+                        S.phrase_topk(docs, "hash join", k=20).collect()))
+    idx = S.read_text_index(spark, path)
+    assert sorted(map(tuple,
+                      S.text_index_phrase(idx, "hash join",
+                                          k=20).collect())) == direct
+    S.compact_text_index(spark, path)
+    idx2 = S.read_text_index(spark, path)
+    assert sorted(map(tuple,
+                      S.text_index_phrase(idx2, "hash join",
+                                          k=20).collect())) == direct
+
+    flat = str(tmp_path / "tix_flat")
+    S.write_text_index(docs, flat)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positional"):
+        S.text_index_phrase(S.read_text_index(spark, flat), "hash join")

@@ -104,6 +104,11 @@ EXPECTED_FLAGS = {
     "ONE-row collect_list(bench) aggregate — a benchmark suite is tiny "
     "next to the corpus, so the corpus side scores it per-row "
     "(transform + array_max) with zero exchanges",
+    "phrase_search": "NESTED_LOOP = broadcast cross joins vs the ONE-row "
+    "stats and ONE-row phrase-idf aggregates (n_docs/avgdl and the unit-term "
+    "idf) — same bounded shape as bm25_search",
+    "phrase_index_search": "NESTED_LOOP = the same ONE-row stats/idf cross "
+    "joins as phrase_search, over bucket-pruned positional postings",
     "bitext_mine_ivf": "NESTED_LOOP = the IVF coarse-assignment broadcast "
     "cross joins vs the n_cells-row centroid codebook (same bounded shape as "
     "ann_ivf, paid once per shard side); candidate, sum, and mutual joins "

@@ -2384,6 +2384,36 @@ def q_phrase_index_search(spark, sf_dir):
     return SE.text_index_phrase(idx, "hash join", k=20)
 
 
+def q_focused_frontier(spark, sf_dir):
+    """Focused-crawl frontier (graph.focused_scores → focused_frontier,
+    shark-search shape): link targets scored by inbound-anchor topic
+    matches (rel_q = Σ n × |distinct topic terms in the anchor|, pure
+    integer) over the SAME synthetic anchor pages as anchor_census (the
+    real Arrow parse path), then emitted as FRONTIER_SCHEMA rows with
+    seq = -rel_q so the unchanged politeness window drains
+    most-relevant-first. Topic = ['go', '7', '13']: every 'go N' anchor
+    matches once, N ∈ {7,13} matches twice, 'see N' only via N — so the
+    census, tokenizer, and weighting all show up in the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    x = (d % 97).cast("string")
+    y = ((d * 31 + 7) % 97).cast("string")
+    clean = F.regexp_replace(F.col("text"), "[<>&]", "")
+    url = F.concat(F.lit("https://anchors.test/doc/"), d.cast("string"))
+    html = F.concat(
+        F.lit("<p>"), clean, F.lit('</p><a href="/d/'), x,
+        F.lit('">go <b>'), x, F.lit('</b></a><a href="/d/'), y,
+        F.lit('">see '), y,
+        F.lit('</a><a href="#frag">skip</a><a href="/icon/'), x,
+        F.lit('"></a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    census = GR.anchor_census(pages, k=3)
+    return GR.focused_frontier(
+        GR.focused_scores(census, ["go", "7", "13"])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2508,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine_ivf": q_bitext_mine_ivf,
         "phrase_search": q_phrase_search,
         "phrase_index_search": q_phrase_index_search,
+        "focused_frontier": q_focused_frontier,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5580,6 +5611,44 @@ def oracle_sql() -> dict[str, str]:
     # the positional-index round trip answers the same phrase query from
     # the persisted postings — same oracle, corpus scored in place.
     out["phrase_index_search"] = out["phrase_search"]
+    out["focused_frontier"] = """
+        WITH p AS (
+          SELECT 'https://anchors.test/d/' || (doc_id % 97) AS target_url,
+                 'go ' || (doc_id % 97) AS anchor
+          FROM documents
+          UNION ALL
+          SELECT 'https://anchors.test/d/' || ((doc_id * 31 + 7) % 97),
+                 'see ' || ((doc_id * 31 + 7) % 97)
+          FROM documents
+        ),
+        c AS (
+          SELECT target_url, anchor, CAST(count(*) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY target_url
+                                    ORDER BY count(*) DESC, anchor) AS rank
+          FROM p GROUP BY target_url, anchor QUALIFY rank <= 3
+        ),
+        h AS (
+          SELECT target_url,
+                 n * CAST(len(list_intersect(
+                       list_distinct(regexp_split_to_array(trim(anchor),
+                                                           '\\s+')),
+                       ['go', '7', '13'])) AS BIGINT) AS r
+          FROM c
+        ),
+        s AS (
+          SELECT target_url, CAST(sum(r) AS BIGINT) AS rel_q
+          FROM h GROUP BY target_url HAVING sum(r) > 0
+        )
+        SELECT target_url AS url,
+               'anchors.test' AS host,
+               CAST(0 AS INTEGER) AS level,
+               CAST(0 AS INTEGER) AS attempt,
+               CAST(NULL AS VARCHAR) AS parent_url,
+               CAST(-1 AS BIGINT) AS parent_seq,
+               CAST(0 AS INTEGER) AS link_pos,
+               CAST(-rel_q AS BIGINT) AS seq,
+               CAST(-2 AS INTEGER) AS discovered_round
+        FROM s WHERE rel_q >= 1"""
     out["bitext_mine_ivf"] = """
         WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -156,7 +156,7 @@ HEADLINE = [
     "url_template_mine", "politeness_audit", "mirror_detect",
     "gate_agreement", "drain_plan", "dedup_cluster_stats",
     "sitemap_coverage", "robots_audit", "importance_sample",
-    "bitext_mine", "bitext_mine_ivf", "phrase_search", "phrase_index_search",
+    "bitext_mine", "bitext_mine_ivf", "phrase_search", "phrase_index_search", "focused_frontier",
 ]
 
 

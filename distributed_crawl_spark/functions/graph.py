@@ -283,3 +283,66 @@ def hits_scores(edges: DataFrame, iters: int = 2,
             .alias("auth_x1e6"),
         )
     )
+
+
+# ---- focused crawling: anchor-text relevance -> frontier priority ----------
+
+def focused_scores(census: DataFrame, topic: "list[str]",
+                   target_col: str = "target_url",
+                   anchor_col: str = "anchor",
+                   n_col: str = "n") -> DataFrame:
+    """Shark-/fish-search style focused-crawl relevance: score every
+    link TARGET by how its inbound anchor text matches a topic term
+    list — the crawler's only pre-fetch evidence about an unseen URL is
+    what other pages call it (Hersovici et al. WWW'98; the same signal
+    anchor corpora give rankers). Input is any (target, anchor, n)
+    census (:func:`anchor_census` / `anchor_census_from_pairs`).
+
+    ``rel_q = Σ_census_rows n × |distinct topic terms ∈ tokens(anchor)|``
+    — pure integer arithmetic (order-free, hash-exact), monotone in
+    both anchor frequency and term coverage. Matching is exact on
+    whitespace tokens; lowercase the census + topic upstream for
+    case-insensitive matching. Zero-shuffle projection over the census
+    + one |targets|-bounded map-combinable rollup; targets with no
+    matching anchors drop out. Returns (target_url, rel_q).
+    """
+    from .dedup import tokens
+
+    terms = F.array(*[F.lit(t) for t in dict.fromkeys(topic)])
+    hits = F.size(F.array_intersect(tokens(F.col(anchor_col)), terms))
+    return (
+        census.select(
+            F.col(target_col).alias("target_url"),
+            (F.col(n_col).cast("long") * hits.cast("long")).alias("_r"),
+        )
+        .groupBy("target_url")
+        .agg(F.sum("_r").cast("long").alias("rel_q"))
+        .filter(F.col("rel_q") > 0)
+    )
+
+
+def focused_frontier(scores: DataFrame,
+                     min_rel_q: int = 1) -> DataFrame:
+    """Turn :func:`focused_scores` output into frontier rows the
+    politeness window drains MOST-RELEVANT-FIRST — the focused-crawl
+    twin of recrawl.refetch_frontier: ``rank_frontier`` orders each host
+    lane by (level, attempt, seq), so ``seq = -rel_q`` spends per-host
+    politeness budgets on the targets the web's anchor text says matter
+    most, with zero changes to the politeness operator. Level/attempt
+    are 0, parent lineage is null/self, discovered_round = -2 marks
+    focused-scheduler-injected rows (refetch uses -1).
+    Output matches FRONTIER_SCHEMA."""
+    from .url import url_host
+
+    kept = scores.filter(F.col("rel_q") >= int(min_rel_q))
+    return kept.select(
+        F.col("target_url").alias("url"),
+        url_host(F.col("target_url")).alias("host"),
+        F.lit(0).cast("int").alias("level"),
+        F.lit(0).cast("int").alias("attempt"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(-1).cast("long").alias("parent_seq"),
+        F.lit(0).cast("int").alias("link_pos"),
+        (-F.col("rel_q")).cast("long").alias("seq"),
+        F.lit(-2).cast("int").alias("discovered_round"),
+    )

@@ -160,3 +160,54 @@ def test_hits_layout_invariant(spark):
     a = sorted(map(tuple, G.hits_scores(df, iters=2).collect()))
     b = sorted(map(tuple, G.hits_scores(df.repartition(9), iters=2).collect()))
     assert a == b
+
+
+# ---- focused crawling -------------------------------------------------------
+
+
+def test_focused_scores_integer_weighting(spark):
+    """rel_q = sum(n * distinct-topic-term hits) — exact vs a hand
+    computation, repeated tokens in one anchor count once, unmatched
+    targets drop out."""
+    census = spark.createDataFrame(
+        [
+            ("https://t/a", "llm training data", 4),   # 2 hits * 4
+            ("https://t/a", "cat pictures", 9),        # 0 hits
+            ("https://t/b", "data data data", 2),      # 1 hit  * 2
+            ("https://t/b", "training", 1),            # 1 hit  * 1
+            ("https://t/c", "totally unrelated", 7),   # drops out
+        ],
+        ["target_url", "anchor", "n"],
+    )
+    got = {r.target_url: r.rel_q
+           for r in G.focused_scores(census, ["training", "data"]).collect()}
+    assert got == {"https://t/a": 8, "https://t/b": 3}
+
+
+def test_focused_frontier_drains_most_relevant_first(spark):
+    """Scheduler composition: focused_frontier rows run through the SAME
+    politeness window as organic crawling, and within one host's budget
+    the highest-relevance targets win the slots."""
+    from distributed_crawl_spark.operators.politeness import (
+        rank_frontier, split_ranked,
+    )
+
+    census = spark.createDataFrame(
+        [(f"https://h.test/p{i}", "spark tuning guide"[: 5 + i], i + 1)
+         for i in range(5)] + [("https://h.test/p9", "spark", 100)],
+        ["target_url", "anchor", "n"],
+    )
+    scores = G.focused_scores(census, ["spark"])
+    frontier = G.focused_frontier(scores)
+    rows = {r.url: r for r in frontier.collect()}
+    # every emitted row is schema-complete and marked scheduler-injected
+    assert all(r.discovered_round == -2 and r.host == "h.test"
+               for r in rows.values())
+    assert rows["https://h.test/p9"].seq == -100
+
+    selected, deferred = split_ranked(rank_frontier(frontier, host_budget=2))
+    picked = {r.url for r in selected.collect()}
+    # budget 2 on one host: the two most anchor-endorsed targets win
+    # (p9 rel=100, p4 rel=5 — every pI anchor keeps the 'spark' token)
+    assert picked == {"https://h.test/p9", "https://h.test/p4"}
+    assert deferred.count() == frontier.count() - 2

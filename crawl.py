@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
                     "crawl_results column (same Arrow pass as extraction); "
                     "--export-dir then also writes anchor_census/ (top-5 "
                     "inbound anchors per link target)")
+    ap.add_argument("--focused-topic", metavar="W1,W2,...",
+                    help="focused crawling (shark-search): re-rank each "
+                    "parent's capped link list by inbound-anchor topic "
+                    "relevance before seq assignment, so link budgets "
+                    "spend themselves on topic-endorsed children first; "
+                    "requires --capture-anchors")
     ap.add_argument("--strip-tracking", action="store_true",
                     help="strip utm_*/fbclid/gclid/msclkid params from "
                     "extracted links before dedup and the seen filter "
@@ -161,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
         strip_tracking=args.strip_tracking,
         extract_mode=args.extract_mode,
         capture_anchors=args.capture_anchors,
+        focused_topic=tuple(
+            w.strip() for w in (args.focused_topic or "").split(",")
+            if w.strip()
+        ),
         drop_traps=args.drop_traps,
         block_domains=tuple(
             d.strip() for d in args.block_domains.split(",") if d.strip()

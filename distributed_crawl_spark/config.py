@@ -79,6 +79,16 @@ class CrawlConfig:
     # inbound anchor census at export time (functions/graph.py) without
     # re-scanning stored html. Default off: parity-mode schema unchanged.
     capture_anchors: bool = False
+    # Focused crawling (engine extension, shark-search shape; default
+    # off = reference ordering parity): when set, each parent's capped
+    # link list is REORDERED by inbound-anchor topic relevance
+    # (rel = Σ |distinct topic terms in the link's anchor text|, integer)
+    # before link_pos is assigned, so the seq formula — and therefore
+    # determinism, collision-freedom, and first-enqueuer-wins — is
+    # untouched while per-parent budgets and the max_links cap spend
+    # themselves on the most topic-endorsed children first. Requires
+    # capture_anchors (the anchor text is the evidence).
+    focused_topic: tuple = ()
 
     # engine scale knobs (SURVEY.md §2.9/§4)
     host_budget: int | None = None  # None = unlimited (parity mode)
@@ -160,6 +170,11 @@ class CrawlConfig:
             raise ValueError("seen_filter: bloom|cuckoo")
         if self.compact_every is not None and self.compact_every < 1:
             raise ValueError("compact_every >= 1 or None")
+        if self.focused_topic and not self.capture_anchors:
+            raise ValueError(
+                "focused_topic requires capture_anchors=True (anchor "
+                "text is the relevance evidence)"
+            )
         if self.honor_crawl_delay and self.host_budget is None:
             raise ValueError(
                 "honor_crawl_delay requires a host_budget (the politeness "

@@ -74,14 +74,56 @@ def child_candidates(
     """
     stride = cfg.max_links + 1
 
-    links = fetched_ok.filter(
-        F.col("level") < cfg.max_levels - 1
-    ).select(
-        F.col("url").alias("parent_url"),
-        F.col("seq").alias("parent_seq"),
-        F.col("level").alias("parent_level"),
-        F.posexplode("extracted_links").alias("link_pos", "url"),
-    )
+    parents = fetched_ok.filter(F.col("level") < cfg.max_levels - 1)
+    if cfg.focused_topic:
+        # Focused mode (shark-search, engine extension): re-rank each
+        # parent's already-capped link list by inbound-anchor topic
+        # relevance BEFORE link_pos is assigned — the seq formula below
+        # is untouched, so ordering stays deterministic/collision-free
+        # and first-enqueuer-wins still applies; only the order in which
+        # a parent endorses its own children changes. Relevance is the
+        # same integer contract as graph.focused_scores; ties keep
+        # document order. Zero extra shuffle: an array_sort per row.
+        from ..functions.dedup import tokens
+
+        topic_arr = F.array(
+            *[F.lit(t) for t in dict.fromkeys(cfg.focused_topic)]
+        )
+
+        def _rel(u):
+            return F.aggregate(
+                F.filter(
+                    F.col("anchors"), lambda p: p["target_url"] == u
+                ),
+                F.lit(0),
+                lambda acc, p: acc + F.size(
+                    F.array_intersect(tokens(p["anchor"]), topic_arr)
+                ),
+            )
+
+        ranked = F.array_sort(
+            F.transform(
+                F.col("extracted_links"),
+                lambda u, i: F.struct(
+                    (-_rel(u)).alias("neg_rel"),
+                    i.alias("doc_pos"),
+                    u.alias("u"),
+                ),
+            )
+        )
+        links = parents.select(
+            F.col("url").alias("parent_url"),
+            F.col("seq").alias("parent_seq"),
+            F.col("level").alias("parent_level"),
+            F.posexplode(ranked).alias("link_pos", "_lk"),
+        ).withColumn("url", F.col("_lk.u")).drop("_lk")
+    else:
+        links = parents.select(
+            F.col("url").alias("parent_url"),
+            F.col("seq").alias("parent_seq"),
+            F.col("level").alias("parent_level"),
+            F.posexplode("extracted_links").alias("link_pos", "url"),
+        )
 
     links = links.filter(U.is_valid_url(F.col("url")))
     if cfg.strip_tracking:

@@ -490,3 +490,61 @@ def test_concurrent_commits_equal_serial(spark, tmp_path):
     # the error path actually ran (retry_attempts=1 + dead links in the
     # tiny corpus), so the errors member of the fork-join group was tested
     assert errs(conc)
+
+
+def test_focused_topic_reorders_children(spark, tmp_path):
+    """focused_topic: the parent's capped link list is re-ranked by
+    inbound-anchor topic relevance before link_pos/seq assignment — the
+    topic-endorsed child gets the smallest child seq while the crawl
+    GRAPH (seen set, fetched pages) is identical to the unfocused run;
+    ties keep document order; the flag refuses to run without
+    capture_anchors."""
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    root = "https://f.test/"
+    a, b, c = (f"https://f.test/{p}" for p in ("alpha", "sparkdoc", "zeta"))
+    html = (
+        f'<html><body><a href="{a}">boring page</a>'
+        f'<a href="{b}">spark tuning deep dive</a>'
+        f'<a href="{c}">unrelated words</a></body></html>'
+    )
+    leaf = "<html><body><p>leaf</p></body></html>"
+    pages = spark.createDataFrame(
+        [{"url": root, "warc_ts": None, "html": html.encode(),
+          "text": None, "lang": "en"}]
+        + [{"url": u, "warc_ts": None, "html": leaf.encode(),
+            "text": None, "lang": "en"} for u in (a, b, c)],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": root, "seq": 0, "unique_id": None}], schema=SEEDS_SCHEMA
+    )
+
+    def run(tag, **kw):
+        drv = CrawlDriver(
+            spark, pages, None,
+            CrawlConfig(max_levels=2, max_rounds=4,
+                        capture_anchors=True, **kw),
+            str(tmp_path / f"ckpt_focus_{tag}"),
+        )
+        drv.run(seeds)
+        return drv
+
+    plain = run("off")
+    focused = run("on", focused_topic=("spark", "tuning"))
+
+    assert ({r.url for r in plain.seen_set().collect()}
+            == {r.url for r in focused.seen_set().collect()})
+
+    def seqs(drv):
+        return {r.url: r.seq for r in drv.current_status().collect()}
+
+    sp, sf = seqs(plain), seqs(focused)
+    # unfocused: document order a < b < c
+    assert sp[a] < sp[b] < sp[c]
+    # focused: the 2-hit anchor wins; a and c tie at 0 hits -> doc order
+    assert sf[b] < sf[a] < sf[c]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="capture_anchors"):
+        CrawlConfig(focused_topic=("spark",)).validate()

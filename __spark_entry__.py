@@ -2414,6 +2414,31 @@ def q_focused_frontier(spark, sf_dir):
     )
 
 
+def q_index_neardup(spark, sf_dir):
+    """Incremental semantic near-dup against the persisted IVF+PQ index
+    (vecindex.index_neardup — the vector twin of incremental_dedup):
+    index built from vec_id % 13 != 0, increment = % 13 == 0; each
+    increment vector takes an ADC shortlist from the probed cells
+    (codes stream from the index partitions) and an exact-cosine
+    re-rank against the full-precision corpus decides dup_of/is_dup at
+    cos >= 0.35. Probed-cells-empty increments keep a NULL/false row,
+    so the verdict is total. The oracle composes the seeded IVF+PQ
+    CTEs (vector_index_search) with the rerank tail (pq_rerank)."""
+    import re as _re
+
+    from distributed_crawl_spark.functions import vecindex as VX
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 13 != 0)
+    inc = emb.filter(F.col("vec_id") % 13 == 0)
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/vecindex_neardup_contract_{tag}"
+    VX.write_vector_index(corpus, path, n_cells=32, m=8, n_codes=16, dim=64)
+    idx = VX.read_vector_index(spark, path)
+    return VX.index_neardup(idx, inc, corpus, threshold_m=350,
+                            nprobe=2, shortlist=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2539,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_index_search": q_phrase_index_search,
         "focused_frontier": q_focused_frontier,
+        "index_neardup": q_index_neardup,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5649,6 +5675,108 @@ def oracle_sql() -> dict[str, str]:
                CAST(-rel_q AS BIGINT) AS seq,
                CAST(-2 AS INTEGER) AS discovered_round
         FROM s WHERE rel_q >= 1"""
+    out["index_neardup"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings
+        ),
+        co AS (SELECT * FROM v WHERE vec_id % 13 != 0),
+        inc AS (SELECT * FROM v WHERE vec_id % 13 = 0),
+        cent AS (
+          SELECT vec_id AS cell_id, e AS ce FROM co
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32
+        ),
+        cand AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT co.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY co.vec_id
+                     ORDER BY list_cosine_similarity(co.e, c.ce) DESC,
+                              c.cell_id) AS rn
+            FROM co CROSS JOIN cent c) WHERE rn = 1
+        ),
+        qs AS (
+          SELECT vec_id AS query_id, cell_id FROM (
+            SELECT i.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY i.vec_id
+                     ORDER BY list_cosine_similarity(i.e, c.ce) DESC,
+                              c.cell_id) AS rn
+            FROM inc i CROSS JOIN cent c) WHERE rn <= 2
+        ),
+        seeds AS (
+          SELECT e,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR),
+                                    vec_id) - 1 AS code_id
+          FROM co ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+        ),
+        cb AS (
+          SELECT s.sub, code_id,
+                 e[s.sub * 8 + 1 : s.sub * 8 + 8] AS c
+          FROM seeds, (SELECT unnest(range(8)) AS sub) s
+        ),
+        subs AS (
+          SELECT vec_id, s.sub,
+                 e[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+          FROM co, (SELECT unnest(range(8)) AS sub) s
+        ),
+        dsc AS (
+          SELECT vec_id, sub, code_id,
+                 list_sum(list_transform(range(1, 9),
+                   i -> (sv[i] - c[i]) * (sv[i] - c[i]))) AS d
+          FROM subs JOIN cb USING (sub)
+        ),
+        codes AS (
+          SELECT vec_id, sub, code_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d, code_id) AS rn
+            FROM dsc) WHERE rn = 1
+        ),
+        isubs AS (
+          SELECT vec_id, s.sub,
+                 e[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+          FROM inc, (SELECT unnest(range(8)) AS sub) s
+        ),
+        lut AS (
+          SELECT s.vec_id AS query_id, s.sub, cb.code_id,
+                 CAST(floor(list_sum(list_transform(range(1, 9),
+                   i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i])))
+                   * 1000000) AS BIGINT) AS part_q
+          FROM isubs s JOIN cb USING (sub)
+        ),
+        sc AS (
+          SELECT q.query_id, cd.vec_id,
+                 CAST(sum(l.part_q) AS BIGINT) AS adist_q
+          FROM qs q
+          JOIN cand c ON c.cell_id = q.cell_id
+          JOIN codes cd ON cd.vec_id = c.vec_id
+          JOIN lut l ON l.query_id = q.query_id AND l.sub = cd.sub
+                     AND l.code_id = cd.code_id
+          WHERE cd.vec_id != q.query_id
+          GROUP BY 1, 2
+        ),
+        short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist_q, vec_id) AS srn
+            FROM sc) WHERE srn <= 20
+        ),
+        rr AS (
+          SELECT s.query_id, s.vec_id,
+                 CAST(floor(list_cosine_similarity(q.e, c.e) * 1000)
+                      AS BIGINT) AS cos_m
+          FROM short s
+          JOIN inc q ON q.vec_id = s.query_id
+          JOIN co c ON c.vec_id = s.vec_id
+        ),
+        best AS (
+          SELECT query_id, vec_id AS dup_of, cos_m FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_m DESC, vec_id) AS rn
+            FROM rr) WHERE rn = 1
+        )
+        SELECT i.vec_id, b.dup_of, b.cos_m,
+               coalesce(b.cos_m >= 350, FALSE) AS is_dup
+        FROM inc i LEFT JOIN best b ON b.query_id = i.vec_id"""
     out["bitext_mine_ivf"] = """
         WITH v AS (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

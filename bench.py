@@ -157,6 +157,7 @@ HEADLINE = [
     "gate_agreement", "drain_plan", "dedup_cluster_stats",
     "sitemap_coverage", "robots_audit", "importance_sample",
     "bitext_mine", "bitext_mine_ivf", "phrase_search", "phrase_index_search", "focused_frontier",
+    "index_neardup",
 ]
 
 

@@ -240,3 +240,95 @@ def vector_index_topk_rerank(index: VectorIndex, queries: DataFrame,
             F.floor(F.col("cos") * scale).cast("long").alias("cos_m"),
         )
     )
+
+
+def index_neardup(index: VectorIndex, increment: DataFrame,
+                  vectors: DataFrame, threshold_m: int = 350,
+                  nprobe: int = 4, shortlist: int = 20,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Incremental SEMANTIC near-dup against the persisted index — the
+    vector twin of ``dedup.probe_dedup_index``: an increment batch is
+    screened for embedding-cosine near-duplicates of the indexed corpus
+    without ever re-reading or re-scoring the corpus. Two stages, both
+    index-bounded: an ADC shortlist per increment vector (probed cells
+    only, codes stream from the index partitions), then an exact-cosine
+    re-rank of the shortlist against the full-precision ``vectors``
+    table the index was built from. ``cos_m`` floor-quantizes to
+    milli-units BEFORE the argmax (ties pick the smallest corpus id) so
+    the verdict is hash-exact.
+
+    Every increment vector gets a row even when its probed cells are
+    empty (possible on sparse indexes): ``dup_of``/``cos_m`` NULL,
+    ``is_dup`` false — so the output is a total keep/drop verdict the
+    add path can anti-join. Returns (vec_id, dup_of, cos_m, is_dup).
+    """
+    short = vector_index_topk(
+        index, increment, k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "vec_id")
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        as_double(F.col(vec_col)).alias("ce"),
+    )
+    q = increment.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        as_double(F.col(vec_col)).alias("qe"),
+    )
+    best = (
+        short.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_m",
+            F.floor(cosine(F.col("qe"), F.col("ce")) * 1000).cast("long"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("vec_id").alias("dup_of"),
+                         F.col("cos_m").alias("cos_m")),
+                F.struct(F.col("cos_m").alias("c"),
+                         (-F.col("vec_id")).alias("negid")),
+            ).alias("b")
+        )
+    )
+    return (
+        q.select("query_id")
+        .join(best, "query_id", "left")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("b.dup_of").alias("dup_of"),
+            F.col("b.cos_m").alias("cos_m"),
+            F.coalesce(F.col("b.cos_m") >= F.lit(int(threshold_m)),
+                       F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def index_neardup_add(spark: SparkSession, path: str, increment: DataFrame,
+                      vectors: DataFrame, threshold_m: int = 350,
+                      nprobe: int = 4, shortlist: int = 20,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """The continual-ingestion composition: screen the increment with
+    :func:`index_neardup`, then add ONLY the survivors to the index
+    (O(survivors) — frozen quantizers, corpus codes never read), so the
+    next batch is also screened against this batch's keepers. The same
+    keep-one contract as ``dedup.add_to_dedup_index``; re-screening an
+    already-indexed id is the caller's bug. Returns the verdict frame
+    (materialized before the add so the index mutation cannot shift
+    it)."""
+    idx = read_vector_index(spark, path)
+    flags = index_neardup(
+        idx, increment, vectors, threshold_m=threshold_m, nprobe=nprobe,
+        shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint()
+    keep = flags.filter(~F.col("is_dup")).select(
+        F.col("vec_id").alias("__keep_id")
+    )
+    survivors = increment.join(
+        keep, increment[id_col] == F.col("__keep_id"), "left_semi"
+    )
+    add_to_vector_index(spark, path, survivors,
+                        id_col=id_col, vec_col=vec_col)
+    return flags

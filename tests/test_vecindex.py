@@ -160,3 +160,72 @@ def test_bad_format_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported vector index"):
         read_vector_index(spark, path)
+
+
+def test_index_neardup_flags_planted_dup(spark, tmp_path):
+    """A near-copy of an indexed vector is flagged with the right dup_of
+    at full probe; an orthogonal-ish increment row is kept; every
+    increment row gets a verdict."""
+    from distributed_crawl_spark.functions.vecindex import index_neardup
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx_nd")
+    write_vector_index(emb, path, n_cells=8, m=8, n_codes=16)
+    idx = read_vector_index(spark, path)
+
+    base = emb.filter(F.col("vec_id") == 3).first().embedding
+    near = [float(x) + 0.001 for x in base]
+    far = [0.0] * 63 + [1.0]
+    inc = spark.createDataFrame(
+        [(1001, near), (1002, far)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in index_neardup(
+        idx, inc, emb, threshold_m=900, nprobe=8, shortlist=50
+    ).collect()}
+    assert set(got) == {1001, 1002}
+    assert got[1001].is_dup and got[1001].dup_of == 3
+    assert got[1001].cos_m >= 990
+    assert not got[1002].is_dup
+
+
+def test_index_neardup_add_continual(spark, tmp_path):
+    """index_neardup_add keeps only survivors and appends them: the same
+    batch re-screened (fresh ids) is then fully duplicate — the keep-one
+    contract continued across batches."""
+    from distributed_crawl_spark.functions.vecindex import index_neardup_add
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx_nda")
+    write_vector_index(emb, path, n_cells=8, m=8, n_codes=16)
+
+    far1 = [0.0] * 62 + [1.0, 0.0]
+    far2 = [0.0] * 62 + [0.0, 1.0]
+    batch1 = spark.createDataFrame(
+        [(2001, far1), (2002, far2)],
+        "vec_id long, embedding array<float>",
+    )
+    flags1 = index_neardup_add(
+        spark, path, batch1, emb, threshold_m=900, nprobe=8, shortlist=50
+    )
+    assert {r.vec_id for r in flags1.filter("is_dup").collect()} == set()
+    n_after = read_vector_index(spark, path).codes.select(
+        "vec_id").distinct().count()
+    assert n_after == emb.count() + 2
+
+    # same vectors, new ids: screened against batch1's keepers.
+    # Rerank needs the full-precision table of whatever is indexed.
+    batch2 = spark.createDataFrame(
+        [(3001, far1), (3002, far2)],
+        "vec_id long, embedding array<float>",
+    )
+    full = emb.select("vec_id", "embedding").unionByName(batch1)
+    flags2 = index_neardup_add(
+        spark, path, batch2, full, threshold_m=900, nprobe=8, shortlist=50
+    )
+    got = {r.vec_id: r for r in flags2.collect()}
+    assert got[3001].is_dup and got[3001].dup_of == 2001
+    assert got[3002].is_dup and got[3002].dup_of == 2002
+    # dups were NOT added
+    assert read_vector_index(spark, path).codes.select(
+        "vec_id").distinct().count() == n_after

@@ -131,6 +131,9 @@ EXPECTED_FLAGS = {
     "ONE-row observation-horizon aggregate (max ts — the 'now' every "
     "page's staleness is measured against); the revisit-log window and "
     "per-page aggregate share one hash exchange",
+    "index_neardup": "NESTED_LOOP = the IVF/PQ codebook broadcast cross "
+    "joins read from the persisted index (same bounded shape as "
+    "vector_index_search) plus the |increment|-row broadcast rerank join",
     "vector_index_search": "NESTED_LOOP = the IVF/PQ codebook broadcast "
     "cross joins (n_cells / m*k rows, same bounded shape as ann_ivf / "
     "pq_topk) read from the persisted index tables",

@@ -23,7 +23,9 @@ per-stage keep/drop counts.
 Additional stages: ``--sample``/``--sample-rates`` (seeded deterministic
 mixing sample), ``--decontaminate BENCH`` (drop docs sharing an n-gram
 with a benchmark table), ``--scrub-spans W`` (cross-doc duplicated-span
-removal, rewrites text). ``--report-only`` computes report.json without
+removal, rewrites text), ``--scrub-substrings W[:S]`` (the
+arbitrary-offset winnowed-anchor upgrade — catches misaligned
+repeats). ``--report-only`` computes report.json without
 writing the corpus. ``--dedup-against PRIOR`` drops docs already in a
 prior corpus snapshot (exact digest or MinHash LSH band hit — the prior
 corpus is probed via its dedup_index, never re-shuffled);
@@ -176,6 +178,13 @@ def main(argv: list[str] | None = None) -> int:
                     "scrub; rewrites the text column)")
     ap.add_argument("--scrub-min-docs", type=int, default=2, metavar="D",
                     help="chunk is scrubbed when seen in >= D distinct docs")
+    ap.add_argument("--scrub-substrings", metavar="W[:S]",
+                    help="arbitrary-OFFSET repeated-span scrub (winnowed "
+                    "anchors): remove every token covered by a cross-doc "
+                    "repeated span of >= W tokens at ANY offset (stride S, "
+                    "default 16) and stitch the survivors — catches the "
+                    "misaligned repeats --scrub-spans' chunk grid misses; "
+                    "shares --scrub-min-docs")
     ap.add_argument("--report-only", action="store_true",
                     help="compute report.json (stage keep/drop counts) "
                     "without writing the curated corpus")
@@ -693,6 +702,22 @@ def main(argv: list[str] | None = None) -> int:
         ).withColumn(
             text_c, F.coalesce(F.col("clean_text"), F.col(text_c))
         ).drop("__sc_id", "clean_text")
+    if args.scrub_substrings:
+        parts = args.scrub_substrings.split(":")
+        sw = int(parts[0])
+        ss = int(parts[1]) if len(parts) > 1 else 16
+        sc2 = CU.substring_scrub(
+            docs, w=sw, s=ss, min_docs=args.scrub_min_docs,
+            id_col=id_c, text_col=text_c,
+        ).select(
+            F.col(id_c).alias("__ss_id"), "clean_text",
+            F.col("n_removed").alias("__n_substr_removed"),
+        )
+        docs = docs.join(
+            sc2, docs[id_c] == sc2["__ss_id"], "left"
+        ).withColumn(
+            text_c, F.coalesce(F.col("clean_text"), F.col(text_c))
+        ).drop("__ss_id", "clean_text")
     if args.source_cap:
         keep = CU.per_source_cap(
             docs, k=args.source_cap, id_col=id_c, text_col=text_c,
@@ -749,6 +774,8 @@ def main(argv: list[str] | None = None) -> int:
         clash = [f for f, v in [("--pack-tokens", args.pack_tokens),
                                 ("--out-format wet", args.out_format == "wet"),
                                 ("--scrub-spans", args.scrub_spans),
+                                ("--scrub-substrings",
+                                 args.scrub_substrings),
                                 ("--split", args.split),
                                 ("--write-index", args.write_index),
                                 ("--diff-against", args.diff_against),
@@ -772,6 +799,11 @@ def main(argv: list[str] | None = None) -> int:
         out_aggs.append(
             F.sum(F.coalesce(F.col("__n_span_removed"), F.lit(0)))
             .alias("n_spans_removed")
+        )
+    if args.scrub_substrings:
+        out_aggs.append(
+            F.sum(F.coalesce(F.col("__n_substr_removed"), F.lit(0)))
+            .alias("n_substr_removed")
         )
     if args.report_only:
         # no corpus write: one slim agg replaces the write-riding Observation
@@ -854,6 +886,8 @@ def main(argv: list[str] | None = None) -> int:
         report["neardup_clusters"] = neardup_hist
     if args.scrub_spans:
         report["n_spans_removed"] = int(out_vals["n_spans_removed"])
+    if args.scrub_substrings:
+        report["n_substr_removed"] = int(out_vals["n_substr_removed"])
     if bpe_merges is not None:
         report["bpe_merges"] = [list(m) for m in bpe_merges]
     if mix is not None:

@@ -125,6 +125,7 @@ def test_curate_cli_sample_scrub_report_only(tmp_path):
             "--out", str(out),
             "--sample", "0.8", "--sample-rates", "src0=0.2",
             "--scrub-spans", "20",
+            "--scrub-substrings", "12:4",
             "--report-only",
             "--cores", "4",
         ],
@@ -136,6 +137,8 @@ def test_curate_cli_sample_scrub_report_only(tmp_path):
     assert 0 < report["n_output"] < 500          # sampling dropped some
     assert report["n_output"] == report["stages"]["keep_sample"]
     assert report["n_spans_removed"] >= 0
+    # the winnowed-anchor pass scrubs real tokens on this corpus
+    assert report["n_substr_removed"] > 0
     assert not list(out.glob("*.parquet"))       # report-only: no corpus
 
 

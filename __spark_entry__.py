@@ -1093,7 +1093,7 @@ def q_vector_index_search(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
-    path = f"/tmp/vecindex_contract_{tag}"
+    path = f"/tmp/vecindex_contract_{tag}_{__import__('os').getpid()}"  # pid-unique: concurrent harnesses must not race one index dir
     VX.write_vector_index(emb, path, n_cells=32, m=8, n_codes=16, dim=64)
     idx = VX.read_vector_index(spark, path)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1963,7 +1963,7 @@ def q_bm25_index_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
-    path = f"/tmp/textindex_contract_{tag}"
+    path = f"/tmp/textindex_contract_{tag}_{__import__('os').getpid()}"  # pid-unique: concurrent harnesses must not race one index dir
     SE.write_text_index(docs, path)
     idx = SE.read_text_index(spark, path)
     return SE.text_index_topk(idx, ["join", "vector", "stream"], k=20)
@@ -2378,7 +2378,7 @@ def q_phrase_index_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
-    path = f"/tmp/textindex_pos_contract_{tag}"
+    path = f"/tmp/textindex_pos_contract_{tag}_{__import__('os').getpid()}"  # pid-unique: concurrent harnesses must not race one index dir
     SE.write_text_index(docs, path, positions=True)
     idx = SE.read_text_index(spark, path)
     return SE.text_index_phrase(idx, "hash join", k=20)
@@ -2432,7 +2432,7 @@ def q_index_neardup(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") % 13 != 0)
     inc = emb.filter(F.col("vec_id") % 13 == 0)
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
-    path = f"/tmp/vecindex_neardup_contract_{tag}"
+    path = f"/tmp/vecindex_neardup_contract_{tag}_{__import__('os').getpid()}"  # pid-unique: concurrent harnesses must not race one index dir
     VX.write_vector_index(corpus, path, n_cells=32, m=8, n_codes=16, dim=64)
     idx = VX.read_vector_index(spark, path)
     return VX.index_neardup(idx, inc, corpus, threshold_m=350,

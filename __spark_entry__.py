@@ -2439,6 +2439,35 @@ def q_index_neardup(spark, sf_dir):
                             nprobe=2, shortlist=20)
 
 
+def q_link_spam_signals(spark, sf_dir):
+    """Per-host link-spam audit (graph.link_spam_signals): in-link
+    concentration + duplicated-anchor rate in integer basis points over
+    a deterministic anchored host graph (src = doc_id mod 97, dst =
+    md5 mod 37 — the host_rank synthesis plus an anchor column), with a
+    PLANTED link farm: every doc_id % 5 == 0 edge retargets to
+    'spamtarget' from one of two 'farm*' hosts carrying the identical
+    anchor — so the flag fires exactly where the signals say it should
+    (farm anchors 100% duplicated) while the 37 organic hosts spread
+    ~97 sources × 13 anchors and stay under both 80% thresholds."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = (d % 5) == 0
+    edges = docs.select(
+        F.when(planted, F.concat(F.lit("farm"), (d % 2).cast("string")))
+        .otherwise(F.concat(F.lit("h"), (d % 97).cast("string")))
+        .alias("src"),
+        F.when(planted, F.lit("spamtarget"))
+        .otherwise(F.concat(
+            F.lit("h"),
+            (DD.md5_int48(d.cast("string")) % 37).cast("string"),
+        )).alias("dst"),
+        F.when(planted, F.lit("buy cheap widgets"))
+        .otherwise(F.concat(F.lit("a"), ((d * 7 + 3) % 13).cast("string")))
+        .alias("anchor"),
+    )
+    return GR.link_spam_signals(edges, min_inlinks=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2565,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_index_search": q_phrase_index_search,
         "focused_frontier": q_focused_frontier,
         "index_neardup": q_index_neardup,
+        "link_spam_signals": q_link_spam_signals,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -5881,4 +5911,40 @@ def oracle_sql() -> dict[str, str]:
                 AND f.margin_bp >= 10500) AS mined
         FROM fwd f LEFT JOIN bwd b ON b.tid = f.tid AND b.rn = 1
         WHERE f.rn = 1"""
+    out["link_spam_signals"] = f"""
+        WITH e AS (
+          SELECT CASE WHEN doc_id % 5 = 0
+                      THEN 'farm' || (doc_id % 2)::VARCHAR
+                      ELSE 'h' || (doc_id % 97)::VARCHAR END AS src,
+                 CASE WHEN doc_id % 5 = 0 THEN 'spamtarget'
+                      ELSE 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")}
+                                   % 37)::VARCHAR END AS dst,
+                 CASE WHEN doc_id % 5 = 0 THEN 'buy cheap widgets'
+                      ELSE 'a' || ((doc_id * 7 + 3) % 13)::VARCHAR
+                 END AS anchor
+          FROM documents
+        ),
+        bs AS (
+          SELECT dst, CAST(sum(n) AS BIGINT) AS inlinks,
+                 CAST(count(*) AS BIGINT) AS src_hosts,
+                 CAST(max(n) AS BIGINT) AS top_src_n
+          FROM (SELECT dst, src, count(*) AS n FROM e GROUP BY dst, src)
+          GROUP BY dst
+        ),
+        ba AS (
+          SELECT dst, CAST(max(n) AS BIGINT) AS top_anchor_n
+          FROM (SELECT dst, anchor, count(*) AS n FROM e
+                GROUP BY dst, anchor)
+          GROUP BY dst
+        )
+        SELECT bs.dst AS host, inlinks, src_hosts,
+               CAST(10000 * top_src_n // inlinks AS BIGINT)
+                 AS top_src_share_bp,
+               CAST(10000 * top_anchor_n // inlinks AS BIGINT)
+                 AS top_anchor_share_bp,
+               (inlinks >= 10
+                AND (10000 * top_src_n // inlinks >= 8000
+                     OR 10000 * top_anchor_n // inlinks >= 8000))
+                 AS spam_flag
+        FROM bs JOIN ba ON ba.dst = bs.dst"""
     return out

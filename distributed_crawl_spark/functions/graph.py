@@ -346,3 +346,77 @@ def focused_frontier(scores: DataFrame,
         (-F.col("rel_q")).cast("long").alias("seq"),
         F.lit(-2).cast("int").alias("discovered_round"),
     )
+
+
+def link_spam_signals(edges: DataFrame,
+                      min_inlinks: int = 10,
+                      src_share_bp: int = 8000,
+                      anchor_share_bp: int = 8000,
+                      src_col: str = "src", dst_col: str = "dst",
+                      anchor_col: str = "anchor") -> DataFrame:
+    """Per-host link-spam audit over an anchored edge list — the two
+    classic web-spam signals a ranking pipeline checks before trusting
+    in-links (no reference analog; the reference crawler discards
+    anchors, webcrawleranalyzer.py:139-140):
+
+    - **in-link concentration**: share of a host's in-links that come
+      from its single biggest source host. A link farm pushes this
+      toward 10000 bp (one controlled site emitting thousands of
+      links); organically-endorsed hosts stay low.
+    - **duplicated-anchor rate**: share of in-links carrying the host's
+      single most common anchor string. Spam campaigns paste one
+      exact-match anchor everywhere; organic anchors vary.
+
+    Shares are integer BASIS POINTS (``10000 * top // total``, floor),
+    so results hash-match any engine. ``spam_flag`` fires when a host
+    has at least ``min_inlinks`` in-links AND either share crosses its
+    threshold — thresholds are policy knobs, the default 8000 bp (80%)
+    flags only strongly concentrated hosts.
+
+    Scale shape: two censuses, ``(dst, src)`` and ``(dst, anchor)``,
+    both map-side combinable (a Zipf-head target host partial-aggregates
+    per map task before any exchange), each rolled up to one row per
+    dst (``sum``/``count``/``max`` — again map-side combinable), then
+    ONE hash join on dst between two |hosts|-sized sides. No window, no
+    all-pairs, no skew exposure beyond the bounded per-dst rollup.
+
+    Returns ``(host, inlinks, src_hosts, top_src_share_bp,
+    top_anchor_share_bp, spam_flag)``, one row per link target.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(anchor_col).alias("anchor"),
+    )
+    by_src = (
+        e.groupBy("dst", "src").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("dst")
+        .agg(
+            F.sum("n").cast("long").alias("inlinks"),
+            F.count(F.lit(1)).cast("long").alias("src_hosts"),
+            F.max("n").cast("long").alias("_top_src_n"),
+        )
+    )
+    by_anchor = (
+        e.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("dst")
+        .agg(F.max("n").cast("long").alias("_top_anchor_n"))
+    )
+    out = by_src.join(by_anchor, "dst")
+    # `div` is int64 floor division in Spark SQL — exact at any count,
+    # unlike `/` (double) whose 53-bit mantissa rounds above ~9e12
+    src_share = F.expr("10000 * _top_src_n div inlinks").cast("long")
+    anc_share = F.expr("10000 * _top_anchor_n div inlinks").cast("long")
+    return out.select(
+        F.col("dst").alias("host"),
+        F.col("inlinks"),
+        F.col("src_hosts"),
+        src_share.alias("top_src_share_bp"),
+        anc_share.alias("top_anchor_share_bp"),
+        (
+            (F.col("inlinks") >= F.lit(int(min_inlinks)))
+            & (
+                (src_share >= F.lit(int(src_share_bp)))
+                | (anc_share >= F.lit(int(anchor_share_bp)))
+            )
+        ).alias("spam_flag"),
+    )

@@ -211,3 +211,60 @@ def test_focused_frontier_drains_most_relevant_first(spark):
     # (p9 rel=100, p4 rel=5 — every pI anchor keeps the 'spark' token)
     assert picked == {"https://h.test/p9", "https://h.test/p4"}
     assert deferred.count() == frontier.count() - 2
+
+
+def _ref_spam_signals(edges, min_inlinks=10, src_bp=8000, anchor_bp=8000):
+    """Brute-force python twin of link_spam_signals (floor basis points)."""
+    by_src, by_anchor = {}, {}
+    for s, d, a in edges:
+        by_src.setdefault(d, {}).setdefault(s, 0)
+        by_src[d][s] += 1
+        by_anchor.setdefault(d, {}).setdefault(a, 0)
+        by_anchor[d][a] += 1
+    out = {}
+    for d, srcs in by_src.items():
+        inl = sum(srcs.values())
+        ssh = 10000 * max(srcs.values()) // inl
+        ash = 10000 * max(by_anchor[d].values()) // inl
+        out[d] = (inl, len(srcs), ssh, ash,
+                  inl >= min_inlinks and (ssh >= src_bp or ash >= anchor_bp))
+    return out
+
+
+def _spam_graph():
+    """Hash-shaped organic edges + one planted farm target."""
+    edges = []
+    for i in range(400):
+        h = hashlib.md5(f"s{i}".encode()).hexdigest()
+        edges.append((f"h{int(h[:6], 16) % 29}",
+                      f"h{int(h[6:12], 16) % 11}",
+                      f"a{int(h[12:18], 16) % 7}"))
+    # farm: 2 sources, 1 anchor, 30 in-links -> both shares high
+    for i in range(30):
+        edges.append((f"farm{i % 2}", "spamtarget", "buy cheap widgets"))
+    return edges
+
+
+def test_link_spam_signals_matches_bruteforce(spark):
+    edges = _spam_graph()
+    df = spark.createDataFrame(edges, "src STRING, dst STRING, anchor STRING")
+    got = {
+        r.host: (r.inlinks, r.src_hosts, r.top_src_share_bp,
+                 r.top_anchor_share_bp, r.spam_flag)
+        for r in G.link_spam_signals(df).collect()
+    }
+    assert got == _ref_spam_signals(edges)
+    assert got["spamtarget"][4] is True
+    # organic hosts spread 29 sources x 7 anchors: none flagged
+    assert not any(v[4] for h, v in got.items() if h != "spamtarget")
+
+
+def test_link_spam_signals_min_inlinks_gate(spark):
+    # concentrated but tiny: 3 in-links from one source, one anchor
+    edges = [("s", "tiny", "x")] * 3
+    df = spark.createDataFrame(edges, "src STRING, dst STRING, anchor STRING")
+    row = G.link_spam_signals(df, min_inlinks=10).collect()[0]
+    assert (row.top_src_share_bp, row.top_anchor_share_bp) == (10000, 10000)
+    assert row.spam_flag is False  # under the in-link floor
+    row = G.link_spam_signals(df, min_inlinks=3).collect()[0]
+    assert row.spam_flag is True

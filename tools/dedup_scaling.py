@@ -66,6 +66,8 @@ QUERIES = [
     "sitemap_coverage",     # url-keyed distincts + semi/anti + census
     "robots_audit",         # broadcast robots join + robotparser UDF
     "importance_sample",    # distinct-score census + hash filter
+    # round-5 session-5 addition:
+    "link_spam_signals",    # two map-side censuses + |hosts|-sized join
 ]
 
 

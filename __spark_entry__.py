@@ -2468,6 +2468,67 @@ def q_link_spam_signals(spark, sf_dir):
     return GR.link_spam_signals(edges, min_inlinks=10)
 
 
+_TRUST_SEEDS = ["h0", "h1", "h2"]
+
+
+def q_trust_rank(spark, sf_dir):
+    """TrustRank (graph.trust_rank): seed-biased integer PageRank over
+    the SAME deterministic 37-host multigraph as host_rank, trusted
+    seeds {h0,h1,h2}, 3 quantized iterations — trust decays with link
+    distance from the seeds instead of spreading uniformly, so hosts no
+    seed transitively endorses read 0. The md5-shaped graph is dense
+    enough that both regimes (reached / unreached-by-seeds at depth 3)
+    appear in the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"),
+            (DD.md5_int48(F.col("doc_id").cast("string")) % 37)
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return GR.trust_rank(edges, _TRUST_SEEDS, iters=3)
+
+
+def _trust_rank_sql(iters: int = 3) -> str:
+    """DuckDB twin of q_trust_rank: _host_rank_sql's unrolled power
+    iteration with the teleport CASE-gated onto the seed set."""
+    seeds = ", ".join(f"'{s}'" for s in _TRUST_SEEDS)
+    s = f"""
+        WITH e AS (
+          SELECT 'h' || (doc_id % 37)::VARCHAR AS src,
+                 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")} % 37)::VARCHAR
+                   AS dst
+          FROM documents
+        ),
+        nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (
+          SELECT host,
+                 CAST(CASE WHEN host IN ({seeds}) THEN 1000000 ELSE 0 END
+                      AS BIGINT) AS t
+          FROM nodes
+        ),"""
+    for i in range(iters):
+        s += f"""
+        c{i} AS (
+          SELECT e.dst, CAST(sum(r{i}.t // od.outdeg) AS BIGINT) AS s
+          FROM e JOIN od USING (src) JOIN r{i} ON r{i}.host = e.src
+          GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+          SELECT nodes.host,
+                 CAST(CASE WHEN nodes.host IN ({seeds})
+                      THEN 150000 ELSE 0 END
+                      + (850 * COALESCE(c{i}.s, 0)) // 1000 AS BIGINT) AS t
+          FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.host
+        ),"""
+    return s.rstrip(",") + f"""
+        SELECT host, t AS trust_x1e6 FROM r{iters}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2595,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_frontier": q_focused_frontier,
         "index_neardup": q_index_neardup,
         "link_spam_signals": q_link_spam_signals,
+        "trust_rank": q_trust_rank,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4246,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lma USING (doc_id)
             WHERE bk.bucket < 9000""",
         "host_rank": _host_rank_sql(3),
+        "trust_rank": _trust_rank_sql(3),
         "sessionize": _SESSIONIZE_SQL + """
             SELECT event_id, user_id, ts,
                    CAST(user_id * 1048576 + seq - 1 AS BIGINT) AS session_id,

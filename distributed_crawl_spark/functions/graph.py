@@ -420,3 +420,86 @@ def link_spam_signals(edges: DataFrame,
             )
         ).alias("spam_flag"),
     )
+
+
+def trust_rank(edges: DataFrame, seeds: "list[str]",
+               iters: int = 5, damping_x1000: int = 850,
+               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport biased onto a hand-vetted TRUSTED seed set, so
+    trust flows only along links out of good hosts and decays with
+    distance from them. Link farms — which inflate plain PageRank by
+    linking to each other — receive (almost) none of it: a host no seed
+    transitively endorses scores 0. Read together with
+    :func:`link_spam_signals`: high in-link concentration AND low trust
+    is the classic spam verdict; high PageRank AND low trust is
+    Gyöngyi's spam-mass shape.
+
+    Same integer micro-unit scheme as :func:`host_rank` (quantized,
+    layout- and engine-bit-identical), with two changes::
+
+        t0(h)  = RANK_UNIT            if h in seeds else 0
+        t'(h)  = is_seed(h) * (1000 - d)*1000
+                 + d * sum(t(src) // outdeg(src)) // 1000
+
+    i.e. the teleport term lands ONLY on seeds (the biased
+    personalization vector), everything else is the host_rank update.
+    Trust is comparative (queue ordering / gating), not a probability,
+    so the seed mass is per-seed RANK_UNIT rather than 1/|seeds| —
+    ordering is identical and the integers stay large enough to floor
+    safely.
+
+    Scale shape: identical to :func:`host_rank` — three host-keyed
+    shuffles per iteration, localCheckpoint keeps the plan linear; the
+    seed set is a literal in-plan array (vetted seed lists are
+    hundreds-to-thousands of hosts — driver-side by nature). Returns
+    ``(host, trust_x1e6)`` for every host appearing as src or dst.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_arr = F.array(*[F.lit(s) for s in sorted(set(seeds))])
+    is_seed = F.array_contains(seed_arr, F.col("host"))
+    seed_base = (
+        F.when(is_seed, F.lit((1000 - damping_x1000) * 1000))
+        .otherwise(F.lit(0)).cast("long")
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = e.join(outdeg, "src").localCheckpoint()  # static across iterations
+    ranks = nodes.withColumn(
+        "trust_x1e6",
+        F.when(is_seed, F.lit(RANK_UNIT)).otherwise(F.lit(0)).cast("long"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("host").alias("src"),
+                    F.col("trust_x1e6").alias("t"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.floor(F.col("t") / F.col("outdeg")).cast("long"))
+                .alias("s")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["host"] == contrib["dst"], "left")
+            .select(
+                "host",
+                (seed_base + F.floor(
+                    F.lit(damping_x1000) * F.coalesce(F.col("s"), F.lit(0))
+                    / F.lit(1000)
+                ).cast("long")).alias("trust_x1e6"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -268,3 +268,57 @@ def test_link_spam_signals_min_inlinks_gate(spark):
     assert row.spam_flag is False  # under the in-link floor
     row = G.link_spam_signals(df, min_inlinks=3).collect()[0]
     assert row.spam_flag is True
+
+
+def _ref_trust_rank(edges, seeds, iters, d=850):
+    """Pure-python twin of the seed-biased quantized update rule."""
+    nodes = sorted({h for e in edges for h in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seeds = set(seeds)
+    t = {h: (G.RANK_UNIT if h in seeds else 0) for h in nodes}
+    for _ in range(iters):
+        s = {h: 0 for h in nodes}
+        for a, b in edges:
+            s[b] += t[a] // outdeg[a]
+        t = {h: ((1000 - d) * 1000 if h in seeds else 0) + d * s[h] // 1000
+             for h in nodes}
+    return t
+
+
+def test_trust_rank_matches_integer_reference(spark):
+    edges = _graph()
+    seeds = ["h0", "h3", "h7"]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: r.trust_x1e6
+           for r in G.trust_rank(df, seeds, iters=4).collect()}
+    assert got == _ref_trust_rank(edges, seeds, iters=4)
+
+
+def test_trust_rank_zero_beyond_seed_reach(spark):
+    # chain: seed -> a -> b, plus an island c -> d no seed can reach
+    edges = [("seed", "a"), ("a", "b"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    t = {r.host: r.trust_x1e6
+         for r in G.trust_rank(df, ["seed"], iters=3).collect()}
+    assert t["c"] == 0 and t["d"] == 0      # unreachable from the seed
+    assert t["seed"] > t["a"] > t["b"] > 0  # decays with distance
+
+
+def test_trust_rank_vs_host_rank_spam_shape(spark):
+    # a 10-node farm linking to itself + its target outranks an honest
+    # host on plain PageRank but takes ZERO trust from the seed side
+    edges = [("seed", "honest")]
+    farm = [f"f{i}" for i in range(10)]
+    for a in farm:
+        for b in farm:
+            if a != b:
+                edges.append((a, b))
+        edges.append((a, "spamtarget"))
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    pr = {r.host: r.pr_x1e6 for r in G.host_rank(df, iters=4).collect()}
+    t = {r.host: r.trust_x1e6
+         for r in G.trust_rank(df, ["seed"], iters=4).collect()}
+    assert pr["spamtarget"] > pr["honest"]  # PageRank is fooled
+    assert t["spamtarget"] == 0 and t["honest"] > 0  # trust is not

@@ -2475,10 +2475,11 @@ def q_trust_rank(spark, sf_dir):
     """TrustRank (graph.trust_rank): seed-biased integer PageRank over
     the SAME deterministic 37-host multigraph as host_rank, trusted
     seeds {h0,h1,h2}, 3 quantized iterations — trust decays with link
-    distance from the seeds instead of spreading uniformly, so hosts no
-    seed transitively endorses read 0. The md5-shaped graph is dense
-    enough that both regimes (reached / unreached-by-seeds at depth 3)
-    appear in the hash."""
+    distance from the seeds instead of spreading uniformly (hosts no
+    seed transitively endorses would read 0; this dense md5 graph
+    reaches everything by depth 3, so the hash exercises the decay
+    gradient — seed ~203k micro-units down to ~24k at the fringe —
+    while the zero regime is pytest-covered on a disconnected graph)."""
     docs = _t(spark, sf_dir, "documents")
     edges = docs.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
@@ -2492,10 +2493,15 @@ def q_trust_rank(spark, sf_dir):
     return GR.trust_rank(edges, _TRUST_SEEDS, iters=3)
 
 
-def _trust_rank_sql(iters: int = 3) -> str:
+def _trust_rank_sql(iters: int = 3, scaled: bool = False) -> str:
     """DuckDB twin of q_trust_rank: _host_rank_sql's unrolled power
-    iteration with the teleport CASE-gated onto the seed set."""
+    iteration with the teleport CASE-gated onto the seed set. With
+    ``scaled`` the seed init/teleport multiply by |hosts| // |seeds|
+    (the spam_mass normalization) via a 1-row cross-joined CTE."""
     seeds = ", ".join(f"'{s}'" for s in _TRUST_SEEDS)
+    n_seeds = len(_TRUST_SEEDS)
+    sc = "sc.k" if scaled else "1"
+    xsc = " CROSS JOIN sc" if scaled else ""
     s = f"""
         WITH e AS (
           SELECT 'h' || (doc_id % 37)::VARCHAR AS src,
@@ -2504,12 +2510,15 @@ def _trust_rank_sql(iters: int = 3) -> str:
           FROM documents
         ),
         nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        sc AS (
+          SELECT greatest(1, count(*) // {n_seeds}) AS k FROM nodes
+        ),
         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
         r0 AS (
           SELECT host,
-                 CAST(CASE WHEN host IN ({seeds}) THEN 1000000 ELSE 0 END
-                      AS BIGINT) AS t
-          FROM nodes
+                 CAST(CASE WHEN host IN ({seeds}) THEN 1000000 * {sc}
+                      ELSE 0 END AS BIGINT) AS t
+          FROM nodes{xsc}
         ),"""
     for i in range(iters):
         s += f"""
@@ -2521,12 +2530,46 @@ def _trust_rank_sql(iters: int = 3) -> str:
         r{i + 1} AS (
           SELECT nodes.host,
                  CAST(CASE WHEN nodes.host IN ({seeds})
-                      THEN 150000 ELSE 0 END
+                      THEN 150000 * {sc} ELSE 0 END
                       + (850 * COALESCE(c{i}.s, 0)) // 1000 AS BIGINT) AS t
-          FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.host
+          FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.host{xsc}
         ),"""
     return s.rstrip(",") + f"""
         SELECT host, t AS trust_x1e6 FROM r{iters}"""
+
+
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass (graph.spam_mass, Gyöngyi VLDB'06): PageRank
+    and teleport-SCALED TrustRank (seed mass × |hosts|//|seeds|, the
+    paper's same-total-mass normalization) over the SAME 37-host md5
+    multigraph (seeds {h0,h1,h2}, 3 iterations each), joined per host
+    into max(0, (pr - trust)/pr) basis points — the verdict ratio of
+    the spam stack. Both power iterations are integer-quantized, so the
+    composed clamped ratio hash-matches the oracle's two unrolled CTE
+    chains exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"),
+            (DD.md5_int48(F.col("doc_id").cast("string")) % 37)
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return GR.spam_mass(edges, _TRUST_SEEDS, iters=3)
+
+
+def _spam_mass_sql(iters: int = 3) -> str:
+    """DuckDB twin of q_spam_mass: the host_rank and SCALED trust_rank
+    unrolled chains as parenthesized WITH-subqueries, joined per host,
+    mass clamped at 0 (scaled trust can exceed a host's PageRank)."""
+    return f"""
+        SELECT p.host, p.pr_x1e6, t.trust_x1e6,
+               CAST(greatest(0, 10000 * (p.pr_x1e6 - t.trust_x1e6)
+                                // p.pr_x1e6) AS BIGINT) AS spam_mass_bp
+        FROM ({_host_rank_sql(iters)}) p
+        JOIN ({_trust_rank_sql(iters, scaled=True)}) t USING (host)"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2657,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_neardup": q_index_neardup,
         "link_spam_signals": q_link_spam_signals,
         "trust_rank": q_trust_rank,
+        "spam_mass": q_spam_mass,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4309,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bk.bucket < 9000""",
         "host_rank": _host_rank_sql(3),
         "trust_rank": _trust_rank_sql(3),
+        "spam_mass": _spam_mass_sql(3),
         "sessionize": _SESSIONIZE_SQL + """
             SELECT event_id, user_id, ts,
                    CAST(user_id * 1048576 + seq - 1 AS BIGINT) AS session_id,

@@ -94,7 +94,8 @@ def host_rank(edges: DataFrame, iters: int = 5, damping_x1000: int = 850,
 
 
 def rank_budgets(ranks: DataFrame, total_budget: int,
-                 min_budget: int = 1) -> DataFrame:
+                 min_budget: int = 1,
+                 rank_col: str = "pr_x1e6") -> DataFrame:
     """Turn :func:`host_rank` output into per-host politeness budgets —
     the "priority queue" composition: instead of every host getting the
     same per-round fetch budget, a round's ``total_budget`` slots are
@@ -113,8 +114,13 @@ def rank_budgets(ranks: DataFrame, total_budget: int,
     :func:`~distributed_crawl_spark.operators.politeness.rank_frontier`'s
     ``host_budgets`` parameter, which broadcast-joins it onto the
     frontier — the whole priority path adds zero shuffles to the round.
+
+    ``rank_col`` picks the scoring column, so :func:`trust_rank` output
+    (``trust_x1e6``) plugs in unchanged — trust-proportional budgets
+    starve link farms down to ``min_budget`` instead of rewarding their
+    self-inflated PageRank.
     """
-    tot = ranks.agg(F.sum("pr_x1e6").alias("__tot"))
+    tot = ranks.agg(F.sum(rank_col).alias("__tot"))
     return (
         ranks.crossJoin(F.broadcast(tot))
         .select(
@@ -122,7 +128,7 @@ def rank_budgets(ranks: DataFrame, total_budget: int,
             F.greatest(
                 F.lit(min_budget).cast("long"),
                 F.floor(
-                    F.lit(total_budget) * F.col("pr_x1e6") / F.col("__tot")
+                    F.lit(total_budget) * F.col(rank_col) / F.col("__tot")
                 ).cast("long"),
             ).alias("budget"),
         )
@@ -424,7 +430,8 @@ def link_spam_signals(edges: DataFrame,
 
 def trust_rank(edges: DataFrame, seeds: "list[str]",
                iters: int = 5, damping_x1000: int = 850,
-               src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+               src_col: str = "src", dst_col: str = "dst",
+               scaled_teleport: bool = False) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
     with the teleport biased onto a hand-vetted TRUSTED seed set, so
     trust flows only along links out of good hosts and decays with
@@ -449,6 +456,17 @@ def trust_rank(edges: DataFrame, seeds: "list[str]",
     ordering is identical and the integers stay large enough to floor
     safely.
 
+    ``scaled_teleport=True`` multiplies the seed init and teleport by
+    ``|hosts| // |seeds|`` (integer), putting total trust mass on the
+    SAME scale as host_rank's uniform teleport — the normalization
+    Gyöngyi's relative-mass comparison needs (without it, trust totals
+    |seeds|·UNIT vs PageRank's |hosts|·UNIT and every host looks
+    under-trusted). Ordering within trust is unchanged; only
+    cross-measure comparisons (:func:`spam_mass`) need it. int64-safe:
+    the scaled unit is ≤ RANK_UNIT·|hosts|, the same bound host_rank's
+    overflow analysis already covers. Costs one ``nodes.count()`` on
+    the already-checkpointed node table.
+
     Scale shape: identical to :func:`host_rank` — three host-keyed
     shuffles per iteration, localCheckpoint keeps the plan linear; the
     seed set is a literal in-plan array (vetted seed lists are
@@ -466,15 +484,19 @@ def trust_rank(edges: DataFrame, seeds: "list[str]",
     )
     seed_arr = F.array(*[F.lit(s) for s in sorted(set(seeds))])
     is_seed = F.array_contains(seed_arr, F.col("host"))
+    scale = 1
+    if scaled_teleport:
+        scale = max(1, nodes.count() // len(set(seeds)))
     seed_base = (
-        F.when(is_seed, F.lit((1000 - damping_x1000) * 1000))
+        F.when(is_seed, F.lit((1000 - damping_x1000) * 1000 * scale))
         .otherwise(F.lit(0)).cast("long")
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = e.join(outdeg, "src").localCheckpoint()  # static across iterations
     ranks = nodes.withColumn(
         "trust_x1e6",
-        F.when(is_seed, F.lit(RANK_UNIT)).otherwise(F.lit(0)).cast("long"),
+        F.when(is_seed, F.lit(RANK_UNIT * scale))
+        .otherwise(F.lit(0)).cast("long"),
     )
     for _ in range(iters):
         contrib = (
@@ -503,3 +525,48 @@ def trust_rank(edges: DataFrame, seeds: "list[str]",
             .localCheckpoint()
         )
     return ranks
+
+
+def spam_mass(edges: DataFrame, seeds: "list[str]",
+              iters: int = 5, damping_x1000: int = 850,
+              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Relative spam mass (Gyöngyi et al., "Link Spam Detection Based on
+    Mass Estimation", VLDB 2006): the share of a host's PageRank NOT
+    backed by trust — ``mass = (pr - trust) / pr`` — in integer basis
+    points. A host whose rank comes from seed-endorsed neighborhoods
+    scores near 0 bp; a link farm that inflated its PageRank without any
+    trusted endorsement scores near 10000 bp. The third leg of the spam
+    stack: :func:`link_spam_signals` (local edge statistics),
+    :func:`trust_rank` (global trust), spam_mass (the verdict ratio).
+
+    Normalization (the part the paper is careful about): raw trust
+    totals ``|seeds| * UNIT`` while PageRank totals ``|hosts| * UNIT``,
+    so subtracting them directly calls every host under-trusted. Trust
+    therefore runs with ``scaled_teleport=True`` — seed mass multiplied
+    by ``|hosts| // |seeds|`` — which puts both measures on the same
+    total-mass scale. Scaled trust CAN then exceed a host's PageRank
+    (seed neighborhoods hold trust mass that plain PageRank spreads
+    everywhere), so the mass clamps at 0: ``max(0, 10000*(pr - t) div
+    pr)``. pr > 0 always (uniform teleport), so the division is safe.
+
+    Cost: the two power iterations run over the SAME localCheckpointed
+    edge+outdeg table shape (host_rank and trust_rank each checkpoint
+    their own copy — at cluster scale cache the edge list before
+    calling), then ONE |hosts|-sized equi-join. Returns
+    ``(host, pr_x1e6, trust_x1e6, spam_mass_bp)`` with trust in scaled
+    units.
+    """
+    pr = host_rank(edges, iters, damping_x1000, src_col, dst_col)
+    tr = trust_rank(edges, seeds, iters, damping_x1000, src_col, dst_col,
+                    scaled_teleport=True)
+    return (
+        pr.join(tr, "host")
+        .select(
+            "host", "pr_x1e6", "trust_x1e6",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr("10000 * (pr_x1e6 - trust_x1e6) div pr_x1e6")
+                .cast("long"),
+            ).alias("spam_mass_bp"),
+        )
+    )

@@ -270,19 +270,21 @@ def test_link_spam_signals_min_inlinks_gate(spark):
     assert row.spam_flag is True
 
 
-def _ref_trust_rank(edges, seeds, iters, d=850):
-    """Pure-python twin of the seed-biased quantized update rule."""
+def _ref_trust_rank(edges, seeds, iters, d=850, scale=1):
+    """Pure-python twin of the seed-biased quantized update rule
+    (scale = the |hosts|//|seeds| teleport factor of scaled_teleport)."""
     nodes = sorted({h for e in edges for h in e})
     outdeg = {}
     for s, _ in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
     seeds = set(seeds)
-    t = {h: (G.RANK_UNIT if h in seeds else 0) for h in nodes}
+    t = {h: (G.RANK_UNIT * scale if h in seeds else 0) for h in nodes}
     for _ in range(iters):
         s = {h: 0 for h in nodes}
         for a, b in edges:
             s[b] += t[a] // outdeg[a]
-        t = {h: ((1000 - d) * 1000 if h in seeds else 0) + d * s[h] // 1000
+        t = {h: ((1000 - d) * 1000 * scale if h in seeds else 0)
+             + d * s[h] // 1000
              for h in nodes}
     return t
 
@@ -322,3 +324,56 @@ def test_trust_rank_vs_host_rank_spam_shape(spark):
          for r in G.trust_rank(df, ["seed"], iters=4).collect()}
     assert pr["spamtarget"] > pr["honest"]  # PageRank is fooled
     assert t["spamtarget"] == 0 and t["honest"] > 0  # trust is not
+
+
+def _ref_spam_mass(edges, seeds, iters, d=850):
+    """Composed python twin: host_rank + SCALED trust_rank + clamp
+    (Spark's `div` truncates toward zero; clamping first keeps the two
+    floor conventions agreeing on negatives)."""
+    nodes = {h for e in edges for h in e}
+    scale = max(1, len(nodes) // len(set(seeds)))
+    pr = _ref_host_rank(edges, iters, d)
+    t = {h: v * 1 for h, v in _ref_trust_rank(edges, seeds, iters, d,
+                                              scale=scale).items()}
+    return {h: (pr[h], t[h],
+                max(0, 10000 * (pr[h] - t[h]) // pr[h])
+                if pr[h] - t[h] >= 0 else 0)
+            for h in pr}
+
+
+def test_spam_mass_matches_composed_reference(spark):
+    edges = _graph()
+    seeds = ["h0", "h3"]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: (r.pr_x1e6, r.trust_x1e6, r.spam_mass_bp)
+           for r in G.spam_mass(df, seeds, iters=4).collect()}
+    assert got == _ref_spam_mass(edges, seeds, iters=4)
+    assert all(0 <= m <= 10000 for _, _, m in got.values())
+
+
+def test_spam_mass_farm_scores_high_honest_low(spark):
+    edges = [("seed", "honest"), ("honest", "seed")]
+    farm = [f"f{i}" for i in range(10)]
+    for a in farm:
+        for b in farm:
+            if a != b:
+                edges.append((a, b))
+        edges.append((a, "spamtarget"))
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    m = {r.host: r.spam_mass_bp
+         for r in G.spam_mass(df, ["seed"], iters=4).collect()}
+    assert m["spamtarget"] == 10000  # zero trust: pure spam mass
+    assert all(m[f] == 10000 for f in farm)
+    assert m["honest"] == 0          # seed-backed: scaled trust >= pr
+    assert m["seed"] == 0
+
+
+def test_rank_budgets_accepts_trust_column(spark):
+    edges = [("seed", "a"), ("a", "b"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    tr = G.trust_rank(df, ["seed"], iters=3)
+    b = {r.host: r.budget
+         for r in G.rank_budgets(tr, 100, min_budget=1,
+                                 rank_col="trust_x1e6").collect()}
+    assert b["c"] == 1 and b["d"] == 1   # zero trust -> starved to floor
+    assert b["seed"] > b["a"] > b["b"] >= 1

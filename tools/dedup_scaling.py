@@ -66,8 +66,10 @@ QUERIES = [
     "sitemap_coverage",     # url-keyed distincts + semi/anti + census
     "robots_audit",         # broadcast robots join + robotparser UDF
     "importance_sample",    # distinct-score census + hash filter
-    # round-5 session-5 addition:
+    # round-5 session-5 additions:
     "link_spam_signals",    # two map-side censuses + |hosts|-sized join
+    "trust_rank",           # 3 host-keyed shuffles x iters, checkpointed
+    "spam_mass",            # host_rank + scaled trust_rank + 1 equi-join
 ]
 
 

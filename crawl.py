@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--max-levels", type=int, default=3)
     ap.add_argument("--host-budget", type=int, default=64)
+    ap.add_argument("--host-budgets", metavar="PATH",
+                    help="parquet (host, budget) table from an offline rank "
+                         "job — rank_budgets(host_rank/trust_rank); merged "
+                         "with Crawl-delay budgets by LEAST")
     ap.add_argument("--salt-threshold", type=int, default=100_000)
     ap.add_argument("--retry-attempts", type=int, default=3)
     ap.add_argument("--max-links", type=int, default=10)
@@ -177,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
         ) if args.block_domains else (),
         honor_nofollow=args.honor_nofollow,
         honor_noindex=args.honor_noindex,
+        host_budgets_path=args.host_budgets,
     )
     if args.config:
         import os

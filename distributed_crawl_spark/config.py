@@ -125,6 +125,16 @@ class CrawlConfig:
     honor_crawl_delay: bool = False
     crawl_delay_round_seconds: float = 60.0
 
+    # Per-host budget table (parquet path, columns host/budget) produced
+    # OFFLINE by a rank job — rank_budgets(host_rank(...)) or the
+    # trust-weighted rank_budgets(trust_rank(...), rank_col='trust_x1e6')
+    # that starves link farms — the 100-TB pattern: graph jobs run out of
+    # band, the crawler consumes their verdict as a broadcast table.
+    # Merged with Crawl-delay budgets by LEAST (both constraints honored);
+    # hosts in neither table fall back to the scalar host_budget.
+    # Requires host_budget (the politeness window must exist).
+    host_budgets_path: str | None = None
+
     # Submit independent per-round staged writes concurrently — what a real
     # cluster driver does for independent stages: {miss_log ∥ children
     # seen-probe} both depend only on the results append, and {url_seen ∥
@@ -182,3 +192,8 @@ class CrawlConfig:
             )
         if self.crawl_delay_round_seconds <= 0:
             raise ValueError("crawl_delay_round_seconds > 0")
+        if self.host_budgets_path is not None and self.host_budget is None:
+            raise ValueError(
+                "host_budgets_path requires a host_budget (the politeness "
+                "window is what applies per-host budgets)"
+            )

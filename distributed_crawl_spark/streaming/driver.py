@@ -140,6 +140,15 @@ class CrawlDriver:
         else:
             self.bloom = BloomSeenFilter(cfg.bloom_buckets, cfg.bloom_bits)
         self.stats: list[RoundStats] = []
+        # offline rank-job budgets (host, budget): loaded once, broadcast
+        # into every round's politeness window (config.host_budgets_path)
+        self._rank_budgets: DataFrame | None = None
+        if cfg.host_budgets_path is not None:
+            self._rank_budgets = (
+                spark.read.parquet(cfg.host_budgets_path)
+                .select("host", F.col("budget").cast("long").alias("budget"))
+                .localCheckpoint()
+            )
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -329,6 +338,27 @@ class CrawlDriver:
                     default_budget=cfg.host_budget,
                     round_no=round_no,  # spreads delays > window across rounds
                 )
+            if self._rank_budgets is not None:
+                if budgets is None:
+                    budgets = self._rank_budgets
+                else:
+                    # both constraints bind: LEAST of delay & rank budgets;
+                    # a host in only one table keeps that table's budget
+                    budgets = (
+                        budgets.withColumnRenamed("budget", "__d")
+                        .join(
+                            self._rank_budgets
+                            .withColumnRenamed("budget", "__r"),
+                            "host", "outer",
+                        )
+                        .select(
+                            "host",
+                            F.least(
+                                F.coalesce("__d", "__r"),
+                                F.coalesce("__r", "__d"),
+                            ).alias("budget"),
+                        )
+                    )
             obs_rank = Observation()
             ranked = staging.write_scratch(
                 "_round_ranked",

@@ -217,3 +217,70 @@ def test_sitemap_url_entries_hints(spark):
     assert r2.lastmod is None and r2.priority_milli is None
     assert rows["https://a.com/3"].priority_milli == 1000
     assert [rows[f"https://a.com/{i}"].pos for i in (1, 2, 3)] == [0, 1, 2]
+
+
+def test_driver_consumes_offline_rank_budgets(spark, tmp_path):
+    """host_budgets_path: an offline rank_budgets table throttles the
+    low-trust host to 1 slot/round while the trusted host drains at its
+    table budget — the rank job runs out of band, the crawler consumes
+    its verdict."""
+    urls = [f"https://{h}/p{i}"
+            for h in ("trusted.test", "farm.test") for i in range(4)]
+    html = "<html><body><p>hello world</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [(u, None, html, None, "en") for u in urls], corpus.PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        [(u, i, None) for i, u in enumerate(urls)], corpus.SEEDS_SCHEMA
+    )
+    budgets_path = str(tmp_path / "budgets.parquet")
+    spark.createDataFrame(
+        [("trusted.test", 4), ("farm.test", 1)], "host STRING, budget LONG"
+    ).write.parquet(budgets_path)
+    cfg = CrawlConfig(
+        max_levels=1, host_budget=10, max_rounds=10,
+        host_budgets_path=budgets_path,
+    )
+    drv = CrawlDriver(spark, pages, None, cfg, str(tmp_path / "ck"))
+    stats = drv.run(seeds)
+    # trusted drains in round 0; the farm host takes 4 rounds at 1/round
+    assert [s.fetched for s in stats] == [5, 1, 1, 1]
+    assert [s.deferred_by_politeness for s in stats] == [3, 2, 1, 0]
+
+
+def test_driver_merges_rank_and_crawl_delay_budgets(spark, tmp_path):
+    """Both tables present: LEAST wins per host — slow.test is bound by
+    Crawl-delay (1 < table's 10), fast.test by the rank table (2 < the
+    scalar 10)."""
+    urls = [f"https://{h}/p{i}"
+            for h in ("slow.test", "fast.test") for i in range(2)]
+    html = "<html><body><p>hello world</p></body></html>".encode()
+    pages = spark.createDataFrame(
+        [(u, None, html, None, "en") for u in urls], corpus.PAGES_SCHEMA
+    )
+    seeds = spark.createDataFrame(
+        [(u, i, None) for i, u in enumerate(urls)], corpus.SEEDS_SCHEMA
+    )
+    budgets_path = str(tmp_path / "budgets.parquet")
+    spark.createDataFrame(
+        [("slow.test", 10), ("fast.test", 2)], "host STRING, budget LONG"
+    ).write.parquet(budgets_path)
+    cfg = CrawlConfig(
+        max_levels=1, host_budget=10, honor_crawl_delay=True,
+        crawl_delay_round_seconds=5.0, max_rounds=10,
+        host_budgets_path=budgets_path,
+    )
+    drv = CrawlDriver(
+        spark, pages, corpus.tiny_robots(spark), cfg, str(tmp_path / "ck")
+    )
+    stats = drv.run(seeds)
+    # round 0: fast.test fetches 2 (rank table), slow.test 1 (delay);
+    # round 1: slow.test's last page
+    assert [s.fetched for s in stats] == [3, 1]
+
+
+def test_config_rejects_rank_budgets_without_host_budget():
+    import pytest
+
+    with pytest.raises(ValueError):
+        CrawlConfig(host_budgets_path="/x", host_budget=None).validate()

@@ -2572,6 +2572,31 @@ def _spam_mass_sql(iters: int = 3) -> str:
         JOIN ({_trust_rank_sql(iters, scaled=True)}) t USING (host)"""
 
 
+def q_reciprocal_links(spark, sf_dir):
+    """Per-host reciprocal-link rate (graph.reciprocal_link_rate,
+    Fetterly-style link-exchange statistics) over the md5 host graph
+    PLUS a planted mutual pair: every doc_id % 7 == 0 edge alternates
+    rA→rB / rB→rA by (doc_id div 7) parity, so both ring hosts read
+    exactly 10000 bp while the 37 organic hosts show whatever
+    asymmetric reciprocity the hash happens to produce — the full bp
+    gradient lands in the value hash."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = (d % 7) == 0
+    flip = F.expr("(doc_id div 7) % 2 = 0")
+    edges = docs.select(
+        F.when(planted, F.when(flip, F.lit("rA")).otherwise(F.lit("rB")))
+        .otherwise(F.concat(F.lit("h"), (d % 37).cast("string")))
+        .alias("src"),
+        F.when(planted, F.when(flip, F.lit("rB")).otherwise(F.lit("rA")))
+        .otherwise(F.concat(
+            F.lit("h"),
+            (DD.md5_int48(d.cast("string")) % 37).cast("string"),
+        )).alias("dst"),
+    )
+    return GR.reciprocal_link_rate(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2701,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_spam_signals": q_link_spam_signals,
         "trust_rank": q_trust_rank,
         "spam_mass": q_spam_mass,
+        "reciprocal_links": q_reciprocal_links,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4354,6 +4380,36 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _host_rank_sql(3),
         "trust_rank": _trust_rank_sql(3),
         "spam_mass": _spam_mass_sql(3),
+        "reciprocal_links": f"""
+        WITH p AS (
+          SELECT DISTINCT
+                 CASE WHEN doc_id % 7 = 0
+                      THEN CASE WHEN (doc_id // 7) % 2 = 0
+                                THEN 'rA' ELSE 'rB' END
+                      ELSE 'h' || (doc_id % 37)::VARCHAR END AS a,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN CASE WHEN (doc_id // 7) % 2 = 0
+                                THEN 'rB' ELSE 'rA' END
+                      ELSE 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")}
+                                   % 37)::VARCHAR END AS b
+          FROM documents
+        ),
+        pp AS (SELECT a, b FROM p WHERE a != b),
+        r AS (
+          SELECT pp.a, pp.b FROM pp
+          WHERE EXISTS (SELECT 1 FROM pp q
+                        WHERE q.a = pp.b AND q.b = pp.a)
+        ),
+        o AS (SELECT a, CAST(count(*) AS BIGINT) AS out_hosts
+              FROM pp GROUP BY a),
+        rc AS (SELECT a, CAST(count(*) AS BIGINT) AS reciprocal_hosts
+               FROM r GROUP BY a)
+        SELECT o.a AS host, o.out_hosts,
+               CAST(COALESCE(rc.reciprocal_hosts, 0) AS BIGINT)
+                 AS reciprocal_hosts,
+               CAST(10000 * COALESCE(rc.reciprocal_hosts, 0) // o.out_hosts
+                    AS BIGINT) AS reciprocal_bp
+        FROM o LEFT JOIN rc ON rc.a = o.a""",
         "sessionize": _SESSIONIZE_SQL + """
             SELECT event_id, user_id, ts,
                    CAST(user_id * 1048576 + seq - 1 AS BIGINT) AS session_id,

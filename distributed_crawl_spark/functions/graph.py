@@ -570,3 +570,54 @@ def spam_mass(edges: DataFrame, seeds: "list[str]",
             ).alias("spam_mass_bp"),
         )
     )
+
+
+def reciprocal_link_rate(edges: DataFrame,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Per-host reciprocal-link rate — the link-exchange signal (Fetterly
+    et al.'s spam statistics; "I link to you, you link to me" rings are
+    cheap to build and organic linking is strongly asymmetric): of a
+    host's distinct out-neighbors, the share that link BACK, in integer
+    basis points. Mutual-linking rings read near 10000 bp; organic hosts
+    sit low. A ranking/dedup pipeline reads this next to
+    :func:`link_spam_signals` (in-link shape) and :func:`spam_mass`
+    (trust deficit) — three independent spam axes.
+
+    Plan: DISTINCT directed pairs (one census shuffle, parallel edges
+    collapse), LEFT SEMI self-join against the swapped pair set (hash
+    join on the same key width — no data duplication, semi returns at
+    most one row per pair), then one map-side-combinable host rollup.
+    Self-loops are excluded (a host trivially "reciprocates" itself).
+    Returns ``(host, out_hosts, reciprocal_hosts, reciprocal_bp)`` for
+    every host with at least one distinct out-neighbor.
+    """
+    pairs = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    back = pairs.select(
+        F.col("b").alias("a"), F.col("a").alias("b")
+    )
+    recip = pairs.join(back, ["a", "b"], "left_semi")
+    out_n = pairs.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("out_hosts")
+    )
+    rec_n = recip.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("reciprocal_hosts")
+    )
+    return (
+        out_n.join(rec_n, "a", "left")
+        .select(
+            F.col("a").alias("host"),
+            "out_hosts",
+            F.coalesce("reciprocal_hosts", F.lit(0)).cast("long")
+            .alias("reciprocal_hosts"),
+            F.expr(
+                "10000 * coalesce(reciprocal_hosts, 0) div out_hosts"
+            ).cast("long").alias("reciprocal_bp"),
+        )
+    )

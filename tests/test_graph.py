@@ -377,3 +377,37 @@ def test_rank_budgets_accepts_trust_column(spark):
                                  rank_col="trust_x1e6").collect()}
     assert b["c"] == 1 and b["d"] == 1   # zero trust -> starved to floor
     assert b["seed"] > b["a"] > b["b"] >= 1
+
+
+def _ref_reciprocal(edges):
+    pairs = {(a, b) for a, b in edges if a != b}
+    out = {}
+    for a, b in pairs:
+        c = out.setdefault(a, [0, 0])
+        c[0] += 1
+        if (b, a) in pairs:
+            c[1] += 1
+    return {a: (o, r, 10000 * r // o) for a, (o, r) in out.items()}
+
+
+def test_reciprocal_link_rate_matches_bruteforce(spark):
+    edges = _graph(n_nodes=17, n_edges=200)
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: (r.out_hosts, r.reciprocal_hosts, r.reciprocal_bp)
+           for r in G.reciprocal_link_rate(df).collect()}
+    assert got == _ref_reciprocal(edges)
+
+
+def test_reciprocal_link_rate_ring_vs_organic(spark):
+    # a 3-host mutual ring + a one-way chain; parallel edges and a
+    # self-loop must not inflate anything
+    ring = ["r0", "r1", "r2"]
+    edges = [(a, b) for a in ring for b in ring if a != b]
+    edges += [("o0", "o1"), ("o1", "o2"), ("o0", "o1"), ("o2", "o2")]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: (r.out_hosts, r.reciprocal_bp)
+           for r in G.reciprocal_link_rate(df).collect()}
+    for h in ring:
+        assert got[h] == (2, 10000)     # full exchange ring
+    assert got["o0"] == (1, 0) and got["o1"] == (1, 0)
+    assert "o2" not in got              # only a self-loop out-edge

@@ -2597,6 +2597,16 @@ def q_reciprocal_links(spark, sf_dir):
     return GR.reciprocal_link_rate(edges)
 
 
+def q_host_language_mix(spark, sf_dir):
+    """Per-source language-mix census (textstats.host_language_mix) over
+    the documents table's REAL source/lang columns: majority-language
+    share in basis points (ties n DESC, lang ASC via the min-struct
+    carrier) and Shannon entropy in floor-quantized micro-nats — the
+    CCNet-style mixed-language-host signal, one census + bounded
+    rollups, corpus touched once."""
+    return TS.host_language_mix(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2727,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "spam_mass": q_spam_mass,
         "reciprocal_links": q_reciprocal_links,
+        "host_language_mix": q_host_language_mix,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -4380,6 +4391,34 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _host_rank_sql(3),
         "trust_rank": _trust_rank_sql(3),
         "spam_mass": _spam_mass_sql(3),
+        "host_language_mix": """
+        WITH c AS (
+          SELECT source AS host, lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source, lang
+        ),
+        r AS (
+          SELECT host, CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_langs
+          FROM c GROUP BY host
+        ),
+        t AS (
+          SELECT host, lang AS top_lang, n AS top_n,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY n DESC, lang) AS rn
+          FROM c QUALIFY rn = 1
+        ),
+        e AS (
+          SELECT c.host,
+                 CAST(sum(c.n * CAST(floor(ln(r.n_docs::DOUBLE / c.n)
+                                           * 1000000) AS BIGINT))
+                      // any_value(r.n_docs) AS BIGINT)
+                   AS lang_entropy_micro
+          FROM c JOIN r USING (host) GROUP BY c.host
+        )
+        SELECT r.host, r.n_docs, r.n_langs, t.top_lang,
+               CAST(10000 * t.top_n // r.n_docs AS BIGINT) AS top_share_bp,
+               e.lang_entropy_micro
+        FROM r JOIN t USING (host) JOIN e USING (host)""",
         "reciprocal_links": f"""
         WITH p AS (
           SELECT DISTINCT

@@ -928,3 +928,72 @@ def tokenizer_stats(docs, lang_col: str = "lang",
         )
         .orderBy("lang")
     )
+
+
+def host_language_mix(docs, host_col: str = "source",
+                      lang_col: str = "lang"):
+    """Per-host language-mix census — the mixed-language-host signal a
+    CCNet/FineWeb-style pipeline uses to catch machine-translated or
+    scraped-aggregator sites (an organic host publishes overwhelmingly
+    in one language; MT spam farms publish the same content in many):
+
+    - ``top_share_bp``: share of the host's docs in its majority
+      language, integer basis points (floor); majority ties break
+      (count DESC, lang ASC) via a ``min(struct(-n, lang))`` carrier —
+      no window, no second doc shuffle.
+    - ``lang_entropy_micro``: Shannon entropy of the language
+      distribution in micro-nats, quantized the BM25-IDF way:
+      per-language weight ``w = floor(1e6 * ln(N / n))`` (ONE float ln,
+      floored immediately), then the exact integer rollup
+      ``sum(n * w) div N``. 0 = monolingual; ~ln(k)·1e6 = uniform over
+      k languages. Engines agree because the only float op is the ln of
+      a ratio of two BIGINTs — identical doubles in JVM and DuckDB.
+
+    Plan: ONE (host, lang) census over the doc rows (map-side
+    combinable; output bounded by |hosts| × |langs|), a host rollup,
+    then the entropy terms join the host totals back — every post-census
+    stage runs on the census table, never the corpus. Returns
+    ``(host, n_docs, n_langs, top_lang, top_share_bp,
+    lang_entropy_micro)``.
+    """
+    census = (
+        docs.select(
+            F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+        )
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rolled = census.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("lang")))
+        .alias("_top"),
+    )
+    ent = (
+        census.join(rolled.select("host", "n_docs"), "host")
+        .select(
+            "host",
+            (
+                F.col("n")
+                * F.floor(
+                    F.log(F.col("n_docs") / F.col("n")) * F.lit(1_000_000)
+                ).cast("long")
+            ).alias("_term"),
+            "n_docs",
+        )
+        .groupBy("host")
+        .agg(
+            F.expr("sum(_term) div any_value(n_docs)").cast("long")
+            .alias("lang_entropy_micro")
+        )
+    )
+    return (
+        rolled.join(ent, "host")
+        .select(
+            "host", "n_docs", "n_langs",
+            F.col("_top.lang").alias("top_lang"),
+            F.expr("10000 * (-_top.neg_n) div n_docs").cast("long")
+            .alias("top_share_bp"),
+            "lang_entropy_micro",
+        )
+    )

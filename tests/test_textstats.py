@@ -668,3 +668,62 @@ def test_tokenizer_stats_matches_python_mirror(spark):
         assert r.fertility_x1e4 == (10000 * p) // max(w, 1)
     # the multibyte row really contributes more bytes than chars
     assert agg["fr"][1] > sum(len(t) for _, l, t in texts if l == "fr")
+
+
+def _ref_language_mix(rows):
+    """Brute-force twin of host_language_mix's quantized outputs."""
+    import math
+
+    census = {}
+    for host, lang in rows:
+        census.setdefault(host, {}).setdefault(lang, 0)
+        census[host][lang] += 1
+    out = {}
+    for host, langs in census.items():
+        n_docs = sum(langs.values())
+        top_n = max(langs.values())
+        top_lang = min(l for l, n in langs.items() if n == top_n)
+        ent = sum(
+            n * math.floor(math.log(n_docs / n) * 1_000_000)
+            for n in langs.values()
+        ) // n_docs
+        out[host] = (n_docs, len(langs), top_lang,
+                     10000 * top_n // n_docs, ent)
+    return out
+
+
+def test_host_language_mix_matches_bruteforce(spark):
+    import hashlib
+
+    rows = []
+    for i in range(500):
+        h = hashlib.md5(f"m{i}".encode()).hexdigest()
+        rows.append((f"s{int(h[:4], 16) % 7}",
+                     ["en", "de", "fr", "es", "und"][int(h[4:8], 16) % 5]))
+    df = spark.createDataFrame(rows, "source STRING, lang STRING")
+    got = {r.host: (r.n_docs, r.n_langs, r.top_lang, r.top_share_bp,
+                    r.lang_entropy_micro)
+           for r in TS.host_language_mix(df).collect()}
+    assert got == _ref_language_mix(rows)
+
+
+def test_host_language_mix_shapes(spark):
+    rows = (
+        [("mono", "en")] * 8
+        + [("mixed", l) for l in ("en", "de", "fr", "es")] * 2
+        + [("tied", "de"), ("tied", "en")]
+    )
+    df = spark.createDataFrame(rows, "source STRING, lang STRING")
+    got = {r.host: r for r in TS.host_language_mix(df).collect()}
+    assert got["mono"].lang_entropy_micro == 0            # monolingual
+    assert got["mono"].top_share_bp == 10000
+    # uniform over 4 langs: entropy == floor-quantized ln(4) (within the
+    # per-term floor loss), top share 2500 bp
+    import math
+
+    assert got["mixed"].top_share_bp == 2500
+    assert abs(got["mixed"].lang_entropy_micro
+               - int(math.log(4) * 1_000_000)) <= 4
+    # majority tie: count DESC then lang ASC -> 'de'
+    assert got["tied"].top_lang == "de"
+    assert got["tied"].top_share_bp == 5000

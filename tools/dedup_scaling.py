@@ -70,6 +70,8 @@ QUERIES = [
     "link_spam_signals",    # two map-side censuses + |hosts|-sized join
     "trust_rank",           # 3 host-keyed shuffles x iters, checkpointed
     "spam_mass",            # host_rank + scaled trust_rank + 1 equi-join
+    "reciprocal_links",     # distinct-pair census + semi self-join
+    "host_language_mix",    # one (host,lang) census + bounded rollups
 ]
 
 

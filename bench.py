@@ -158,6 +158,8 @@ HEADLINE = [
     "sitemap_coverage", "robots_audit", "importance_sample",
     "bitext_mine", "bitext_mine_ivf", "phrase_search", "phrase_index_search", "focused_frontier",
     "index_neardup",
+    "link_spam_signals", "trust_rank", "spam_mass", "reciprocal_links",
+    "host_language_mix",
 ]
 
 

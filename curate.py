@@ -279,6 +279,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pack-writers", type=int, default=32, metavar="W",
                     help="parallel writer lanes for --pack-tokens "
                     "(uniform hash lanes; size ~= a few x cluster cores)")
+    ap.add_argument("--lang-mix-report", action="store_true",
+                    help="append per-source language-mix stats (majority "
+                    "share bp + entropy micro-nats) of the output corpus "
+                    "to report.json; language from --ccnet-lang-col if "
+                    "given, else marker-lexicon lang_id")
     ap.add_argument("--mix-report", action="store_true",
                     help="add a per-(source[,split]) doc/token census of "
                     "the output corpus to report.json")
@@ -779,7 +784,9 @@ def main(argv: list[str] | None = None) -> int:
                                 ("--split", args.split),
                                 ("--write-index", args.write_index),
                                 ("--diff-against", args.diff_against),
-                                ("--mix-report", args.mix_report)] if v]
+                                ("--mix-report", args.mix_report),
+                                ("--lang-mix-report",
+                                 args.lang_mix_report)] if v]
         if clash:
             ap.error("--chunk emits chunk rows, which the following "
                      "document-shaped stages cannot consume: "
@@ -858,6 +865,21 @@ def main(argv: list[str] | None = None) -> int:
         ).parquet(args.write_index)
         index_entries = int(obs_idx.get["n"])
 
+    lang_mix = None
+    if args.lang_mix_report:
+        lang_col = (
+            F.col(args.ccnet_lang_col)
+            if args.ccnet_lang_col else TS.lang_id(F.col(text_c))
+        )
+        lang_mix = [
+            r.asDict()
+            for r in TS.host_language_mix(
+                docs.select(
+                    F.col(src_c).alias("source"), lang_col.alias("lang")
+                )
+            ).orderBy("host").collect()
+        ]
+
     mix = None
     if args.mix_report:
         # census of the OUTPUT corpus (post every enabled stage) — one
@@ -892,6 +914,8 @@ def main(argv: list[str] | None = None) -> int:
         report["bpe_merges"] = [list(m) for m in bpe_merges]
     if mix is not None:
         report["mix"] = mix
+    if lang_mix is not None:
+        report["lang_mix"] = lang_mix
     if mix_plan_rows is not None:
         report["mix_plan"] = mix_plan_rows
     if index_entries is not None:

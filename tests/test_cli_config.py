@@ -993,3 +993,33 @@ def test_curate_cli_chunk_output(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert r2.returncode != 0 and "--pack-tokens" in r2.stderr
+
+
+def test_curate_cli_lang_mix_report(tmp_path):
+    """--lang-mix-report: per-source language-mix stats land in
+    report.json; with --ccnet-lang-col the table's OWN lang column is
+    censused (exact counts, no lang_id prediction)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "curated_lm"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--lang-mix-report", "--ccnet-lang-col", "lang",
+            "--report-only",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    lm = report["lang_mix"]
+    assert [x["host"] for x in lm] == sorted({x["host"] for x in lm})
+    assert sum(x["n_docs"] for x in lm) == report["n_output"] == 500
+    for x in lm:
+        assert 0 < x["top_share_bp"] <= 10000
+        assert (x["lang_entropy_micro"] == 0) == (x["n_langs"] == 1)

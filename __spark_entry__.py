@@ -1667,6 +1667,54 @@ def _host_rank_sql(iters: int = 3) -> str:
         SELECT host, pr AS pr_x1e6 FROM r{iters}"""
 
 
+def _label_communities_sql(iters: int = 4) -> str:
+    """DuckDB twin of q_host_communities: synchronous self-inclusive
+    label propagation unrolled one CTE pair (census incl. the self
+    vote, mode pick) per iteration — the mode is the same (count DESC,
+    label ASC) row_number pick Spark runs, so string labels hash-match
+    exactly."""
+    md5i = _MD5I48.format(x="doc_id::VARCHAR")
+    md5ix = _MD5I48.format(x="'x' || doc_id::VARCHAR")
+    s = f"""
+        WITH e0 AS (
+          SELECT 'h' || (doc_id % 40)::VARCHAR AS src,
+                 'h' || (((doc_id % 40) - (doc_id % 40) % 5)
+                         + {md5i} % 5)::VARCHAR AS dst
+          FROM documents
+          UNION ALL
+          SELECT 'h' || (doc_id % 40)::VARCHAR,
+                 'h' || ({md5ix} % 40)::VARCHAR
+          FROM documents WHERE doc_id % 31 = 0
+        ),
+        u AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0 WHERE src != dst
+            UNION ALL
+            SELECT dst, src FROM e0 WHERE src != dst)
+        ),
+        nodes AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
+        l0 AS (SELECT host, host AS community FROM nodes),"""
+    for i in range(iters):
+        s += f"""
+        c{i} AS (
+          SELECT host, community, count(*) AS n FROM (
+            SELECT u.src AS host, l{i}.community
+            FROM u JOIN l{i} ON l{i}.host = u.dst
+            UNION ALL
+            SELECT host, community FROM l{i}
+          ) GROUP BY 1, 2
+        ),
+        l{i + 1} AS (
+          SELECT host, community FROM (
+            SELECT host, community,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY n DESC, community) AS rn
+            FROM c{i}) WHERE rn = 1
+        ),"""
+    return s.rstrip(",") + f"""
+        SELECT host, community FROM l{iters}"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-min
     inactivity): one user-keyed window carries both the lag gap test
@@ -2607,6 +2655,109 @@ def q_host_language_mix(spark, sf_dir):
     return TS.host_language_mix(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC shingle containment ≥ 0.8 (dedup.ngram_containment_pairs,
+    Broder 1997's resemblance/containment split): the quote/aggregator
+    case Jaccard misses. The corpus is documents PLUS a planted 12-token
+    quote of every doc_id % 20 == 0 document (ids offset by 1e7) — each
+    quote's shingles are a strict subset of its source's, so containment
+    reads 1.0 where Jaccard(quote, source) is tiny. Same posting-list
+    plan and max_df=64 skew bound as dedup_ngram_jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    quotes = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice(DD.tokens(F.col("text")), 1, 12), " ")
+        .alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    return DD.ngram_containment_pairs(corpus, threshold=0.8, max_df=64)
+
+
+def q_host_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (graph.label_communities,
+    Raghavan et al. 2007) on a planted-partition host graph: 40 hosts in
+    8 groups of 5, intra-group edges from every document (dst slot by
+    md5), sparse cross-group edges from every 31st doc — so LPA must
+    recover the groups THROUGH the majority vote (cross edges are the
+    minority label a mode pick has to out-vote; connected components
+    would collapse everything the cross edges touch)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = d % 40
+    grp = g - (g % 5)
+    intra = docs.select(
+        F.concat(F.lit("h"), g.cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            (grp + DD.md5_int48(d.cast("string")) % 5).cast("string"),
+        ).alias("dst"),
+    )
+    cross = docs.filter(d % 31 == 0).select(
+        F.concat(F.lit("h"), g.cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            (DD.md5_int48(F.concat(F.lit("x"), d.cast("string"))) % 40)
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return GR.label_communities(intra.unionByName(cross), iters=4)
+
+
+def q_video_frames(spark, sf_dir):
+    """Video plumbing end-to-end (the ``video`` twin of audio_chunks):
+    binary payloads → mapInPandas video_metadata (deterministic fake
+    decode: width/fps/frames from payload length) → closed-form
+    frame-sample plan (400 ms stride, ≤8 samples per video, frame index
+    clamped to the real frame range). The oracle recomputes the chain
+    from the synthesized payload length, so the Arrow batch path AND
+    the sampling arithmetic are value-checked."""
+    from distributed_crawl_spark.operators.multimodal import (
+        video_frame_plan,
+        video_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(
+            F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string")),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+    )
+    return video_frame_plan(
+        video_metadata(media, fake=True), every_ms=400, max_samples=8
+    )
+
+
+def q_pii_cc_luhn(spark, sf_dir):
+    """Credit-card PII stats with Luhn validation (textstats.cc_luhn_stats):
+    candidate digit runs from two fixed-shape patterns, then the Luhn
+    double-and-fold checksum as pure HOF arithmetic — the precision
+    split a real scrubbing pass needs (random digit runs pass Luhn at
+    ~10%). Planted: a valid grouped VISA test number (%5), an invalid
+    grouped run (%7), and a valid contiguous form (%11); the oracle
+    recomputes candidates AND the checksum digit-for-digit."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.lit(" card 4111 1111 1111 1111 ok"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" num 1234 5678 9012 3456"))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(" id 4111111111111111 end"))
+        .otherwise(F.lit("")),
+    )
+    nc, nv = TS.cc_luhn_stats(t)
+    return docs.select(
+        "doc_id",
+        nc.alias("n_cc_candidates"),
+        nv.alias("n_cc_valid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2738,6 +2889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "reciprocal_links": q_reciprocal_links,
         "host_language_mix": q_host_language_mix,
+        "dedup_containment": q_dedup_containment,
+        "host_communities": q_host_communities,
+        "video_frames": q_video_frames,
+        "pii_cc_luhn": q_pii_cc_luhn,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6150,4 +6305,125 @@ def oracle_sql() -> dict[str, str]:
                      OR 10000 * top_anchor_n // inlinks >= 8000))
                  AS spam_flag
         FROM bs JOIN ba ON ba.dst = bs.dst"""
+    out["dedup_containment"] = """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 array_to_string(
+                   (regexp_split_to_array(trim(text), '\\s+'))[1:12], ' ')
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        rare AS (
+          SELECT shingle FROM ds GROUP BY 1 HAVING count(*) <= 64
+        ),
+        dsf AS (SELECT ds.* FROM ds JOIN rare USING (shingle)),
+        cnt AS (SELECT doc_id, count(*) AS n_sh FROM dsf GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM dsf a JOIN dsf b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT id_a, id_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+        ),
+        d AS (
+          SELECT id_a AS contained_id, id_b AS container_id, n_inter,
+                 n_a AS n_contained, n_b AS n_container FROM j
+          UNION ALL
+          SELECT id_b, id_a, n_inter, n_b, n_a FROM j
+        )
+        SELECT contained_id, container_id, n_inter, n_contained,
+               n_container,
+               CAST(floor(n_inter / n_contained * 1000000) AS BIGINT)
+                 AS containment_u
+        FROM d WHERE n_inter / n_contained >= 0.8"""
+    out["host_communities"] = _label_communities_sql(iters=4)
+    out["pii_cc_luhn"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' card 4111 1111 1111 1111 ok' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' num 1234 5678 9012 3456' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' id 4111111111111111 end' ELSE '' END AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 list_concat(
+                   regexp_extract_all(t, '\\b[0-9]{13,19}\\b'),
+                   regexp_extract_all(t,
+                     '\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{1,7}\\b')
+                 ) AS cands
+          FROM p
+        ),
+        u AS (
+          SELECT doc_id,
+                 regexp_replace(unnest(cands), '[^0-9]', '', 'g') AS d
+          FROM c
+        ),
+        v AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_valid FROM (
+            SELECT doc_id,
+                   list_sum(list_transform(
+                     generate_series(1, length(d)),
+                     i -> CASE WHEN (i - 1) % 2 = 0
+                          THEN substr(reverse(d), i, 1)::INT
+                          ELSE CASE
+                            WHEN substr(reverse(d), i, 1)::INT * 2 > 9
+                            THEN substr(reverse(d), i, 1)::INT * 2 - 9
+                            ELSE substr(reverse(d), i, 1)::INT * 2 END
+                          END)) AS s
+            FROM u)
+          WHERE s % 10 = 0 GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+               CAST(COALESCE(v.n_valid, 0) AS BIGINT) AS n_cc_valid
+        FROM c LEFT JOIN v USING (doc_id)"""
+    out["video_frames"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 octet_length(encode(text || '|' || doc_id::VARCHAR)) AS n
+          FROM documents
+        ),
+        v AS (
+          SELECT media_id,
+                 CASE n % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps,
+                 2 * n + 30 AS n_frames
+          FROM m
+        ),
+        c AS (
+          SELECT media_id, fps, n_frames,
+                 least(greatest(CAST(ceil(
+                   ((n_frames * 1000) // fps) / 400.0) AS INT), 1), 8) AS k
+          FROM v
+        )
+        SELECT media_id,
+               unnest(generate_series(0, k - 1)) AS sample_index,
+               unnest(generate_series(0, k - 1)) * CAST(400 AS BIGINT)
+                 AS ts_ms,
+               CAST(least(unnest(generate_series(0, k - 1)) * 400 * fps
+                            // 1000,
+                          n_frames - 1) AS BIGINT) AS frame_index
+        FROM c"""
     return out

@@ -45,7 +45,9 @@ variants collapse); ``--dedup-lines`` removes within-doc duplicated
 lines before any other stage; ``--boilerplate [FRAC]`` removes host-scoped chrome lines
 (present in >= FRAC of a source's docs) from all of that source's docs;
 ``--dedup-lines-global`` removes lines duplicated across docs
-(keep-first); ``--quantile-gate P`` keeps docs at/above their own
+(keep-first); ``--drop-contained THR`` drops docs whose shingle set is
+asymmetrically contained in another doc's (quotes/aggregator copies,
+the case symmetric near-dup misses); ``--quantile-gate P`` keeps docs at/above their own
 source's P-th quality percentile; ``--classifier-gate T`` keeps docs
 whose hashed-linear-classifier mean token score reaches T milli-units
 (``--classifier-weights`` plugs in a trained (bucket, w_milli) table);
@@ -104,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
                     "min-id document (pair engine per choice)")
     ap.add_argument("--max-hamming", type=int, default=3,
                     help="simhash64 hamming radius (with --neardup simhash)")
+    ap.add_argument("--drop-contained", type=float, metavar="THR",
+                    help="asymmetric containment scrub (Broder): drop "
+                    "docs whose rare-shingle set is >= THR contained in "
+                    "another doc's (quotes, aggregator copies — the case "
+                    "symmetric near-dup misses); mutual pairs keep the "
+                    "min-id doc; posting lists bounded at max_df=256")
     ap.add_argument("--semdedup", metavar="EMB_PARQUET",
                     help="semantic dedup (SemDeDup): drop docs whose "
                     "embedding is a non-canonical member of a "
@@ -519,6 +527,32 @@ def main(argv: list[str] | None = None) -> int:
             "__keep_neardup", F.col("__drop_id").isNull()
         ).drop("__drop_id")
         flags.append("__keep_neardup")
+    if args.drop_contained is not None:
+        cp = DD.ngram_containment_pairs(
+            docs, id_col=id_c, text_col=text_c,
+            threshold=args.drop_contained, max_df=256,
+        ).select("contained_id", "container_id")
+        mutual = cp.select(
+            F.col("container_id").alias("contained_id"),
+            F.col("contained_id").alias("container_id"),
+        ).withColumn("__mut", F.lit(True))
+        # one-way containment drops the contained doc; a mutual pair
+        # (both directions >= THR) keeps the min id — greedy, like the
+        # neardup component rule (X ⊂ Y ⊂ Z chains resolve transitively
+        # because containment is near-transitive at high THR)
+        ct_drop = (
+            cp.join(mutual, ["contained_id", "container_id"], "left")
+            .filter(F.col("__mut").isNull()
+                    | (F.col("container_id") < F.col("contained_id")))
+            .select(F.col("contained_id").alias("__ct_id"))
+            .distinct()
+        )
+        docs = docs.join(
+            ct_drop, docs[id_c] == ct_drop["__ct_id"], "left"
+        ).withColumn(
+            "__keep_contained", F.col("__ct_id").isNull()
+        ).drop("__ct_id")
+        flags.append("__keep_contained")
     if args.semdedup:
         from distributed_crawl_spark.functions import similarity as SIM
 

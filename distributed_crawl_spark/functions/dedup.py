@@ -209,6 +209,28 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b.
     """
+    # jaccard is a small-int ratio — the double is bit-identical in any
+    # engine; outputs are floor-scaled to integer micros (hash-stable),
+    # never round()'ed (round impls differ at representability edges).
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        _shingle_pair_counts(docs, id_col, text_col, n, max_df, materializer)
+        .withColumn("jaccard_u", F.floor(jac * 1_000_000).cast("long"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard_u")
+    )
+
+
+def _shingle_pair_counts(docs: DataFrame, id_col: str, text_col: str,
+                         n: int, max_df: int | None,
+                         materializer) -> DataFrame:
+    """Shared posting-list machinery for the set-overlap family
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
+    (id_a, id_b, n_inter, n_a, n_b) for every unordered pair id_a <
+    id_b sharing ≥1 shingle. The scale properties documented on
+    :func:`ngram_jaccard_pairs` (single shingle shuffle, bounded
+    posting arrays under ``max_df``, array-projection pair
+    enumeration) live here."""
     materializer = _resolve_materializer(materializer, default=None)
     ds = doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
@@ -253,15 +275,64 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    # jaccard is a small-int ratio — the double is bit-identical in any
-    # engine; outputs are floor-scaled to integer micros (hash-stable),
-    # never round()'ed (round impls differ at representability edges).
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.join(ca, "id_a").join(cb, "id_b")
+
+
+def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.8,
+                            max_df: int | None = None,
+                            materializer=None) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A⊂B) = |S_A ∩ S_B| /
+    |S_A| ≥ threshold — the quote/aggregator/boilerplate-wrapper case
+    Jaccard structurally misses (a 100-shingle article embedded in a
+    10,000-shingle aggregator page has C = 1.0 but Jaccard ≈ 0.01, so
+    no symmetric threshold can separate it from noise; Broder 1997
+    introduced containment alongside resemblance for exactly this).
+
+    Plan: identical to :func:`ngram_jaccard_pairs` — the shared
+    posting-list census (:func:`_shingle_pair_counts`) — plus one
+    zero-shuffle direction explode: each unordered pair (a, b) emits
+    (a⊂b) and (b⊂a) candidates as a 2-element array projection, then
+    filters on the per-direction ratio. Same single shingle shuffle,
+    same ``max_df`` skew bound; always set ``max_df`` at corpus scale.
+    NOTE: under ``max_df`` the denominator |S_A| counts RARE shingles
+    only (both sides of the ratio see the same filtered universe —
+    the standard posting-list approximation).
+
+    Returns (contained_id, container_id, n_inter, n_contained,
+    n_container, containment_u) with containment_u = floor(1e6 ·
+    n_inter / n_contained); a pair of mutual near-dups appears in both
+    directions."""
+    pairs = _shingle_pair_counts(docs, id_col, text_col, n, max_df,
+                                 materializer)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("n_a").alias("n_contained"),
+                    F.col("n_b").alias("n_container"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("n_b").alias("n_contained"),
+                    F.col("n_a").alias("n_container"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    cont = F.col("n_inter") / F.col("n_contained")
     return (
-        inter.join(ca, "id_a").join(cb, "id_b")
-        .withColumn("jaccard_u", F.floor(jac * 1_000_000).cast("long"))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard_u")
+        directed
+        .withColumn("containment_u", F.floor(cont * 1_000_000).cast("long"))
+        .filter(cont >= threshold)
+        .select("contained_id", "container_id", "n_inter", "n_contained",
+                "n_container", "containment_u")
     )
 
 

@@ -621,3 +621,81 @@ def reciprocal_link_rate(edges: DataFrame,
             ).cast("long").alias("reciprocal_bp"),
         )
     )
+
+
+def label_communities(edges: DataFrame, iters: int = 4,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Host communities by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) over the undirected simple host graph: every host starts
+    labeled with itself; each iteration every host adopts the most
+    frequent label among its neighbors PLUS its own current label (the
+    self-inclusive vote — without it a mutual pair oscillates x↔y
+    forever under synchronous updates), ties broken by minimum label.
+    A fixed iteration count plus the deterministic tie-break makes the
+    result bit-identical across engines, partition layouts, and the
+    unrolled-CTE oracle — the async/random-order variant of the paper
+    converges faster but is run-order-dependent, which a contract
+    operator cannot be. Communities ≠ connected components: a bridge
+    edge between two dense clusters leaves them in one component but
+    (usually) two labels.
+
+    Scale shape per iteration: neighbor-label join on host (uniform —
+    label payloads are host ids, never lists), label census
+    groupBy(host, label) with map-side partial counts, then the mode
+    pick as a per-host top-1 window (Catalyst inserts the map-side
+    WindowGroupLimit for the rank-1 shape — same machinery as
+    per_source_cap). The self vote means every host always has a
+    census row, so the mode pick IS the next label table — no join
+    back to the node set (self-loop-only hosts keep their own label
+    through their self vote). Degree bounds the census rows (sum deg =
+    2|E| + |V|); ``localCheckpoint`` per iteration keeps the plan
+    linear like :func:`host_rank`.
+
+    Returns (host, community) for every host appearing as src or dst.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            e.filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("community", F.col("host"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("community")
+    )
+    for _ in range(iters):
+        nb = und.join(
+            labels.select(
+                F.col("host").alias("dst"), F.col("community")
+            ),
+            "dst",
+        ).select(F.col("src").alias("host"), "community").unionByName(
+            labels.select("host", "community")  # the self vote
+        )
+        # the self vote guarantees every host a census row, so the mode
+        # pick IS the next label table — no join back to the node set
+        labels = (
+            nb.groupBy("host", "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("host", "community")
+            .localCheckpoint()
+        )
+    return labels

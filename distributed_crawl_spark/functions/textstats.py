@@ -383,6 +383,53 @@ def pii_count(text: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0)))
 
 
+# Credit-card candidates: two FIXED-SHAPE patterns (contiguous 13-19
+# digits; 4-4-4-(1..7) groups with one separator class) — no nested
+# quantifiers, so Java's backtracking-greedy and RE2's leftmost-longest
+# semantics provably agree on every input.
+CC_PATTERNS = [
+    r"\b[0-9]{13,19}\b",
+    r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{1,7}\b",
+]
+
+
+def _luhn_ok(digits: Column) -> Column:
+    """Luhn checksum over a digit string — pure higher-order-function
+    arithmetic (reverse → per-position double-and-fold → aggregate),
+    zero Python, bit-identical in any integer engine."""
+    ch = F.split(F.reverse(digits), "(?!$)")
+    vals = F.transform(
+        ch,
+        lambda c, i: F.when(i % 2 == 0, c.cast("int")).otherwise(
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9)
+            .otherwise(c.cast("int") * 2)
+        ),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda a, x: a + x)
+    return (total % 10 == F.lit(0)) & (F.length(digits) >= 13)
+
+
+def cc_luhn_stats(text: Column) -> tuple[Column, Column]:
+    """(n_candidates, n_luhn_valid) credit-card-number stats for one
+    document — the standard PII precision split: a bare digit-run regex
+    overfires on ids/timestamps/serials, so training-data scrubbing
+    counts BOTH the candidate hits and the Luhn-checksum-valid subset
+    (the actionable number; Luhn catches 100% of single-digit typos, so
+    random digit runs pass at only ~10%). Candidates are the union of
+    the two fixed-shape ``CC_PATTERNS``; validation strips separators
+    then runs :func:`_luhn_ok`. Everything is a closed-form
+    regexp_extract_all + HOF pipeline — linear scan, zero shuffle, zero
+    Python."""
+    cands = F.concat(*[
+        F.regexp_extract_all(text, F.lit(p), F.lit(0)) for p in CC_PATTERNS
+    ])
+    digs = F.transform(
+        cands, lambda s: F.regexp_replace(s, "[^0-9]", "")
+    )
+    valid = F.filter(digs, _luhn_ok)
+    return F.size(cands).cast("long"), F.size(valid).cast("long")
+
+
 # ---- Gopher document-quality rules (Rae et al. 2021, public) ---------------
 # The paper's per-document heuristics, in floor-scaled integer form so the
 # SQL oracle reproduces every value bit-for-bit. All closed-form array/regex

@@ -207,6 +207,101 @@ def audio_chunk_plan(meta: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
     )
 
 
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_video_real(payload: bytes) -> tuple[int, int, int, int]:
+    """Real decode path — requires a video library (libav/ffmpeg) absent
+    from this container. Kept as the documented extension point."""
+    raise NotImplementedError(
+        "no video decode library in this environment; "
+        "use the deterministic fake decoder (decode_video_fake)"
+    )
+
+
+def decode_video_fake(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic fake decode → (width, height, fps, n_frames):
+    width ∈ {320..1920} stepped by 16 from length mod 101, 16:9 height,
+    fps ∈ {24, 25, 30} from length mod 3, n_frames = 2·n_bytes + 30 —
+    all oracle-reproducible arithmetic on the payload length (the
+    :func:`decode_audio_fake` convention)."""
+    n = len(payload)
+    width = 16 * (20 + n % 101)
+    return width, width * 9 // 16, (24, 25, 30)[n % 3], 2 * n + 30
+
+
+def video_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas video metadata extraction (the ``video`` twin of
+    :func:`audio_metadata`): one Arrow batch in flight, the binary
+    payload consumed and NOT emitted so downstream stages shed the
+    blob. duration_ms = floor(n_frames·1000 / fps)."""
+    decode = decode_video_fake if fake else decode_video_real
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            meta = [decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "fps": [m[2] for m in meta],
+                    "n_frames": [m[3] for m in meta],
+                    "duration_ms": [
+                        m[3] * 1000 // m[2] for m in meta
+                    ],
+                }
+            )
+
+    return media.mapInPandas(process, VIDEO_META_SCHEMA)
+
+
+def video_frame_plan(meta: DataFrame, every_ms: int = 1_000,
+                     max_samples: int | None = None) -> DataFrame:
+    """Frame-sampling plumbing over :func:`video_metadata` output: one
+    row per timestamp a captioner/embedder would decode — uniform
+    time-stride sampling at ``every_ms`` (the VideoCLIP/frame-caption
+    convention), ragged tail included, at least one sample per video,
+    optionally capped at ``max_samples`` per video (head-biased, the
+    cheap cap a 100-TB pass wants BEFORE any decode happens). Returns
+    (media_id, sample_index, ts_ms, frame_index) with frame_index =
+    ts·fps/1000 clamped to the real frame range. Pure closed-form
+    sequence explode — zero Python, zero shuffle; the expensive decode
+    stays in the downstream per-frame stage, which now reads an
+    exactly-budgeted work list."""
+    n_samples = F.greatest(
+        F.ceil(F.col("duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
+    )
+    if max_samples is not None:
+        n_samples = F.least(n_samples, F.lit(int(max_samples)))
+    idx = F.explode(F.sequence(F.lit(0), n_samples - 1)).alias("sample_index")
+    ts = F.col("sample_index").cast("long") * every_ms
+    return (
+        meta.select("media_id", "fps", "n_frames", idx)
+        .select(
+            "media_id",
+            "sample_index",
+            ts.alias("ts_ms"),
+            F.least(
+                ts * F.col("fps") / F.lit(1000),
+                (F.col("n_frames") - 1).cast("double"),
+            ).cast("long").alias("frame_index"),
+        )
+    )
+
+
 IMAGE_DHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

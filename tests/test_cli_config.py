@@ -1023,3 +1023,57 @@ def test_curate_cli_lang_mix_report(tmp_path):
     for x in lm:
         assert 0 < x["top_share_bp"] <= 10000
         assert (x["lang_entropy_micro"] == 0) == (x["n_langs"] == 1)
+
+
+def test_curate_cli_drop_contained(tmp_path):
+    """--drop-contained: one-way quotes are dropped, their source pages
+    survive, mutual (exact-dup) pairs keep the min id."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    src = tmp_path / "docs.parquet"
+    rows = []
+    for i in range(10):  # pages with per-doc vocab
+        text = " ".join(f"d{i}w{j}" for j in range(80))
+        rows.append((i, text))
+    for i in range(5):   # 12-token quotes of pages 0..4
+        rows.append((100 + i, " ".join(f"d{i}w{j}" for j in range(12))))
+    dup = " ".join(f"mw{j}" for j in range(40))
+    rows += [(200, dup), (201, dup)]  # mutual pair
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?, 'en', 'src0', length(?))",
+        [(i, t, t) for i, t in rows],
+    )
+    con.execute(f"COPY d TO '{src}' (FORMAT PARQUET)")
+
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(src),
+            "--out", str(out),
+            "--drop-contained", "0.8",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["n_input"] == 17
+    assert report["stages"]["keep_contained"] == 11  # -5 quotes, -1 dup
+
+    kept = {
+        row[0]
+        for row in con.execute(
+            f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert kept == set(range(10)) | {200}

@@ -536,3 +536,85 @@ def test_cluster_stats_histogram_and_singletons(spark):
     # without docs: no singleton row
     rows2 = {r.cluster_size for r in DD.cluster_stats(comp).collect()}
     assert rows2 == {2, 3}
+
+
+# --- asymmetric n-gram containment ------------------------------------------
+
+def _py_containment(docs, threshold=0.8, n=3, max_df=None):
+    """Brute-force directed containment pairs over shingle SETS."""
+    import math
+    from collections import Counter
+
+    sets = {i: set(py_shingles(t, n)) for i, t in docs}
+    if max_df is not None:
+        df = Counter(s for v in sets.values() for s in v)
+        sets = {i: {s for s in v if df[s] <= max_df} for i, v in sets.items()}
+    out = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter / len(sa) >= threshold:
+                out.add((a, b, inter, len(sa), len(sb),
+                         math.floor(inter / len(sa) * 1_000_000)))
+    return out
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A 12-token quote embedded in a 60-token page: containment = 1.0,
+    Jaccard ≈ 0.17 — the asymmetric case the symmetric threshold can
+    never separate from noise."""
+    words = [f"w{i}" for i in range(60)]
+    page = " ".join(words)
+    quote = " ".join(words[:12])
+    df = spark.createDataFrame(
+        [(0, page), (1, quote)], "doc_id LONG, text STRING"
+    )
+    jac = DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric near-dup misses the quote
+    got = {(r.contained_id, r.container_id): r
+           for r in DD.ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert set(got) == {(1, 0)}  # quote ⊂ page, never page ⊂ quote
+    r = got[(1, 0)]
+    assert r.containment_u == 1_000_000
+    assert r.n_contained == 10 and r.n_container == 58
+
+
+def test_containment_matches_bruteforce(spark):
+    docs = DOCS + [
+        (6, "the quick brown fox jumps"),               # prefix quote of 0
+        (7, "jumps over the lazy dog and then slept"),  # overlapping span
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r.contained_id, r.container_id, r.n_inter, r.n_contained,
+         r.n_container, r.containment_u)
+        for r in DD.ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got == _py_containment(docs, threshold=0.5)
+
+
+def test_containment_mutual_dups_both_directions(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f")], "doc_id LONG, text STRING"
+    )
+    got = {(r.contained_id, r.container_id): r.containment_u
+           for r in DD.ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert got == {(0, 1): 1_000_000, (1, 0): 1_000_000}
+
+
+def test_containment_max_df_filters_universe(spark):
+    """max_df drops head shingles BEFORE the ratio on both sides —
+    the brute-force twin applies the same filtered universe."""
+    docs = [(i, "common text here " + f"u{i} v{i} w{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r.contained_id, r.container_id, r.n_inter, r.n_contained,
+         r.n_container, r.containment_u)
+        for r in DD.ngram_containment_pairs(
+            df, threshold=0.2, max_df=3).collect()
+    }
+    assert got == _py_containment(docs, threshold=0.2, max_df=3)

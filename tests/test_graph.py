@@ -411,3 +411,74 @@ def test_reciprocal_link_rate_ring_vs_organic(spark):
         assert got[h] == (2, 10000)     # full exchange ring
     assert got["o0"] == (1, 0) and got["o1"] == (1, 0)
     assert "o2" not in got              # only a self-loop out-edge
+
+
+# --- label-propagation communities -------------------------------------------
+
+def _ref_lpa(edges, iters):
+    """Pure-python twin of the synchronous self-inclusive
+    min-tie-break update."""
+    from collections import Counter
+
+    und = {(a, b) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    nodes = sorted({h for e in edges for h in e})
+    nbrs = {h: sorted({d for s, d in und if s == h}) for h in nodes}
+    labels = {h: h for h in nodes}
+    for _ in range(iters):
+        new = {}
+        for h in nodes:
+            cnt = Counter(labels[d] for d in nbrs[h])
+            cnt[labels[h]] += 1  # the self vote
+            new[h] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    return labels
+
+
+def test_label_communities_matches_reference(spark):
+    edges = _graph()
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: r.community
+           for r in G.label_communities(df, iters=4).collect()}
+    assert got == _ref_lpa(edges, iters=4)
+
+
+def test_label_communities_splits_bridged_cliques(spark):
+    """Two 5-cliques joined by ONE bridge: connected components see one
+    blob; the majority vote keeps two communities."""
+    a = [f"a{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(5)]
+    edges = [(x, y) for x in a for y in a if x < y]
+    edges += [(x, y) for x in b for y in b if x < y]
+    edges.append(("a0", "b0"))  # the bridge
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {r.host: r.community
+           for r in G.label_communities(df, iters=4).collect()}
+    assert got == _ref_lpa(edges, iters=4)
+    assert len({got[h] for h in a} | {got[h] for h in b}) == 2
+    assert {got[h] for h in a}.isdisjoint({got[h] for h in b})
+
+
+def test_label_communities_self_loop_only_keeps_label(spark):
+    """The self vote keeps isolated/self-loop hosts labeled, and
+    CONVERGES the mutual pair (pure synchronous LPA oscillates x↔y
+    forever; the tie self-vs-neighbor breaks to the min label)."""
+    df = spark.createDataFrame(
+        [("s", "s"), ("x", "y")], "src STRING, dst STRING"
+    )
+    got = {r.host: r.community
+           for r in G.label_communities(df, iters=3).collect()}
+    assert got == _ref_lpa([("s", "s"), ("x", "y")], iters=3)
+    assert got["s"] == "s"
+    assert got["x"] == "x" and got["y"] == "x"  # min label wins the pair
+
+
+def test_label_communities_layout_invariant(spark):
+    edges = _graph(n_nodes=17, n_edges=120)
+    df1 = spark.createDataFrame(edges, "src STRING, dst STRING")
+    df64 = df1.repartition(64)
+    r1 = {r.host: r.community
+          for r in G.label_communities(df1, iters=4).collect()}
+    r64 = {r.host: r.community
+           for r in G.label_communities(df64, iters=4).collect()}
+    assert r1 == r64

@@ -727,3 +727,124 @@ def test_host_language_mix_shapes(spark):
     # majority tie: count DESC then lang ASC -> 'de'
     assert got["tied"].top_lang == "de"
     assert got["tied"].top_share_bp == 5000
+
+
+def test_video_metadata_and_frame_plan(spark):
+    """Video twin of the audio plumbing: fake decode arithmetic,
+    blob shed at the metadata boundary, closed-form sampling plan
+    with ragged tail, per-video cap, and frame-range clamp."""
+    import pytest as _pytest
+
+    from distributed_crawl_spark.operators.multimodal import (
+        VIDEO_META_SCHEMA,
+        decode_video_real,
+        video_frame_plan,
+        video_metadata,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_video_real(b"ftyp")
+
+    media = spark.createDataFrame(
+        [(0, "video", b"x" * 100, "video/mp4"),
+         (1, "video", b"", "video/mp4")],
+        "media_id LONG, kind STRING, payload BINARY, mime STRING",
+    )
+    meta = video_metadata(media, fake=True)
+    assert meta.schema == VIDEO_META_SCHEMA
+    rows = {r.media_id: r for r in meta.collect()}
+    # n=100: width = 16*(20+100%101) = 1920, fps = (24,25,30)[100%3] = 25,
+    # n_frames = 230, duration = 230*1000//25 = 9200 ms
+    assert rows[0].width == 1920 and rows[0].height == 1080
+    assert rows[0].fps == 25 and rows[0].n_frames == 230
+    assert rows[0].duration_ms == 9200
+    # n=0: width 320, fps 24, n_frames 30, duration 1250 ms
+    assert rows[1].width == 320 and rows[1].fps == 24
+    assert rows[1].n_frames == 30 and rows[1].duration_ms == 1250
+
+    plan = video_frame_plan(meta, every_ms=1000)
+    by = {}
+    for r in plan.collect():
+        by.setdefault(r.media_id, []).append(r)
+    got0 = sorted((r.sample_index, r.ts_ms, r.frame_index) for r in by[0])
+    # 10 samples at 0..9000 ms, frame = ts*25//1000
+    assert got0 == [(i, 1000 * i, 25 * i) for i in range(10)]
+    got1 = sorted((r.sample_index, r.ts_ms, r.frame_index) for r in by[1])
+    # 2 samples; the 1000 ms sample would be frame 24 — inside range;
+    # clamp shows at the tail: a 1250 ms video sampled at 1200 ms with
+    # fps 24 gives frame 28 ≤ 29
+    assert got1 == [(0, 0, 0), (1, 1000, 24)]
+
+    capped = video_frame_plan(meta, every_ms=1000, max_samples=4)
+    assert sorted(r.sample_index for r in capped.collect()
+                  if r.media_id == 0) == [0, 1, 2, 3]
+
+    # frame-range clamp: 100 ms stride on the 1250 ms video reaches
+    # ts 1200 → raw frame 28; a 40 ms-duration fiction would clamp —
+    # force it via a video where ts*fps/1000 exceeds n_frames-1
+    tiny = video_frame_plan(
+        meta.filter("media_id = 1").withColumn(
+            "n_frames", F.lit(2).cast("long")),
+        every_ms=1000,
+    )
+    assert max(r.frame_index for r in tiny.collect()) == 1  # clamped to 1
+
+
+def test_cc_luhn_stats_known_numbers(spark):
+    """Luhn precision split on known card test numbers: VISA/Amex test
+    numbers validate, an off-by-checksum run doesn't, short runs and
+    20-digit runs never become candidates (fixed-shape boundary)."""
+    from distributed_crawl_spark.functions.textstats import cc_luhn_stats
+
+    cases = [
+        (0, "pay 4111 1111 1111 1111 now", 1, 1),        # grouped VISA
+        (1, "num 1234 5678 9012 3456", 1, 0),            # grouped invalid
+        (2, "id 4111111111111111 end", 1, 1),            # contiguous VISA
+        (3, "amex 378282246310005 ok", 1, 1),            # 15-digit Amex
+        (4, "luhn 79927398713", 0, 0),                   # 11 digits: short
+        (5, "serial 12345678901234567890", 0, 0),        # 20 digits: no \b fit
+        (6, "no numbers at all", 0, 0),
+        (7, "two: 4111111111111111 and 5500 0000 0000 0004", 2, 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "doc_id LONG, text STRING"
+    )
+    nc, nv = cc_luhn_stats(F.col("text"))
+    got = {
+        r.doc_id: (r.nc, r.nv)
+        for r in df.select(
+            "doc_id", nc.alias("nc"), nv.alias("nv")
+        ).collect()
+    }
+    for i, _, want_c, want_v in cases:
+        assert got[i] == (want_c, want_v), (i, got[i])
+
+
+def test_cc_luhn_matches_python_reference(spark):
+    """HOF checksum == the textbook Luhn on synthetic digit runs."""
+    def py_luhn(d):
+        s = 0
+        for i, ch in enumerate(reversed(d)):
+            v = int(ch)
+            s += v if i % 2 == 0 else (v * 2 - 9 if v * 2 > 9 else v * 2)
+        return s % 10 == 0
+
+    import hashlib
+    runs = [
+        str(int(hashlib.md5(f"cc{i}".encode()).hexdigest()[:12], 16))[:16]
+        for i in range(30)
+    ]
+    from distributed_crawl_spark.functions.textstats import cc_luhn_stats
+
+    df = spark.createDataFrame(
+        [(i, f"x {r} y") for i, r in enumerate(runs)],
+        "doc_id LONG, text STRING",
+    )
+    nc, nv = cc_luhn_stats(F.col("text"))
+    got = {
+        r.doc_id: (r.nc, r.nv)
+        for r in df.select("doc_id", nc.alias("nc"), nv.alias("nv")).collect()
+    }
+    for i, r in enumerate(runs):
+        want = (1, 1 if py_luhn(r) else 0) if len(r) >= 13 else (0, 0)
+        assert got[i] == want, (i, r, got[i], want)

@@ -72,6 +72,10 @@ QUERIES = [
     "spam_mass",            # host_rank + scaled trust_rank + 1 equi-join
     "reciprocal_links",     # distinct-pair census + semi self-join
     "host_language_mix",    # one (host,lang) census + bounded rollups
+    # round-5 session-6 additions:
+    "dedup_containment",    # shared posting-list census + direction explode
+    "host_communities",     # 4x (neighbor join + census + top-1 window)
+    "video_frames",         # one Arrow metadata pass + closed-form explode
 ]
 
 

@@ -1,0 +1,83 @@
+"""North-rule N->4N pairs at the bigger-rounds regime (10M pages).
+
+The standard interleaved-pairs protocol (fresh JVM per leg, pairs of
+(small, large) runs back-to-back so VM phases hit both legs of a pair
+alike, median efficiency over pairs) — but at 8 vs 32 cores on the
+10M-page / 2M-seed corpus, where per-round data work dominates the
+per-job fixed costs that cap the 2M-page corpus's high-core legs
+(BENCH.md "10M-page crawl"). This is the regime the north rule's real
+cluster actually runs in: rounds there are bigger still.
+
+Usage: python tools/sf1_scaling_pairs.py [--pairs 3] [--out FILE.json]
+
+Generation (~21 GB bucketed cache) happens inside the first leg if the
+cache is missing; that leg's wall excludes generation (bench.py times
+only the crawl), but we run one warm-up 32-core leg first anyway so no
+measured leg pays cache-cold page-cache effects unevenly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+CACHE = "/tmp/bench_pages_cache_sf1"
+N_PAGES = 10_000_000
+
+
+def run_leg(cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH="crawl",
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_PAGES=str(N_PAGES),
+        SPARK_GRAFT_PAGES_CACHE=CACHE,
+        SPARK_DRIVER_MEM="48g",  # generation-only need; identical on both legs
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["crawl"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--out", default=str(REPO / "bench_scaling_sf1_pairs.json"))
+    args = ap.parse_args()
+
+    print("warmup leg (generates cache if missing)...", file=sys.stderr)
+    warm = run_leg(32)
+    print(f"warmup: {warm}", file=sys.stderr)
+
+    pairs = []
+    for i in range(args.pairs):
+        small = run_leg(8)
+        print(f"pair {i} local[8]: {small}", file=sys.stderr)
+        large = run_leg(32)
+        print(f"pair {i} local[32]: {large}", file=sys.stderr)
+        eff = round((large["urls_per_sec"] / small["urls_per_sec"]) / 4, 3)
+        pairs.append({"pair": i, "local8": small, "local32": large,
+                      "efficiency": eff})
+        Path(args.out).write_text(json.dumps({
+            "protocol": "interleaved fresh-JVM pairs, 8 vs 32 cores, "
+                        "10M-page corpus (bigger-rounds regime)",
+            "warmup_leg32": warm,
+            "pairs": pairs,
+            "median_efficiency": sorted(p["efficiency"] for p in pairs)[
+                len(pairs) // 2],
+        }, indent=2) + "\n")
+    print(json.dumps({"median_efficiency":
+                      sorted(p["efficiency"] for p in pairs)[len(pairs) // 2],
+                      "pairs": [p["efficiency"] for p in pairs]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,7 @@ HEADLINE = [
     "index_neardup",
     "link_spam_signals", "trust_rank", "spam_mass", "reciprocal_links",
     "host_language_mix",
+    "dedup_containment", "host_communities", "video_frames", "pii_cc_luhn",
 ]
 
 

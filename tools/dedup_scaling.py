@@ -76,6 +76,8 @@ QUERIES = [
     "dedup_containment",    # shared posting-list census + direction explode
     "host_communities",     # 4x (neighbor join + census + top-1 window)
     "video_frames",         # one Arrow metadata pass + closed-form explode
+    "pii_cc_luhn",          # regex scan + HOF checksum, zero shuffle
+    "containment_salted",   # real-web df regime: pair machinery at 10x
 ]
 
 
@@ -93,6 +95,38 @@ def _q_substring_spans(spark, d):
     return CU.substring_spans(
         spark.read.parquet(f"{d}/documents.parquet"), w=20, s=8
     )
+
+
+def _q_containment_salted(spark, d):
+    """Probe-local twin of dedup_containment on a REAL-WEB shingle
+    regime: the raw probe corpus draws from the testdata's 31-word
+    vocabulary, so at 50k docs every possible trigram exceeds
+    max_df=64 and the rare filter (correctly) empties the index —
+    flat walls, but zero pairs measured. Salting every token with its
+    BASE doc id (the near-dup plant's source) makes each trigram
+    df ∈ {1, 2} — the web regime where shingles are mostly unique —
+    so the posting-list census, pair enumeration, and direction
+    explode all carry the planted ~10% near-dup mass at both sizes."""
+    from distributed_crawl_spark.functions import dedup as DD
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    base = F.when(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") + 1 < n),
+        F.col("doc_id") + 1,
+    ).otherwise(F.col("doc_id"))
+    salted = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(F.lit("g"), base.cast("string"),
+                                   F.lit("_"), t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return DD.ngram_containment_pairs(salted, threshold=0.8, max_df=64)
 
 
 def _q_recrawl_visits(spark, d):
@@ -185,6 +219,7 @@ def main() -> None:
     qs = dict(entry.queries())
     qs["substring_spans"] = _q_substring_spans
     qs["recrawl_visits"] = _q_recrawl_visits
+    qs["containment_salted"] = _q_containment_salted
     walls: dict[str, dict[str, list[float]]] = {
         q: {"sf01": [], "big": []} for q in QUERIES
     }

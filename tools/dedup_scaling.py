@@ -78,6 +78,7 @@ QUERIES = [
     "video_frames",         # one Arrow metadata pass + closed-form explode
     "pii_cc_luhn",          # regex scan + HOF checksum, zero shuffle
     "containment_salted",   # real-web df regime: pair machinery at 10x
+    "communities_scaled",   # hosts scale with docs: 10x label tables
 ]
 
 
@@ -127,6 +128,36 @@ def _q_containment_salted(spark, d):
         ).alias("text"),
     )
     return DD.ngram_containment_pairs(salted, threshold=0.8, max_df=64)
+
+
+def _q_communities_scaled(spark, d):
+    """LPA probe whose HOST COUNT scales with the corpus (the contract
+    query pins 40 hosts at any sf, so its 10× row measures only the
+    edge census): hosts = n_docs // 25 in planted groups of 5, intra-
+    group edges from every doc + sparse cross edges — label table,
+    neighbor join, census, and top-1 window all grow 10×."""
+    from distributed_crawl_spark.functions import graph as GR
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n_hosts = max(40, docs.count() // 25)
+    g = F.col("doc_id") % n_hosts
+    grp = g - (g % 5)
+    intra = docs.select(
+        F.concat(F.lit("h"), g.cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            (grp + F.pmod(F.xxhash64("doc_id"), F.lit(5))).cast("string"),
+        ).alias("dst"),
+    )
+    cross = docs.filter(F.col("doc_id") % 31 == 0).select(
+        F.concat(F.lit("h"), g.cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.xxhash64("doc_id", F.lit("x")), F.lit(n_hosts))
+            .cast("string"),
+        ).alias("dst"),
+    )
+    return GR.label_communities(intra.unionByName(cross), iters=4)
 
 
 def _q_recrawl_visits(spark, d):
@@ -220,6 +251,7 @@ def main() -> None:
     qs["substring_spans"] = _q_substring_spans
     qs["recrawl_visits"] = _q_recrawl_visits
     qs["containment_salted"] = _q_containment_salted
+    qs["communities_scaled"] = _q_communities_scaled
     walls: dict[str, dict[str, list[float]]] = {
         q: {"sf01": [], "big": []} for q in QUERIES
     }

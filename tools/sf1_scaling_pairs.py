@@ -50,26 +50,35 @@ def run_leg(cpus: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--cpus", default="8,32",
+                    help="N,4N core pair — use 2,8 for the unsaturated "
+                         "regime on a bandwidth-phased box")
+    ap.add_argument("--warmup", type=int, default=32,
+                    help="cores for the untimed warmup leg (0 = skip)")
     ap.add_argument("--out", default=str(REPO / "bench_scaling_sf1_pairs.json"))
     args = ap.parse_args()
+    n, n4 = (int(c) for c in args.cpus.split(","))
+    ratio = n4 / n
 
-    print("warmup leg (generates cache if missing)...", file=sys.stderr)
-    warm = run_leg(32)
-    print(f"warmup: {warm}", file=sys.stderr)
+    warm = None
+    if args.warmup:
+        print("warmup leg (generates cache if missing)...", file=sys.stderr)
+        warm = run_leg(args.warmup)
+        print(f"warmup: {warm}", file=sys.stderr)
 
     pairs = []
     for i in range(args.pairs):
-        small = run_leg(8)
-        print(f"pair {i} local[8]: {small}", file=sys.stderr)
-        large = run_leg(32)
-        print(f"pair {i} local[32]: {large}", file=sys.stderr)
-        eff = round((large["urls_per_sec"] / small["urls_per_sec"]) / 4, 3)
-        pairs.append({"pair": i, "local8": small, "local32": large,
+        small = run_leg(n)
+        print(f"pair {i} local[{n}]: {small}", file=sys.stderr)
+        large = run_leg(n4)
+        print(f"pair {i} local[{n4}]: {large}", file=sys.stderr)
+        eff = round((large["urls_per_sec"] / small["urls_per_sec"]) / ratio, 3)
+        pairs.append({"pair": i, f"local{n}": small, f"local{n4}": large,
                       "efficiency": eff})
         Path(args.out).write_text(json.dumps({
-            "protocol": "interleaved fresh-JVM pairs, 8 vs 32 cores, "
+            "protocol": f"interleaved fresh-JVM pairs, {n} vs {n4} cores, "
                         "10M-page corpus (bigger-rounds regime)",
-            "warmup_leg32": warm,
+            "warmup_leg": warm,
             "pairs": pairs,
             "median_efficiency": sorted(p["efficiency"] for p in pairs)[
                 len(pairs) // 2],

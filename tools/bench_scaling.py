@@ -66,7 +66,10 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2,
                     help="runs per leg; best throughput kept (the sandbox "
                          "VM has noisy-neighbor variance)")
-    ap.add_argument("--out", default=str(REPO / "BENCH.md"))
+    # NOTE: writes a standalone file — do NOT point this at BENCH.md
+    # (which accumulates per-round sections and would be clobbered by
+    # the write_text below).
+    ap.add_argument("--out", default=str(REPO / "BENCH_SCALING.md"))
     ap.add_argument("--json-out", default=str(REPO / "bench_scaling.json"))
     args = ap.parse_args()
 

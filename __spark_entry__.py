@@ -31,6 +31,7 @@ from distributed_crawl_spark.functions import dedup as DD
 from distributed_crawl_spark.functions import events as EV
 from distributed_crawl_spark.functions import graph as GR
 from distributed_crawl_spark.functions import recrawl as RC
+from distributed_crawl_spark.functions import redirects as RD
 from distributed_crawl_spark.functions import search as SE
 from distributed_crawl_spark.functions import similarity as SIM
 from distributed_crawl_spark.functions import textstats as TS
@@ -2758,6 +2759,92 @@ def q_pii_cc_luhn(spark, sf_dir):
     )
 
 
+def _redirect_edges(spark, sf_dir):
+    """Deterministic redirect graph over documents: a 21-hop ladder
+    L21→…→L0 (so the max_hops=8 cap fires on a TERMINATING chain —
+    L8 resolves in exactly 8 hops, L9+ get cut), a planted 3-cycle
+    c0→c1→c2→c0 plus a feeder x0→c0 (never resolve), and the organic
+    u_d → u_{d div 7} forest whose roots u0..u20 are terminals."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src = (
+        F.when(d < 21, F.concat(F.lit("L"), (d + 1).cast("string")))
+        .when(d % 1000 == 111, F.lit("c0"))
+        .when(d % 1000 == 222, F.lit("c1"))
+        .when(d % 1000 == 333, F.lit("c2"))
+        .when(d % 1000 == 444, F.lit("x0"))
+        .otherwise(F.concat(F.lit("u"), d.cast("string")))
+    )
+    dst = (
+        F.when(d < 21, F.concat(F.lit("L"), d.cast("string")))
+        .when(d % 1000 == 111, F.lit("c1"))
+        .when(d % 1000 == 222, F.lit("c2"))
+        .when(d % 1000 == 333, F.lit("c0"))
+        .when(d % 1000 == 444, F.lit("c0"))
+        .otherwise(
+            F.concat(F.lit("u"), F.expr("doc_id div 7").cast("string"))
+        )
+    )
+    return docs.select(src.alias("src"), dst.alias("dst"))
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Pointer-doubling redirect resolution (redirects.resolve_redirects):
+    log2(max_hops) self-joins on a |nodes|-row mapping table instead of
+    one join per hop. The synthetic graph plants every regime the
+    resolver distinguishes: exact-cap resolution (L8, hops=8,
+    resolved), over-long chains (L9..L21, cut at 8 hops mid-ladder), a
+    3-cycle and its feeder (final = stepwise position 8 mod 3 into the
+    cycle, unresolved), and shallow organic chains ending at terminal
+    forest roots. Oracle walks the same edges ONE hop at a time with a
+    recursive CTE — doubling vs stepping must agree on final node, hop
+    count, and resolved flag for every source."""
+    return RD.resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=8)
+
+
+def q_redirect_aliases(spark, sf_dir):
+    """Alias-group census (redirects.redirect_aliases): resolved sources
+    grouped by terminal URL — the fetch-savings report of redirect
+    canonicalization (n_aliases − 1 skipped fetches per terminal).
+    Unresolved cycle members are excluded by contract."""
+    return RD.redirect_aliases(
+        RD.resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=8)
+    )
+
+
+def q_lane_assign(spark, sf_dir):
+    """Rendezvous host→lane pinning (politeness.lane_assignment,
+    Thaler-Ravishankar HRW hashing): 211 synthetic hosts over 16
+    fetcher lanes, argmax of md5_int48(host:lane). The minimal-
+    disruption property (resize moves only the changed-argmax hosts) is
+    pytest-verified; here the oracle recomputes every candidate score
+    and the top-1 pick bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 211).cast("string"))
+        .alias("host")
+    )
+    return PO.lane_assignment(hosts, n_lanes=16)
+
+
+def q_lane_load(spark, sf_dir):
+    """Per-lane load census (politeness.lane_load): the 211-host
+    rendezvous assignment weighted by each host's queued-doc count —
+    the skew report a fetch fleet reads before resizing. 16 output
+    rows; weights ride one |hosts|-keyed join."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 211).cast("string")
+    ).alias("host")
+    hosts = docs.select(host)
+    weights = docs.select(host).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    return PO.lane_load(
+        PO.lane_assignment(hosts, n_lanes=16), weights
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2893,6 +2980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": q_host_communities,
         "video_frames": q_video_frames,
         "pii_cc_luhn": q_pii_cc_luhn,
+        "redirect_resolve": q_redirect_resolve,
+        "redirect_aliases": q_redirect_aliases,
+        "lane_assign": q_lane_assign,
+        "lane_load": q_lane_load,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6426,4 +6517,84 @@ def oracle_sql() -> dict[str, str]:
                             // 1000,
                           n_frames - 1) AS BIGINT) AS frame_index
         FROM c"""
+    # Shared synth for the redirect-family oracles: the q__redirect_edges
+    # graph, functionalized to min(dst) per src exactly like
+    # resolve_redirects does.
+    redirect_e = """
+        e0 AS (
+          SELECT CASE WHEN doc_id < 21 THEN 'L' || (doc_id + 1)::VARCHAR
+                      WHEN doc_id % 1000 = 111 THEN 'c0'
+                      WHEN doc_id % 1000 = 222 THEN 'c1'
+                      WHEN doc_id % 1000 = 333 THEN 'c2'
+                      WHEN doc_id % 1000 = 444 THEN 'x0'
+                      ELSE 'u' || doc_id::VARCHAR END AS src,
+                 CASE WHEN doc_id < 21 THEN 'L' || doc_id::VARCHAR
+                      WHEN doc_id % 1000 = 111 THEN 'c1'
+                      WHEN doc_id % 1000 = 222 THEN 'c2'
+                      WHEN doc_id % 1000 = 333 THEN 'c0'
+                      WHEN doc_id % 1000 = 444 THEN 'c0'
+                      ELSE 'u' || (doc_id // 7)::VARCHAR END AS dst
+          FROM documents
+        ),
+        e AS (SELECT src AS node, min(dst) AS t FROM e0 GROUP BY 1),
+        walk AS (
+          SELECT node AS src, t AS cur, CAST(1 AS BIGINT) AS hops FROM e
+          UNION ALL
+          SELECT w.src, e.t, w.hops + 1
+          FROM walk w JOIN e ON e.node = w.cur
+          WHERE w.hops < 8
+        ),
+        last AS (
+          SELECT src, cur AS final, hops,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY hops DESC) AS rn
+          FROM walk
+        ),
+        resolved_t AS (
+          SELECT l.src, l.final, l.hops,
+                 (e2.node IS NULL) AS resolved
+          FROM last l LEFT JOIN e e2 ON e2.node = l.final
+          WHERE l.rn = 1
+        )"""
+    out["redirect_resolve"] = f"""
+        WITH RECURSIVE {redirect_e}
+        SELECT src, final, hops, resolved FROM resolved_t"""
+    out["redirect_aliases"] = f"""
+        WITH RECURSIVE {redirect_e}
+        SELECT final, CAST(count(*) AS BIGINT) AS n_aliases,
+               max(hops) AS max_hops_seen
+        FROM resolved_t WHERE resolved GROUP BY final"""
+    # Rendezvous lane assignment: recompute every candidate score and the
+    # (score DESC, lane ASC) top-1 pick.
+    lane_cand = """
+        hosts AS (
+          SELECT DISTINCT 'h' || (doc_id % 211)::VARCHAR AS host
+          FROM documents
+        ),
+        cand AS (
+          SELECT host, lane,
+                 CAST('0x' || substr(md5(host || ':' || lane::VARCHAR),
+                                     1, 12) AS BIGINT) AS score
+          FROM hosts, (SELECT unnest(range(0, 16)) AS lane)
+        ),
+        pick AS (
+          SELECT host, CAST(lane AS BIGINT) AS lane, score,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY score DESC, lane) AS rn
+          FROM cand
+        )"""
+    out["lane_assign"] = f"""
+        WITH {lane_cand}
+        SELECT host, lane, score FROM pick WHERE rn = 1"""
+    out["lane_load"] = f"""
+        WITH {lane_cand},
+        w AS (
+          SELECT 'h' || (doc_id % 211)::VARCHAR AS host,
+                 CAST(count(*) AS BIGINT) AS weight
+          FROM documents GROUP BY 1
+        )
+        SELECT p.lane, CAST(count(*) AS BIGINT) AS n_hosts,
+               CAST(sum(w.weight) AS BIGINT) AS total_weight
+        FROM pick p JOIN w USING (host)
+        WHERE p.rn = 1 GROUP BY p.lane"""
     return out

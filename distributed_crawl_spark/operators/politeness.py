@@ -241,3 +241,87 @@ def drain_plan(frontier: DataFrame, budgets: DataFrame | None = None,
         )
         .orderBy(F.desc("rounds_needed"), "host")
     )
+
+
+def lane_assignment(hosts: DataFrame, n_lanes: int = 16,
+                    host_col: str = "host") -> DataFrame:
+    """Rendezvous (highest-random-weight) host → fetcher-lane pinning.
+
+    Politeness is only enforceable when ALL of a host's fetches go
+    through one serialization point: a distributed fetch tier therefore
+    pins each host to a lane (executor slot / fetcher process), the
+    Heritrix/Nutch queue-assignment model. The reference crawler is a
+    single process (thebenjy/distributed_crawl crawler.py) and needs no
+    pinning; at 1000 executors the pinning function IS the politeness
+    guarantee.
+
+    Rendezvous hashing (Thaler & Ravishankar 1998) beats mod-N here:
+    when a lane is added or removed, ONLY the hosts whose argmax lane
+    changed move (expected 1/n_lanes of them) — mod-N reshuffles
+    almost every host, breaking per-host rate memory on every fleet
+    resize.
+
+    score(host, lane) = md5_int48(host ‖ ':' ‖ lane); the lane with the
+    highest score wins, ties (2^-48) broken toward the smaller lane id.
+    Returns (host, lane, score) per distinct host.
+
+    Scale shape: zero-shuffle explode to n_lanes candidate rows, then a
+    per-host top-1 window over exactly n_lanes rows — the
+    row_number()=1 shape Spark 4 rewrites to a map-side
+    WindowGroupLimit, so nothing but |hosts| rows reach the exchange.
+    Deterministic across engines: md5 on both sides.
+    """
+    from distributed_crawl_spark.functions.dedup import md5_int48
+
+    if n_lanes <= 0:
+        raise ValueError(f"n_lanes must be positive, got {n_lanes}")
+    cand = (
+        hosts.select(F.col(host_col).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_lanes - 1))
+            ).alias("lane"),
+        )
+        .withColumn(
+            "score",
+            md5_int48(
+                F.concat(F.col("host"), F.lit(":"), F.col("lane").cast("string"))
+            ),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("lane"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("host", F.col("lane").cast("long").alias("lane"), "score")
+    )
+
+
+def lane_load(assigned: DataFrame, weights: DataFrame | None = None,
+              host_col: str = "host") -> DataFrame:
+    """Per-lane load census over a :func:`lane_assignment` result.
+
+    ``weights`` (host, weight) — e.g. queued-URL counts from the
+    frontier census — joins in as the load measure; absent, every host
+    weighs 1. Returns (lane, n_hosts, total_weight): the skew report a
+    fleet scheduler reads before resizing.
+
+    One |hosts|-keyed left join plus one map-side-combinable groupBy on
+    lane (≤ n_lanes output rows).
+    """
+    a = assigned.select("host", "lane")
+    if weights is not None:
+        w = weights.select(
+            F.col(host_col).alias("host"),
+            F.col("weight").cast("long").alias("__w"),
+        )
+        a = a.join(w, "host", "left")
+    else:
+        a = a.withColumn("__w", F.lit(1).cast("long"))
+    return a.groupBy("lane").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum(F.coalesce(F.col("__w"), F.lit(1))).cast("long")
+        .alias("total_weight"),
+    )

@@ -30,6 +30,7 @@ from distributed_crawl_spark.functions import curation as CU
 from distributed_crawl_spark.functions import dedup as DD
 from distributed_crawl_spark.functions import events as EV
 from distributed_crawl_spark.functions import graph as GR
+from distributed_crawl_spark.functions import pagehealth as PH
 from distributed_crawl_spark.functions import recrawl as RC
 from distributed_crawl_spark.functions import redirects as RD
 from distributed_crawl_spark.functions import search as SE
@@ -2845,6 +2846,74 @@ def q_lane_load(spark, sf_dir):
     )
 
 
+def _soft404_pages(spark, sf_dir):
+    """Deterministic soft-404 corpus over documents: every 10th doc is
+    the SHARED error template (the per-host dominant digest a template
+    pick must find), every 10th+1 is a unique-text error page (flagged,
+    but digests all distinct, so it can never win the template slot),
+    the rest keep their real document text. 11 hosts."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), (d % 11).cast("string"),
+                   F.lit(".test/p"), d.cast("string"))
+    text = (
+        F.when(d % 10 == 0, F.lit(
+            "Error 404 not found. The page you requested does not exist."
+        ))
+        .when(d % 10 == 1, F.concat(
+            F.lit("Sorry, item "), d.cast("string"),
+            F.lit(" is no longer available."),
+        ))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(url.alias("url"), text.alias("text"))
+
+
+def q_soft404_flags(spark, sf_dir):
+    """Per-page soft-404 verdict (pagehealth.soft404_flags): Bar-Yossef
+    WWW'04 signals as closed-form predicates — error-phrase hit AND
+    word_count <= 80 over 200-status pages. Zero-shuffle projection;
+    the oracle recomputes phrase regex, whitespace word count, host
+    parse, and md5 digest per row."""
+    return PH.soft404_flags(_soft404_pages(spark, sf_dir))
+
+
+def q_soft404_hosts(spark, sf_dir):
+    """Per-host soft-404 census + error-template pick
+    (pagehealth.soft404_hosts): rate in integral basis points and the
+    dominant flagged digest (ties toward smaller digest) — the artifact
+    that lets ingest drop a host's known error template without a
+    fetch. Census groupBys + a map-side WindowGroupLimit top-1."""
+    return PH.soft404_hosts(
+        PH.soft404_flags(_soft404_pages(spark, sf_dir)), min_pages=3
+    )
+
+
+def q_strippable_params(spark, sf_dir):
+    """Content-evidence tracking-param inference
+    (pagehealth.strippable_params, the DustBuster/IRLbot DUST rule):
+    URLs differing only in one param's value that served identical
+    content argue for stripping it; ONE counter-example on the host
+    vetoes. Synthetic corpus plants both regimes — utm (3 values, never
+    changes the digest) must come out strippable on every host, page
+    (4 values, digest-bearing) must not. The oracle re-parses the same
+    URL strings with DuckDB list lambdas and replays the census."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (d % 5).cast("string"), F.lit(".test/p"),
+        (d % 7).cast("string"), F.lit("?page="), (d % 4).cast("string"),
+        F.lit("&utm="), (d % 3).cast("string"),
+    )
+    text = F.concat(
+        F.lit("c "), (d % 5).cast("string"), F.lit(" "),
+        (d % 7).cast("string"), F.lit(" "), (d % 4).cast("string"),
+    )
+    return PH.strippable_params(
+        docs.select(url.alias("url"), text.alias("text"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -2984,6 +3053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_aliases": q_redirect_aliases,
         "lane_assign": q_lane_assign,
         "lane_load": q_lane_load,
+        "soft404_flags": q_soft404_flags,
+        "soft404_hosts": q_soft404_hosts,
+        "strippable_params": q_strippable_params,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6597,4 +6669,117 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(w.weight) AS BIGINT) AS total_weight
         FROM pick p JOIN w USING (host)
         WHERE p.rn = 1 GROUP BY p.lane"""
+    # Soft-404 family: the synthetic corpus of q__soft404_pages, then
+    # the phrase/length verdicts recomputed row-by-row in DuckDB (the
+    # phrase pattern is built from the SAME constant the engine uses).
+    s404_pat = "(" + "|".join(PH.SOFT404_PHRASES) + ")"
+    s404 = f"""
+        pages AS (
+          SELECT 'http://h' || (doc_id % 11)::VARCHAR || '.test/p'
+                   || doc_id::VARCHAR AS url,
+                 'h' || (doc_id % 11)::VARCHAR || '.test' AS host,
+                 CASE WHEN doc_id % 10 = 0 THEN
+                        'Error 404 not found. The page you requested does not exist.'
+                      WHEN doc_id % 10 = 1 THEN
+                        'Sorry, item ' || doc_id::VARCHAR
+                          || ' is no longer available.'
+                      ELSE text END AS t
+          FROM documents
+        ),
+        verdicts AS (
+          SELECT url, host,
+                 CAST(CASE WHEN trim(t) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+                      END AS BIGINT) AS word_count,
+                 regexp_matches(lower(t), '{s404_pat}') AS has_phrase,
+                 (regexp_matches(lower(t), '{s404_pat}')
+                  AND (CASE WHEN trim(t) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+                       END) <= 80) AS is_soft404,
+                 md5(t) AS digest
+          FROM pages
+        )"""
+    out["soft404_flags"] = f"""
+        WITH {s404}
+        SELECT url, host, word_count, has_phrase, is_soft404, digest
+        FROM verdicts"""
+    out["soft404_hosts"] = f"""
+        WITH {s404},
+        totals AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                 CAST(sum(CASE WHEN is_soft404 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_soft404
+          FROM verdicts GROUP BY host
+        ),
+        tmpl AS (
+          SELECT host, digest, CAST(count(*) AS BIGINT) AS template_n,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY count(*) DESC, digest) AS rn
+          FROM verdicts WHERE is_soft404 GROUP BY host, digest
+        )
+        SELECT t.host, t.n_pages, t.n_soft404,
+               CAST((10000 * t.n_soft404) // t.n_pages AS BIGINT)
+                 AS soft404_rate_bp,
+               m.digest AS template_digest, m.template_n,
+               CAST((10000 * m.template_n) // t.n_soft404 AS BIGINT)
+                 AS template_share_bp
+        FROM totals t JOIN tmpl m ON m.host = t.host AND m.rn = 1
+        WHERE t.n_soft404 >= 3"""
+    # DUST param inference: DuckDB re-parses the same URL strings with
+    # list lambdas and replays the variant-group census.
+    out["strippable_params"] = """
+        WITH p AS (
+          SELECT 'http://h' || (doc_id % 5)::VARCHAR || '.test/p'
+                   || (doc_id % 7)::VARCHAR
+                   || '?page=' || (doc_id % 4)::VARCHAR
+                   || '&utm=' || (doc_id % 3)::VARCHAR AS url,
+                 md5('c ' || (doc_id % 5)::VARCHAR || ' '
+                     || (doc_id % 7)::VARCHAR || ' '
+                     || (doc_id % 4)::VARCHAR) AS digest
+          FROM documents
+        ),
+        parsed AS (
+          SELECT lower(string_split(url, '/')[3]) AS host,
+                 split_part(split_part(url, '#', 1), '?', 1) AS page,
+                 CASE WHEN instr(split_part(url, '#', 1), '?') > 0
+                      THEN list_filter(
+                             string_split(split_part(
+                               split_part(url, '#', 1), '?', 2), '&'),
+                             x -> x <> '')
+                      ELSE [] END AS kvs,
+                 digest
+          FROM p
+        ),
+        r0 AS (
+          SELECT host, page, kvs, digest, unnest(kvs) AS kv FROM parsed
+        ),
+        r1 AS (
+          SELECT host, page, kv, digest,
+                 split_part(kv, '=', 1) AS param,
+                 array_to_string(list_sort(list_filter(kvs,
+                     x -> split_part(x, '=', 1)
+                          <> split_part(kv, '=', 1))), '&') AS others
+          FROM r0
+        ),
+        grp AS (
+          SELECT host, page, param, others,
+                 count(DISTINCT kv) AS n_values,
+                 count(DISTINCT digest) AS n_digests
+          FROM r1 GROUP BY 1, 2, 3, 4
+        ),
+        ev AS (
+          SELECT host, param, CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(CASE WHEN n_digests = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_consistent
+          FROM grp WHERE n_values >= 2 GROUP BY 1, 2
+        ),
+        obs AS (SELECT DISTINCT host, param FROM r1)
+        SELECT o.host, o.param,
+               CAST(COALESCE(e.n_groups, 0) AS BIGINT) AS n_groups,
+               CAST(COALESCE(e.n_consistent, 0) AS BIGINT)
+                 AS n_consistent,
+               (COALESCE(e.n_groups, 0) >= 1
+                AND COALESCE(e.n_consistent, 0) = COALESCE(e.n_groups, 0))
+                 AS strippable
+        FROM obs o LEFT JOIN ev e USING (host, param)"""
     return out

@@ -57,6 +57,9 @@ corpus-wide P-th percentile of self-trained unigram log-probability;
 perplexity buckets (``--ccnet-lang-col`` names a ground-truth language
 column). ``--blocklist CSV`` applies the UT1/FineWeb URL gate (domain
 suffix match + banned-keyword score) before any content stage.
+``--drop-soft404 [MAXWORDS]`` drops soft-404 pages (error phrase +
+short body, pagehealth.soft404_phrase) that slipped through fetch as
+HTTP 200s.
 ``--c4`` applies the C4 cleaning rules (bad lines removed — later
 gates score the cleaned text — and the doc-level keep rules).
 ``--watch`` turns the whole run into CONTINUOUS mode: --docs becomes a
@@ -152,6 +155,11 @@ def main(argv: list[str] | None = None) -> int:
                     "your corpus's language/domain)")
     ap.add_argument("--pii", action="store_true",
                     help="redact emails/IPv4s/phones in the text column")
+    ap.add_argument("--drop-soft404", type=int, nargs="?", const=80,
+                    metavar="MAXWORDS",
+                    help="drop soft-404 pages: an error phrase present "
+                    "AND word count <= MAXWORDS (default 80) — the "
+                    "Bar-Yossef WWW'04 signals over extracted text")
     ap.add_argument("--split", metavar="W1,W2,...",
                     help="deterministic hash split weights (normalized "
                     "by their sum, so 0.9,0.05,0.05 and 90,5,5 are "
@@ -593,6 +601,16 @@ def main(argv: list[str] | None = None) -> int:
         feats = TS.gopher_features(F.col(text_c), stopwords=stop)
         docs = docs.withColumn("__keep_gopher", TS.gopher_keep(feats))
         flags.append("__keep_gopher")
+    if args.drop_soft404 is not None:
+        from distributed_crawl_spark.functions.pagehealth import (
+            soft404_phrase,
+        )
+        docs = docs.withColumn(
+            "__keep_soft404",
+            ~(soft404_phrase(F.col(text_c))
+              & (TS.word_count(F.col(text_c)) <= args.drop_soft404)),
+        )
+        flags.append("__keep_soft404")
     if args.quantile_gate is not None:
         keep = CU.quality_quantile_gate(
             docs, p=args.quantile_gate, id_col=id_c, text_col=text_c,

@@ -1077,3 +1077,43 @@ def test_curate_cli_drop_contained(tmp_path):
         ).fetchall()
     }
     assert kept == set(range(10)) | {200}
+
+
+def test_curate_cli_drop_soft404(tmp_path):
+    """curate.py --drop-soft404: short error-phrase pages dropped, a
+    long page containing a phrase kept, clean pages kept."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    long_with_phrase = " ".join(["word"] * 100) + " page not found"
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(4),
+        "text": [
+            "Error 404 not found. The page does not exist.",
+            "This item is no longer available.",
+            long_with_phrase,
+            "An ordinary page about crawling the web.",
+        ],
+        "source": ["s"] * 4,
+    }).to_parquet(docs_path)
+    out = tmp_path / "s404"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--drop-soft404", "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_soft404"] == 2
+    import duckdb
+    kept = sorted(x[0] for x in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+    ).fetchall())
+    assert kept == [2, 3]

@@ -2914,6 +2914,17 @@ def q_strippable_params(spark, sf_dir):
     )
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (search.topk_terms): saturated tf
+    × micro-unit BM25+ idf, both integers, ties (score DESC, term ASC).
+    Postings explode+census, a vocabulary-sized idf join on the term
+    key, and a per-doc row_number()<=k window (map-side
+    WindowGroupLimit). The oracle replays the census and the floor-ln
+    quantization — the same float-crossing pattern bm25_search proved
+    hash-exact."""
+    return SE.topk_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "url_slug": q_url_slug,
@@ -3056,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_flags": q_soft404_flags,
         "soft404_hosts": q_soft404_hosts,
         "strippable_params": q_strippable_params,
+        "tfidf_keywords": q_tfidf_keywords,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6782,4 +6794,34 @@ def oracle_sql() -> dict[str, str]:
                 AND COALESCE(e.n_consistent, 0) = COALESCE(e.n_groups, 0))
                  AS strippable
         FROM obs o LEFT JOIN ev e USING (host, param)"""
+    out["tfidf_keywords"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ),
+        post AS (
+          SELECT term, doc_id,
+                 least(CAST(count(*) AS BIGINT), 1000) AS tf
+          FROM toks GROUP BY term, doc_id
+        ),
+        st AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM post
+        ),
+        idf AS (
+          SELECT term,
+                 CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                            * 1000000) AS BIGINT) AS idf_q
+          FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM post GROUP BY term) CROSS JOIN st
+        ),
+        sc AS (
+          SELECT doc_id, post.term AS term, tf,
+                 CAST(tf * idf_q AS BIGINT) AS score_q,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf * idf_q DESC, post.term)
+                   AS rn
+          FROM post JOIN idf USING (term)
+        )
+        SELECT doc_id, term, tf, score_q, CAST(rn AS BIGINT) AS rank
+        FROM sc WHERE rn <= 3"""
     return out

@@ -171,6 +171,39 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
     )
 
 
+def topk_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the classic descriptor
+    extraction (Salton & Buckley 1988) a corpus browser, mix planner,
+    or focused-crawl topic model reads per page.
+
+    ``score_q = tf * idf_q`` with the engine's saturated tf
+    (:data:`TF_CAP`) and micro-unit BM25+ idf (:func:`term_idf`) — both
+    integers, so the product (≤ 1000 · ~21e6) stays inside int64 and
+    ranking is hash-matchable. Ties break (score DESC, term ASC).
+    Returns (doc_id, term, tf, score_q, rank), rank 1..k per doc.
+
+    Scale shape: the postings explode+groupBy, a vocabulary-sized df
+    census joined back on the term key (census-to-census, never
+    doc-sized rows × vocab), and a per-doc ``row_number() <= k`` window
+    — the shape Spark 4 bounds map-side with WindowGroupLimit, so at
+    most k rows per doc per map task reach the exchange.
+    """
+    post = build_postings(docs, id_col=id_col, text_col=text_col)
+    idf = term_idf(post, corpus_stats(post))
+    scored = post.join(idf.select("term", "idf_q"), "term").select(
+        "doc_id", "term", "tf",
+        (F.col("tf") * F.col("idf_q")).cast("long").alias("score_q"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _phrase_terms(phrase) -> list[str]:
     terms = phrase.split() if isinstance(phrase, str) else list(phrase)
     if not terms:

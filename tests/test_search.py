@@ -265,3 +265,45 @@ def test_phrase_index_round_trip_add_compact(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positional"):
         S.text_index_phrase(S.read_text_index(spark, flat), "hash join")
+
+
+def _py_topk_terms(docs, k, scale=1_000_000):
+    """Pure-python mirror of topk_terms (saturated tf × micro-unit idf)."""
+    toks = {d: t.split() for d, t in docs if t.split()}
+    n = len(toks)
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = []
+    for d, t in toks.items():
+        rows = []
+        for term in set(t):
+            idf_q = math.floor(
+                math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+                * scale
+            )
+            tf = min(t.count(term), S.TF_CAP)
+            rows.append((term, tf, tf * idf_q))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        for rank, (term, tf, score) in enumerate(rows[:k], start=1):
+            out.append((d, term, tf, score, rank))
+    return sorted(out)
+
+
+def test_topk_terms_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["score_q"], r["rank"])
+        for r in S.topk_terms(df, k=3).collect()
+    )
+    assert got == _py_topk_terms(DOCS, 3)
+    # doc 6 has ONE distinct term -> exactly one row, rank 1
+    d6 = [r for r in got if r[0] == 6]
+    assert len(d6) == 1 and d6[0][1] == "joins" and d6[0][4] == 1
+    # empty doc 5 contributes nothing
+    assert not [r for r in got if r[0] == 5]
+    # rare terms outrank common ones: doc 0's keywords should prefer
+    # doc-0-only terms over 'joins' (also in docs 2 and 6)
+    top0 = {r[1] for r in got if r[0] == 0}
+    assert "joins" not in top0

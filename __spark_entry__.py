@@ -2914,6 +2914,39 @@ def q_strippable_params(spark, sf_dir):
     )
 
 
+def _rank_edges(spark, sf_dir):
+    """The q_host_rank 37-host multigraph, shared by the degree census."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"),
+            (DD.md5_int48(F.col("doc_id").cast("string")) % 37)
+            .cast("string"),
+        ).alias("dst"),
+    )
+
+
+def q_degree_census(spark, sf_dir):
+    """Per-host in/out degree census (graph.degree_census) over the
+    host_rank multigraph: edge counts AND distinct-neighbor counts per
+    direction, full-outer merged so pure sources/sinks read 0. Two
+    map-side censuses + one |hosts| join."""
+    return GR.degree_census(_rank_edges(spark, sf_dir))
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution (graph.degree_histogram, the
+    Broder WWW'00 power-law census): bucket = length(bin(d)) - 1 —
+    integer-exact floor(log2), never the float log — so the histogram
+    hash-matches DuckDB's format('{:b}') twin. The top buckets name
+    the hosts skew mitigation must absorb."""
+    return GR.degree_histogram(
+        GR.degree_census(_rank_edges(spark, sf_dir))
+    )
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords (search.topk_terms): saturated tf
     × micro-unit BM25+ idf, both integers, ties (score DESC, term ASC).
@@ -3068,6 +3101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_hosts": q_soft404_hosts,
         "strippable_params": q_strippable_params,
         "tfidf_keywords": q_tfidf_keywords,
+        "degree_census": q_degree_census,
+        "degree_histogram": q_degree_histogram,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6824,4 +6859,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, term, tf, score_q, CAST(rn AS BIGINT) AS rank
         FROM sc WHERE rn <= 3"""
+    deg_census = f"""
+        e AS (
+          SELECT 'h' || (doc_id % 37)::VARCHAR AS src,
+                 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")} % 37)::VARCHAR
+                   AS dst
+          FROM documents
+        ),
+        oc AS (
+          SELECT src AS host, CAST(count(*) AS BIGINT) AS out_edges,
+                 CAST(count(DISTINCT dst) AS BIGINT) AS out_hosts
+          FROM e GROUP BY src
+        ),
+        ic AS (
+          SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_edges,
+                 CAST(count(DISTINCT src) AS BIGINT) AS in_hosts
+          FROM e GROUP BY dst
+        ),
+        census AS (
+          SELECT COALESCE(oc.host, ic.host) AS host,
+                 COALESCE(out_edges, 0) AS out_edges,
+                 COALESCE(out_hosts, 0) AS out_hosts,
+                 COALESCE(in_edges, 0) AS in_edges,
+                 COALESCE(in_hosts, 0) AS in_hosts
+          FROM oc FULL OUTER JOIN ic ON oc.host = ic.host
+        )"""
+    out["degree_census"] = f"""
+        WITH {deg_census}
+        SELECT host, CAST(out_edges AS BIGINT) AS out_edges,
+               CAST(out_hosts AS BIGINT) AS out_hosts,
+               CAST(in_edges AS BIGINT) AS in_edges,
+               CAST(in_hosts AS BIGINT) AS in_hosts
+        FROM census"""
+    out["degree_histogram"] = f"""
+        WITH {deg_census},
+        m AS (
+          SELECT 'out_edges' AS measure, out_edges AS d FROM census
+          UNION ALL
+          SELECT 'out_hosts', out_hosts FROM census
+          UNION ALL
+          SELECT 'in_edges', in_edges FROM census
+          UNION ALL
+          SELECT 'in_hosts', in_hosts FROM census
+        )
+        SELECT measure,
+               CAST(CASE WHEN d = 0 THEN -1
+                    ELSE length(format('{{:b}}', d)) - 1 END AS BIGINT)
+                 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_hosts
+        FROM m GROUP BY 1, 2"""
     return out

@@ -699,3 +699,61 @@ def label_communities(edges: DataFrame, iters: int = 4,
             .localCheckpoint()
         )
     return labels
+
+
+def degree_census(edges: DataFrame) -> DataFrame:
+    """Per-host degree census over the directed host multigraph:
+    ``out_edges``/``in_edges`` (link counts, parallel edges kept — the
+    crawl-volume view) and ``out_hosts``/``in_hosts`` (distinct
+    neighbors — the connectivity view). Hosts appearing only as a
+    target read 0 on the out side and vice versa.
+
+    Two map-side-combinable censuses (one per direction; the exact
+    distinct-neighbor count rides the same shuffle as an expand) and
+    one |hosts|-keyed full outer merge — nothing above census size.
+    """
+    out_c = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_edges"),
+        F.countDistinct("dst").cast("long").alias("out_hosts"),
+    )
+    in_c = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_edges"),
+        F.countDistinct("src").cast("long").alias("in_hosts"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        out_c.join(in_c, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_edges", z).alias("out_edges"),
+            F.coalesce("out_hosts", z).alias("out_hosts"),
+            F.coalesce("in_edges", z).alias("in_edges"),
+            F.coalesce("in_hosts", z).alias("in_hosts"),
+        )
+    )
+
+
+def degree_histogram(census: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution over a :func:`degree_census`
+    result — the power-law census (Broder et al., WWW'00 "Graph
+    structure in the Web") read before sizing skew mitigations: the
+    top buckets name the heavy hosts salting/AQE must absorb.
+
+    One row per (measure, bucket, n_hosts): measure ∈ out_edges /
+    out_hosts / in_edges / in_hosts; ``bucket = floor(log2(d))``
+    computed INTEGER-exactly as ``length(bin(d)) - 1`` (never the
+    float log), degree-0 hosts land in bucket -1. A 4-way stack
+    projection + one census groupBy bounded by 4 × 64 buckets.
+    """
+    m = census.selectExpr(
+        "stack(4, 'out_edges', out_edges, 'out_hosts', out_hosts, "
+        "'in_edges', in_edges, 'in_hosts', in_hosts) AS (measure, d)"
+    )
+    bucket = F.when(F.col("d") == 0, F.lit(-1)).otherwise(
+        F.length(F.conv(F.col("d").cast("string"), 10, 2)) - 1
+    )
+    return (
+        m.withColumn("bucket", bucket.cast("long"))
+        .groupBy("measure", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+    )

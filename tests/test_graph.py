@@ -482,3 +482,56 @@ def test_label_communities_layout_invariant(spark):
     r64 = {r.host: r.community
            for r in G.label_communities(df64, iters=4).collect()}
     assert r1 == r64
+
+
+def _py_degree_census(edges):
+    hosts = {}
+    for s, d in edges:
+        hosts.setdefault(s, [0, set(), 0, set()])
+        hosts.setdefault(d, [0, set(), 0, set()])
+        hosts[s][0] += 1
+        hosts[s][1].add(d)
+        hosts[d][2] += 1
+        hosts[d][3].add(s)
+    return {
+        h: (oe, len(oh), ie, len(ih))
+        for h, (oe, oh, ie, ih) in hosts.items()
+    }
+
+
+def test_degree_census_matches_python(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"h{rng.randrange(20)}", f"h{rng.randrange(20)}")
+             for _ in range(400)]
+    # a pure sink and a pure source
+    edges += [("src_only", "h0"), ("h1", "sink_only")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: (r["out_edges"], r["out_hosts"],
+                       r["in_edges"], r["in_hosts"])
+           for r in G.degree_census(df).collect()}
+    assert got == _py_degree_census(edges)
+    assert got["src_only"][2] == 0 and got["sink_only"][0] == 0
+
+
+def test_degree_histogram_log2_buckets(spark):
+    # degrees 1,2,3,4,8 -> buckets 0,1,1,2,3; a 0-degree host -> -1
+    edges = (
+        [("a", f"t{i}") for i in range(1)]
+        + [("b", f"t{i}") for i in range(2)]
+        + [("c", f"t{i}") for i in range(3)]
+        + [("d", f"t{i}") for i in range(4)]
+        + [("e", f"t{i}") for i in range(8)]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    hist = {(r["measure"], r["bucket"]): r["n_hosts"]
+            for r in G.degree_histogram(G.degree_census(df)).collect()}
+    assert hist[("out_edges", 0)] == 1          # a
+    assert hist[("out_edges", 1)] == 2          # b, c
+    assert hist[("out_edges", 2)] == 1          # d
+    assert hist[("out_edges", 3)] == 1          # e
+    # the t* targets have out degree 0
+    assert hist[("out_edges", -1)] == 8
+    # every t* has in_edges in bucket corresponding to its fan-in
+    assert hist[("in_edges", -1)] == 5          # a..e never targets

@@ -161,6 +161,9 @@ HEADLINE = [
     "link_spam_signals", "trust_rank", "spam_mass", "reciprocal_links",
     "host_language_mix",
     "dedup_containment", "host_communities", "video_frames", "pii_cc_luhn",
+    "redirect_resolve", "redirect_aliases", "lane_assign", "lane_load",
+    "soft404_flags", "soft404_hosts", "strippable_params",
+    "tfidf_keywords", "degree_census", "degree_histogram",
 ]
 
 

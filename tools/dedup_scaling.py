@@ -79,6 +79,17 @@ QUERIES = [
     "pii_cc_luhn",          # regex scan + HOF checksum, zero shuffle
     "containment_salted",   # real-web df regime: pair machinery at 10x
     "communities_scaled",   # hosts scale with docs: 10x label tables
+    # round-5 session-7 additions (documents-only contract queries):
+    "redirect_resolve",     # log2(max_hops) doubling joins on |nodes| rows
+    "redirect_aliases",     # + one terminal census
+    "lane_assign",          # zero-shuffle explode + map-side top-1 window
+    "lane_load",            # + |hosts| weight join + |lanes| census
+    "soft404_flags",        # regex + wc scan, zero shuffle
+    "soft404_hosts",        # host/digest censuses + top-1 window
+    "strippable_params",    # one variant-group census (2x expand)
+    "tfidf_keywords",       # postings census + idf join + top-k window
+    "degree_census",        # two direction censuses + |hosts| merge
+    "degree_histogram",     # + 4-way stack + <=256-row census
 ]
 
 

@@ -2947,6 +2947,28 @@ def q_degree_histogram(spark, sf_dir):
     )
 
 
+def q_canonical_urls(spark, sf_dir):
+    """DUST canonicalization end-to-end (pagehealth.canonicalize_urls
+    composed with strippable_params learned from the SAME corpus): utm
+    is learned strippable and disappears from every canonical URL,
+    page survives, members sort canonically. Zero-shuffle rewrite + a
+    |hosts|-row broadcast of learned drop sets; the oracle replays the
+    learning SQL and the list rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (d % 5).cast("string"), F.lit(".test/p"),
+        (d % 7).cast("string"), F.lit("?page="), (d % 4).cast("string"),
+        F.lit("&utm="), (d % 3).cast("string"),
+    )
+    text = F.concat(
+        F.lit("c "), (d % 5).cast("string"), F.lit(" "),
+        (d % 7).cast("string"), F.lit(" "), (d % 4).cast("string"),
+    )
+    pages = docs.select(url.alias("url"), text.alias("text"))
+    return PH.canonicalize_urls(pages, PH.strippable_params(pages))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords (search.topk_terms): saturated tf
     × micro-unit BM25+ idf, both integers, ties (score DESC, term ASC).
@@ -3103,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "degree_census": q_degree_census,
         "degree_histogram": q_degree_histogram,
+        "canonical_urls": q_canonical_urls,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6773,9 +6796,10 @@ def oracle_sql() -> dict[str, str]:
         FROM totals t JOIN tmpl m ON m.host = t.host AND m.rn = 1
         WHERE t.n_soft404 >= 3"""
     # DUST param inference: DuckDB re-parses the same URL strings with
-    # list lambdas and replays the variant-group census.
-    out["strippable_params"] = """
-        WITH p AS (
+    # list lambdas and replays the variant-group census. The CTE chain
+    # is shared with canonical_urls, which applies the learned verdict.
+    dust_ctes = """
+        p AS (
           SELECT 'http://h' || (doc_id % 5)::VARCHAR || '.test/p'
                    || (doc_id % 7)::VARCHAR
                    || '?page=' || (doc_id % 4)::VARCHAR
@@ -6786,7 +6810,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ),
         parsed AS (
-          SELECT lower(string_split(url, '/')[3]) AS host,
+          SELECT url,
+                 lower(string_split(url, '/')[3]) AS host,
                  split_part(split_part(url, '#', 1), '?', 1) AS page,
                  CASE WHEN instr(split_part(url, '#', 1), '?') > 0
                       THEN list_filter(
@@ -6820,7 +6845,9 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) AS n_consistent
           FROM grp WHERE n_values >= 2 GROUP BY 1, 2
         ),
-        obs AS (SELECT DISTINCT host, param FROM r1)
+        obs AS (SELECT DISTINCT host, param FROM r1)"""
+    out["strippable_params"] = f"""
+        WITH {dust_ctes}
         SELECT o.host, o.param,
                CAST(COALESCE(e.n_groups, 0) AS BIGINT) AS n_groups,
                CAST(COALESCE(e.n_consistent, 0) AS BIGINT)
@@ -6829,6 +6856,29 @@ def oracle_sql() -> dict[str, str]:
                 AND COALESCE(e.n_consistent, 0) = COALESCE(e.n_groups, 0))
                  AS strippable
         FROM obs o LEFT JOIN ev e USING (host, param)"""
+    out["canonical_urls"] = f"""
+        WITH {dust_ctes},
+        drops AS (
+          SELECT o.host, list(o.param) AS drop_set
+          FROM obs o LEFT JOIN ev e USING (host, param)
+          WHERE COALESCE(e.n_groups, 0) >= 1
+            AND COALESCE(e.n_consistent, 0) = COALESCE(e.n_groups, 0)
+          GROUP BY o.host
+        ),
+        canon AS (
+          SELECT pp.url, pp.page, len(pp.kvs) AS nk,
+                 list_sort(list_filter(pp.kvs,
+                     x -> NOT list_contains(COALESCE(d.drop_set, []),
+                                            split_part(x, '=', 1))))
+                   AS kept
+          FROM parsed pp LEFT JOIN drops d USING (host)
+        )
+        SELECT url,
+               CASE WHEN len(kept) > 0
+                    THEN page || '?' || array_to_string(kept, '&')
+                    ELSE page END AS canonical_url,
+               CAST(nk - len(kept) AS BIGINT) AS n_stripped
+        FROM canon"""
     out["tfidf_keywords"] = f"""
         WITH toks AS (
           SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents

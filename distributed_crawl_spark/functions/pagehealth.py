@@ -238,3 +238,62 @@ def strippable_params(pages: DataFrame, url_col: str = "url",
             & (F.col("n_consistent") == F.col("n_groups")),
         )
     )
+
+
+def canonicalize_urls(urls: DataFrame, strippable: DataFrame,
+                      url_col: str = "url") -> DataFrame:
+    """Apply a learned :func:`strippable_params` table: rewrite each URL
+    without its host's strippable params, remaining query members
+    sorted canonically — the step that actually collapses DUST before
+    the URL-seen filter, so utm/session variants stop costing frontier
+    entries and fetches.
+
+    Returns (url, canonical_url, n_stripped). URLs on hosts with no
+    learned strippable params (or absent from the table) pass through
+    with only the canonical member sort applied — sorting is part of
+    the canonical form, so ``a=1&b=2`` and ``b=2&a=1`` collapse too.
+    Fragments are dropped (never sent to the server).
+
+    Scale shape: parse + member filter + rebuild are zero-shuffle
+    projections; the only join is the |hosts|-row broadcast of
+    per-host drop sets. Feed the output to the seen filter / frontier
+    and, when redirect chains are known, resolve them AFTER this
+    rewrite (redirects.resolve_redirects over canonicalized nodes).
+    """
+    url = F.col(url_col)
+    base = F.split_part(url, F.lit("#"), F.lit(1))
+    qpos = F.instr(base, "?")
+    page = F.when(qpos > 0, F.substring(base, F.lit(1), qpos - 1)) \
+        .otherwise(base)
+    query = F.when(qpos > 0,
+                   F.substring(base, qpos + 1, F.length(base))
+                   ).otherwise(F.lit(""))
+    kvs = F.filter(F.split(query, "&"), lambda x: x != "")
+    parsed = urls.select(
+        url.alias("url"),
+        url_host(url).alias("host"),
+        page.alias("page"),
+        kvs.alias("kvs"),
+    )
+    drops = (
+        strippable.filter(F.col("strippable"))
+        .groupBy("host")
+        .agg(F.collect_set("param").alias("drop_set"))
+    )
+    empty = F.array().cast("array<string>")
+    joined = parsed.join(F.broadcast(drops), "host", "left") \
+        .withColumn("drop_set", F.coalesce("drop_set", empty))
+    kept = F.array_sort(F.filter(
+        F.col("kvs"),
+        lambda x: ~F.array_contains(
+            F.col("drop_set"), F.split_part(x, F.lit("="), F.lit(1))
+        ),
+    ))
+    return joined.select(
+        "url",
+        F.when(F.size(kept) > 0,
+               F.concat(F.col("page"), F.lit("?"),
+                        F.array_join(kept, "&")))
+        .otherwise(F.col("page")).alias("canonical_url"),
+        (F.size("kvs") - F.size(kept)).cast("long").alias("n_stripped"),
+    )

@@ -180,3 +180,60 @@ def test_strippable_params_random_vs_mirror(spark):
     # sanity: the planted semantics hold on this seed
     assert any(got[k][2] for k in got if k[1] == "utm")
     assert any(not got[k][2] for k in got if k[1] == "page")
+
+
+def test_canonicalize_urls_collapses_dust(spark):
+    from distributed_crawl_spark.functions.pagehealth import (
+        canonicalize_urls,
+    )
+
+    rows = [
+        ("http://h.test/p?utm=a&page=1", "c1"),
+        ("http://h.test/p?page=1&utm=b", "c1"),
+        ("http://h.test/p?page=2&utm=a", "c2"),
+        ("http://h.test/p?page=2", "c2"),
+        ("http://h.test/plain#frag", "p"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    learned = strippable_params(df)
+    got = {r["url"]: (r["canonical_url"], r["n_stripped"])
+           for r in canonicalize_urls(df, learned).collect()}
+    # utm stripped everywhere; members sorted; fragment dropped
+    assert got["http://h.test/p?utm=a&page=1"] == \
+        ("http://h.test/p?page=1", 1)
+    assert got["http://h.test/p?page=1&utm=b"] == \
+        ("http://h.test/p?page=1", 1)
+    assert got["http://h.test/p?page=2&utm=a"] == \
+        ("http://h.test/p?page=2", 1)
+    assert got["http://h.test/p?page=2"] == \
+        ("http://h.test/p?page=2", 0)
+    assert got["http://h.test/plain#frag"] == ("http://h.test/plain", 0)
+    # DUST collapsed: distinct canonicals == distinct contents
+    assert len({c for c, _ in got.values()}) == 3
+
+
+def test_canonicalize_then_redirect_resolve(spark):
+    """The composition order the docstring mandates: strip DUST first,
+    then resolve redirect chains over canonicalized nodes."""
+    from distributed_crawl_spark.functions.pagehealth import (
+        canonicalize_urls,
+    )
+    from distributed_crawl_spark.functions.redirects import (
+        resolve_redirects,
+    )
+
+    rows = [
+        ("http://h.test/old?utm=x", "moved"),
+        ("http://h.test/old?utm=y", "moved"),
+        ("http://h.test/new?utm=z", "target"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    canon = canonicalize_urls(df, strippable_params(df))
+    edges = spark.createDataFrame(
+        [("http://h.test/old", "http://h.test/new")], "src string, dst string"
+    )
+    resolved = {r["src"]: r["final"]
+                for r in resolve_redirects(edges, max_hops=4).collect()}
+    finals = {resolved.get(c, c) for c in
+              (r["canonical_url"] for r in canon.collect())}
+    assert finals == {"http://h.test/new"}

@@ -90,6 +90,7 @@ QUERIES = [
     "tfidf_keywords",       # postings census + idf join + top-k window
     "degree_census",        # two direction censuses + |hosts| merge
     "degree_histogram",     # + 4-way stack + <=256-row census
+    "canonical_urls",       # DUST learn + broadcast drop-set rewrite
 ]
 
 

@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet (host, budget) table from an offline rank "
                          "job — rank_budgets(host_rank/trust_rank); merged "
                          "with Crawl-delay budgets by LEAST")
+    ap.add_argument("--strip-params", metavar="PATH",
+                    help="parquet (host, param, strippable) table from an "
+                         "offline pagehealth.strippable_params job — each "
+                         "host's content-proven tracking params are dropped "
+                         "from child links before dedup/seen")
     ap.add_argument("--salt-threshold", type=int, default=100_000)
     ap.add_argument("--retry-attempts", type=int, default=3)
     ap.add_argument("--max-links", type=int, default=10)
@@ -182,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
         honor_nofollow=args.honor_nofollow,
         honor_noindex=args.honor_noindex,
         host_budgets_path=args.host_budgets,
+        strip_params_path=args.strip_params,
     )
     if args.config:
         import os

@@ -135,6 +135,17 @@ class CrawlConfig:
     # Requires host_budget (the politeness window must exist).
     host_budgets_path: str | None = None
 
+    # Learned DUST rewrite (engine extension, default off = raw-string
+    # parity): parquet of pagehealth.strippable_params verdicts (host,
+    # param, strippable). Loaded once, folded to per-host drop sets, and
+    # broadcast into every round's child-link stage: each host's
+    # content-proven strippable params are removed (survivors sorted)
+    # BEFORE batch-dedup and the seen filter, so session-id/utm variants
+    # cost one frontier entry. Hosts absent from the table pass through
+    # untouched. Same out-of-band pattern as host_budgets_path: the
+    # learning job runs offline, the crawler consumes its verdict.
+    strip_params_path: str | None = None
+
     # Submit independent per-round staged writes concurrently — what a real
     # cluster driver does for independent stages: {miss_log ∥ children
     # seen-probe} both depend only on the results append, and {url_seen ∥

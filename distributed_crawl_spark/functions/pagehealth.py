@@ -297,3 +297,36 @@ def canonicalize_urls(urls: DataFrame, strippable: DataFrame,
         .otherwise(F.col("page")).alias("canonical_url"),
         (F.size("kvs") - F.size(kept)).cast("long").alias("n_stripped"),
     )
+
+
+def canonical_with_drops(url: Column, drop_set: Column) -> Column:
+    """Column-level DUST rewrite for the crawl driver's frontier path:
+    given a per-row ``drop_set`` (array of learned strippable param
+    names for the URL's host, joined in by the caller), rebuild the URL
+    without those params, survivors canonically sorted, fragment
+    dropped. When ``drop_set`` is NULL — host has no learned params —
+    the URL passes through UNTOUCHED (raw-string parity for unlearned
+    hosts, matching the engine's other opt-in hygiene stages).
+
+    Same URL grammar as :func:`strippable_params` /
+    :func:`canonicalize_urls`; pure Column expression, zero shuffle.
+    """
+    base = F.split_part(url, F.lit("#"), F.lit(1))
+    qpos = F.instr(base, "?")
+    page = F.when(qpos > 0, F.substring(base, F.lit(1), qpos - 1)) \
+        .otherwise(base)
+    query = F.when(qpos > 0,
+                   F.substring(base, qpos + 1, F.length(base))
+                   ).otherwise(F.lit(""))
+    kvs = F.filter(F.split(query, "&"), lambda x: x != "")
+    kept = F.array_sort(F.filter(
+        kvs,
+        lambda x: ~F.array_contains(
+            drop_set, F.split_part(x, F.lit("="), F.lit(1))
+        ),
+    ))
+    rebuilt = F.when(
+        F.size(kept) > 0,
+        F.concat(page, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(page)
+    return F.when(drop_set.isNull(), url).otherwise(rebuilt)

@@ -56,7 +56,8 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
 
 
 def child_candidates(
-    fetched_ok: DataFrame, cfg: CrawlConfig, round_no: int, observation=None
+    fetched_ok: DataFrame, cfg: CrawlConfig, round_no: int, observation=None,
+    param_drops: DataFrame | None = None,
 ) -> DataFrame:
     """Extracted links → next-level frontier candidates.
 
@@ -132,6 +133,31 @@ def child_candidates(
         # off by default for the reference's raw-string parity)
         links = links.withColumn(
             "url", U.strip_tracking_params(F.col("url"))
+        )
+    if param_drops is not None:
+        # learned DUST rewrite (config.strip_params_path): drop each
+        # host's content-proven strippable params and sort survivors —
+        # same timing as strip_tracking (before batch-dedup/seen);
+        # hosts absent from the learned table pass through untouched.
+        # |hosts|-row broadcast join, zero link-side shuffle.
+        from ..functions.pagehealth import canonical_with_drops
+
+        links = (
+            links.withColumn("__ph", U.url_host(F.col("url")))
+            .join(
+                F.broadcast(
+                    param_drops.select(
+                        F.col("host").alias("__ph"), "drop_set"
+                    )
+                ),
+                "__ph",
+                "left",
+            )
+            .withColumn(
+                "url",
+                canonical_with_drops(F.col("url"), F.col("drop_set")),
+            )
+            .drop("__ph", "drop_set")
         )
     if cfg.block_extensions:
         links = links.filter(~U.has_blocked_extension(F.col("url")))

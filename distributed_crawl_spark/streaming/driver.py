@@ -149,6 +149,18 @@ class CrawlDriver:
                 .select("host", F.col("budget").cast("long").alias("budget"))
                 .localCheckpoint()
             )
+        # learned strippable-param verdicts (host, param, strippable):
+        # folded once to per-host drop sets, broadcast into each round's
+        # child-link canonicalization (config.strip_params_path)
+        self._param_drops: DataFrame | None = None
+        if cfg.strip_params_path is not None:
+            self._param_drops = (
+                spark.read.parquet(cfg.strip_params_path)
+                .filter(F.col("strippable"))
+                .groupBy("host")
+                .agg(F.collect_set("param").alias("drop_set"))
+                .localCheckpoint()
+            )
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -515,7 +527,8 @@ class CrawlDriver:
 
         def _children_probe():
             candidates = child_candidates(
-                ok, cfg, round_no, observation=obs_cand
+                ok, cfg, round_no, observation=obs_cand,
+                param_drops=self._param_drops,
             )
             return filter_unseen(
                 candidates.select(*FRONTIER_COLS),

@@ -548,3 +548,63 @@ def test_focused_topic_reorders_children(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="capture_anchors"):
         CrawlConfig(focused_topic=("spark",)).validate()
+
+
+def test_strip_params_path_learned_dust(spark, tmp_path):
+    """strip_params_path: a host with a LEARNED strippable param (sid)
+    collapses its variants to one canonical fetch with members sorted;
+    an unlearned host on the same crawl keeps raw-string parity; a
+    learned-but-not-strippable param survives the rewrite."""
+    import datetime
+
+    import pandas as pd
+
+    from distributed_crawl_spark.schema import PAGES_SCHEMA, SEEDS_SCHEMA
+
+    ts = datetime.datetime(2026, 1, 1)
+    seed = "https://lp.test/"
+    tgt = "https://lp.test/item"
+    other = "https://raw.test/page"
+    html = (
+        f'<html><body><a href="{tgt}?sid=1&page=2">a</a>'
+        f'<a href="{tgt}?page=2&sid=9">b</a>'
+        f'<a href="{other}?sid=1">c</a>'
+        f'<a href="{other}?sid=2">d</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [
+            {"url": seed, "warc_ts": ts, "html": html.encode(),
+             "text": None, "lang": "en"},
+            {"url": f"{tgt}?page=2", "warc_ts": ts,
+             "html": b"<html><body>dest</body></html>",
+             "text": None, "lang": "en"},
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    seeds = spark.createDataFrame(
+        [{"url": seed, "seq": 0, "unique_id": None}], schema=SEEDS_SCHEMA
+    )
+    learned = tmp_path / "strippable.parquet"
+    pd.DataFrame({
+        "host": ["lp.test", "lp.test"],
+        "param": ["sid", "page"],
+        "strippable": [True, False],
+    }).to_parquet(learned)
+
+    drv = CrawlDriver(
+        spark, pages, None,
+        CrawlConfig(max_levels=2, max_rounds=3,
+                    strip_params_path=str(learned)),
+        str(tmp_path / "ckpt_lp"),
+    )
+    drv.run(seeds)
+    seen = {r.url for r in drv.seen_set().collect()}
+    # learned host: both sid variants collapse to the sorted canonical
+    assert f"{tgt}?page=2" in seen
+    assert not any("sid=" in u and "lp.test" in u for u in seen)
+    # page param was NOT strippable -> it survives
+    assert tgt not in seen
+    # unlearned host: raw-string parity, both variants enqueue
+    assert {u for u in seen if "raw.test" in u} == {
+        f"{other}?sid=1", f"{other}?sid=2"
+    }

@@ -2969,6 +2969,18 @@ def q_canonical_urls(spark, sf_dir):
     return PH.canonicalize_urls(pages, PH.strippable_params(pages))
 
 
+def q_contract_edges(spark, sf_dir):
+    """Alias contraction of the host graph (graph.contract_edges): the
+    37-host multigraph with hosts h30..h36 declared aliases of
+    h20..h26 (a 7-row mapping) — merged multiplicities in weight,
+    contraction-created self-loops dropped, so rank mass stops
+    splitting across aliases. Two |mapping| joins + one edge census."""
+    edges = _rank_edges(spark, sf_dir)
+    rows = [(f"h{n}", f"h{n - 10}") for n in range(30, 37)]
+    mapping = spark.createDataFrame(rows, "src string, final string")
+    return GR.contract_edges(edges, mapping)
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords (search.topk_terms): saturated tf
     × micro-unit BM25+ idf, both integers, ties (score DESC, term ASC).
@@ -3126,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_census": q_degree_census,
         "degree_histogram": q_degree_histogram,
         "canonical_urls": q_canonical_urls,
+        "contract_edges": q_contract_edges,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6958,4 +6971,24 @@ def oracle_sql() -> dict[str, str]:
                  AS bucket,
                CAST(count(*) AS BIGINT) AS n_hosts
         FROM m GROUP BY 1, 2"""
+    out["contract_edges"] = f"""
+        WITH e AS (
+          SELECT 'h' || (doc_id % 37)::VARCHAR AS src,
+                 'h' || ({_MD5I48.format(x="doc_id::VARCHAR")} % 37)::VARCHAR
+                   AS dst
+          FROM documents
+        ),
+        m AS (
+          SELECT 'h' || n::VARCHAR AS node,
+                 'h' || (n - 10)::VARCHAR AS final
+          FROM (SELECT unnest(range(30, 37)) AS n)
+        ),
+        c AS (
+          SELECT COALESCE(ms.final, e.src) AS src,
+                 COALESCE(md.final, e.dst) AS dst
+          FROM e LEFT JOIN m ms ON ms.node = e.src
+                 LEFT JOIN m md ON md.node = e.dst
+        )
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+        FROM c WHERE src <> dst GROUP BY src, dst"""
     return out

@@ -535,3 +535,24 @@ def test_degree_histogram_log2_buckets(spark):
     assert hist[("out_edges", -1)] == 8
     # every t* has in_edges in bucket corresponding to its fan-in
     assert hist[("in_edges", -1)] == 5          # a..e never targets
+
+
+def test_contract_edges_merges_aliases(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b2"), ("b2", "c"), ("b", "b2"), ("x", "a")],
+        "src string, dst string",
+    )
+    # b2 is an alias of b
+    mapping = spark.createDataFrame(
+        [("b2", "b")], "src string, final string"
+    )
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in G.contract_edges(edges, mapping).collect()}
+    # a->b and a->b2 merge with weight 2; b->b2 becomes a self-loop and
+    # is dropped; b2->c follows the alias
+    assert got == {("a", "b"): 2, ("b", "c"): 1, ("x", "a"): 1}
+    # keep_self_loops path: the alias ring edge survives as b->b
+    kept = {(r["src"], r["dst"]): r["weight"]
+            for r in G.contract_edges(edges, mapping,
+                                      drop_self_loops=False).collect()}
+    assert kept[("b", "b")] == 1

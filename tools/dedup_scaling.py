@@ -91,6 +91,7 @@ QUERIES = [
     "degree_census",        # two direction censuses + |hosts| merge
     "degree_histogram",     # + 4-way stack + <=256-row census
     "canonical_urls",       # DUST learn + broadcast drop-set rewrite
+    "contract_edges",       # two |mapping| joins + edge census
 ]
 
 

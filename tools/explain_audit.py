@@ -81,6 +81,10 @@ EXPECTED_FLAGS = {
     "doc_keywords": "NESTED_LOOP = broadcast cross join vs the ONE-row "
     "doc-count aggregate (N for idf = ln(N/df)); the tf⋈idf join itself "
     "is a hash join on token",
+    "tfidf_keywords": "NESTED_LOOP = broadcast cross join vs the ONE-row "
+    "corpus_stats aggregate (N for the BM25+ idf) — the same bounded "
+    "1-row pattern as doc_keywords/bm25_search; postings⋈idf is a hash "
+    "join on term",
     "mix_plan": "NESTED_LOOP = broadcast cross join vs the ONE-row "
     "bottleneck-source aggregate (t*, w*) joined back to the <=|sources| "
     "census — both sides bounded",

@@ -59,7 +59,9 @@ column). ``--blocklist CSV`` applies the UT1/FineWeb URL gate (domain
 suffix match + banned-keyword score) before any content stage.
 ``--drop-soft404 [MAXWORDS]`` drops soft-404 pages (error phrase +
 short body, pagehealth.soft404_phrase) that slipped through fetch as
-HTTP 200s.
+HTTP 200s; ``--drop-templates PARQUET`` drops docs matching a LEARNED
+error-template digest table (pagehealth.soft404_hosts output) — the
+ingest-side kill of known per-host error pages.
 ``--c4`` applies the C4 cleaning rules (bad lines removed — later
 gates score the cleaned text — and the doc-level keep rules).
 ``--watch`` turns the whole run into CONTINUOUS mode: --docs becomes a
@@ -160,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop soft-404 pages: an error phrase present "
                     "AND word count <= MAXWORDS (default 80) — the "
                     "Bar-Yossef WWW'04 signals over extracted text")
+    ap.add_argument("--drop-templates", metavar="PARQUET",
+                    help="drop docs whose md5(text) appears in a learned "
+                    "error-template table (column digest or "
+                    "template_digest — e.g. pagehealth.soft404_hosts "
+                    "output): the ingest-side drop of known per-host "
+                    "error pages, a broadcast anti-join")
     ap.add_argument("--split", metavar="W1,W2,...",
                     help="deterministic hash split weights (normalized "
                     "by their sum, so 0.9,0.05,0.05 and 90,5,5 are "
@@ -611,6 +619,18 @@ def main(argv: list[str] | None = None) -> int:
               & (TS.word_count(F.col(text_c)) <= args.drop_soft404)),
         )
         flags.append("__keep_soft404")
+    if args.drop_templates:
+        tdf = spark.read.parquet(args.drop_templates)
+        dcol = ("digest" if "digest" in tdf.columns else "template_digest")
+        tmpl = tdf.select(F.col(dcol).alias("__t_digest")).distinct()
+        docs = docs.join(
+            F.broadcast(tmpl),
+            F.md5(F.col(text_c)) == F.col("__t_digest"),
+            "left",
+        ).withColumn(
+            "__keep_template", F.col("__t_digest").isNull()
+        ).drop("__t_digest")
+        flags.append("__keep_template")
     if args.quantile_gate is not None:
         keep = CU.quality_quantile_gate(
             docs, p=args.quantile_gate, id_col=id_c, text_col=text_c,

@@ -1117,3 +1117,46 @@ def test_curate_cli_drop_soft404(tmp_path):
         f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
     ).fetchall())
     assert kept == [2, 3]
+
+
+def test_curate_cli_drop_templates(tmp_path):
+    """curate.py --drop-templates: docs matching a learned error-template
+    digest table are dropped at ingest; everything else passes."""
+    import hashlib
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    template = "Error 404 not found. The page you requested does not exist."
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(4),
+        "text": [template, template,
+                 "A real page about web crawling and parquet.",
+                 "Another genuine document with enough words."],
+        "source": ["s"] * 4,
+    }).to_parquet(docs_path)
+    learned = tmp_path / "templates.parquet"
+    pd.DataFrame({
+        "host": ["a.test"],
+        "template_digest": [hashlib.md5(template.encode()).hexdigest()],
+    }).to_parquet(learned)
+    out = tmp_path / "tdrop"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--drop-templates", str(learned), "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((out / "report.json").read_text())
+    assert report["stages"]["keep_template"] == 2
+    import duckdb
+    kept = sorted(x[0] for x in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
+    ).fetchall())
+    assert kept == [2, 3]

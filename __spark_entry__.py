@@ -2969,6 +2969,18 @@ def q_canonical_urls(spark, sf_dir):
     return PH.canonicalize_urls(pages, PH.strippable_params(pages))
 
 
+def q_collocations(spark, sf_dir):
+    """Top-25 PMI collocations (textstats.collocations, Church & Hanks
+    1990): bigram census >= min_count, unigram joins, one 1-row total
+    broadcast, global TakeOrdered top-k. The floor-ln quantization is
+    ONE double expression written identically in both engines (the
+    bigram_logprob pattern), so ranking and tie-breaks (pmi DESC, w1,
+    w2) hash-match exactly."""
+    return TS.collocations(
+        _t(spark, sf_dir, "documents"), k=25, min_count=5
+    )
+
+
 def q_contract_edges(spark, sf_dir):
     """Alias contraction of the host graph (graph.contract_edges): the
     37-host multigraph with hosts h30..h36 declared aliases of
@@ -3139,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "canonical_urls": q_canonical_urls,
         "contract_edges": q_contract_edges,
+        "collocations": q_collocations,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -6991,4 +7004,41 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
         FROM c WHERE src <> dst GROUP BY src, dst"""
+    out["collocations"] = f"""
+        WITH toks AS (
+          SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+          WHERE trim(text) <> ''
+        ),
+        uni AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+        bgs AS (
+          SELECT string_split(bg, chr(1))[1] AS w1,
+                 string_split(bg, chr(1))[2] AS w2
+          FROM (
+            SELECT unnest(list_transform(
+                     generate_series(1, greatest(len(ts) - 1, 0)),
+                     i -> ts[i] || chr(1) || ts[i + 1])) AS bg
+            FROM (SELECT {_TOKS_SQL} AS ts FROM documents
+                  WHERE trim(text) <> '') 
+          )
+        ),
+        big AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM bgs GROUP BY w1, w2 HAVING count(*) >= 5
+        ),
+        sc AS (
+          SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+                 CAST(floor(ln((CAST(b.c12 AS DOUBLE) * t)
+                               / (CAST(u1.c AS DOUBLE) * u2.c))
+                            * 1000000) AS BIGINT) AS pmi_q
+          FROM big b JOIN uni u1 ON u1.tok = b.w1
+               JOIN uni u2 ON u2.tok = b.w2
+               CROSS JOIN tot
+        )
+        SELECT w1, w2, c12, c1, c2, pmi_q,
+               CAST(row_number() OVER (ORDER BY pmi_q DESC, w1, w2)
+                    AS BIGINT) AS rank
+        FROM sc ORDER BY pmi_q DESC, w1, w2 LIMIT 25"""
     return out

@@ -1044,3 +1044,86 @@ def host_language_mix(docs, host_col: str = "source",
             "lang_entropy_micro",
         )
     )
+
+
+def collocations(docs, k: int = 50, min_count: int = 5,
+                 scale: int = 1_000_000, text_col: str = "text"):
+    """Top-``k`` word-bigram collocations by pointwise mutual
+    information — Church & Hanks (1990), the standard corpus-analysis
+    pass for finding lexicalized phrases ("new york", "machine
+    learning") that a whitespace tokenizer splits. A curation pipeline
+    reads it to audit what a BPE merge list should capture, and a
+    boilerplate hunt reads the top PMI pairs as template-phrase
+    candidates.
+
+        pmi = ln( c12 * T / (c1 * c2) )
+
+    with c12 = bigram count (>= ``min_count``, the classic sparse-PMI
+    guard), c1/c2 = unigram counts, T = total tokens. Determinism
+    contract: one double expression written identically in Spark and
+    DuckDB — ``floor(ln((CAST(c12 AS DOUBLE) * T) / (CAST(c1 AS
+    DOUBLE) * c2)) * scale)`` — on integer-derived inputs (the double
+    cast happens FIRST, so c12*T never overflows int64 at web scale);
+    ranking and the final tie-break (pmi DESC, bigram ASC) are then
+    integer-exact. Returns (w1, w2, c12, c1, c2, pmi_q, rank).
+
+    Scale shape: one token census + one bigram census (both
+    map-side-combinable), two vocabulary-keyed hash joins of the
+    min_count-surviving bigram table against the unigram census, one
+    1-row total broadcast, and a global top-k that Spark executes as
+    TakeOrdered (per-partition heaps, never a full sort) — the same
+    exchange budget as bigram_logprob minus the per-doc pass.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import tokens as _tokens
+
+    toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("t"))
+    arr = _tokens(F.col(text_col))
+    bg = docs.select(
+        F.explode(
+            F.when(
+                F.size(arr) >= 2,
+                F.zip_with(
+                    F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(1))),
+                    F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    scored = (
+        big.join(uni.select(F.col("tok").alias("w1"),
+                            F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.floor(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("t"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * scale
+            ).cast("long").alias("pmi_q"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.col("pmi_q").desc(), "w1", "w2"
+    ).limit(k)
+    return ranked.select(
+        "*",
+        F.row_number().over(
+            Window.orderBy(F.col("pmi_q").desc(), "w1", "w2")
+        ).cast("long").alias("rank"),
+    )

@@ -848,3 +848,57 @@ def test_cc_luhn_matches_python_reference(spark):
     for i, r in enumerate(runs):
         want = (1, 1 if py_luhn(r) else 0) if len(r) >= 13 else (0, 0)
         assert got[i] == want, (i, r, got[i], want)
+
+
+def test_collocations_matches_python(spark):
+    """PMI collocations vs a pure-Python mirror: a planted lexicalized
+    pair ('san francisco') must out-rank a frequent-but-independent
+    pair; min_count guards the sparse-PMI explosion."""
+    import math
+
+    from distributed_crawl_spark.functions.textstats import collocations
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "san francisco is a city by the bay"))
+    for i in range(30, 60):
+        rows.append((i, "the city and the bay and the fog"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def mirror(texts, k, min_count, scale=1_000_000):
+        uni, big = {}, {}
+        for t in texts:
+            ts = t.split()
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        total = sum(uni.values())
+        out = []
+        for (a, b), c12 in big.items():
+            if c12 < min_count:
+                continue
+            pmi = math.floor(
+                math.log((float(c12) * total) / (float(uni[a]) * uni[b]))
+                * scale
+            )
+            out.append((a, b, c12, uni[a], uni[b], pmi))
+        out.sort(key=lambda r: (-r[5], r[0], r[1]))
+        return [r + (i + 1,) for i, r in enumerate(out[:k])]
+
+    got = [
+        (r["w1"], r["w2"], r["c12"], r["c1"], r["c2"], r["pmi_q"],
+         r["rank"])
+        for r in collocations(df, k=10, min_count=5).collect()
+    ]
+    exp = mirror([t for _, t in rows], 10, 5)
+    assert got == exp
+    # the lexicalized pair sits in the max-PMI tie group (every pair of
+    # corpus A has identical counts, so ties rank alphabetically) and
+    # beats cross-corpus high-frequency-word pairs like ('the', 'bay')
+    by_pair = {(a, b): pmi for a, b, _, _, _, pmi, _ in got}
+    assert ("san", "francisco") in by_pair
+    top_pmi = got[0][5]
+    assert by_pair[("san", "francisco")] == top_pmi
+    if ("the", "bay") in by_pair:
+        assert by_pair[("the", "bay")] < top_pmi

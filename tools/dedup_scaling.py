@@ -92,6 +92,7 @@ QUERIES = [
     "degree_histogram",     # + 4-way stack + <=256-row census
     "canonical_urls",       # DUST learn + broadcast drop-set rewrite
     "contract_edges",       # two |mapping| joins + edge census
+    "collocations",         # two censuses + vocab joins + TakeOrdered
 ]
 
 

@@ -2969,6 +2969,20 @@ def q_canonical_urls(spark, sf_dir):
     return PH.canonicalize_urls(pages, PH.strippable_params(pages))
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-aware split (curation.cluster_split over the simhash64
+    near-dup components): the CLUSTER id hashes, so a duplicate family
+    can never straddle train/test — the Lee-et-al contamination mode a
+    plain hash split leaves open. Singletons hash by their own id,
+    making this a strict superset of corpus_split. The oracle chains
+    the dedup_components recursive CTE into the split hash."""
+    docs = _t(spark, sf_dir, "documents")
+    comps = DD.near_dup_components(
+        DD.simhash_pairs64(docs, max_hamming=3)
+    )
+    return CU.cluster_split(docs, comps)
+
+
 def q_collocations(spark, sf_dir):
     """Top-25 PMI collocations (textstats.collocations, Church & Hanks
     1990): bigram census >= min_count, unigram joins, one 1-row total
@@ -3152,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "contract_edges": q_contract_edges,
         "collocations": q_collocations,
+        "cluster_split": q_cluster_split,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -7041,4 +7056,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY pmi_q DESC, w1, w2)
                     AS BIGINT) AS rank
         FROM sc ORDER BY pmi_q DESC, w1, w2 LIMIT 25"""
+    out["cluster_split"] = f"""
+        WITH RECURSIVE {_SH64_PAIRS_CTES},
+        p AS (
+          SELECT id_a, id_b FROM cand
+          WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+        ),
+        e AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+          SELECT DISTINCT src AS id, src AS r FROM e
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS component_id
+                 FROM reach GROUP BY 1),
+        k AS (
+          SELECT d.doc_id,
+                 COALESCE(c.component_id, d.doc_id) AS key
+          FROM documents d LEFT JOIN comp c USING (doc_id)
+        ),
+        b AS (
+          SELECT doc_id, key::VARCHAR AS split_key,
+                 CAST('0x' || substr(md5(key::VARCHAR), 1, 12) AS BIGINT)
+                   % 10000 AS bucket
+          FROM k
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               bucket
+        FROM b"""
     return out

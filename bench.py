@@ -164,7 +164,7 @@ HEADLINE = [
     "redirect_resolve", "redirect_aliases", "lane_assign", "lane_load",
     "soft404_flags", "soft404_hosts", "strippable_params",
     "tfidf_keywords", "degree_census", "degree_histogram",
-    "canonical_urls", "contract_edges", "collocations",
+    "canonical_urls", "contract_edges", "collocations", "cluster_split",
 ]
 
 

@@ -1748,3 +1748,47 @@ def importance_sample(docs: DataFrame, score: Column,
         .filter(F.col("sample_key") < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def cluster_split(docs: DataFrame, components: DataFrame,
+                  weights: "dict[str, float] | None" = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Leakage-aware train/val/test split: hash the near-dup CLUSTER,
+    not the document, so an entire duplicate family lands on one side
+    of the split. A plain :func:`corpus_split` leaks — two near-copies
+    hash independently, one trains while its twin sits in test, and
+    held-out perplexity silently measures memorization (the
+    train/test-overlap failure Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better" quantifies).
+
+    ``components`` is any (doc_id, component_id) table —
+    ``near_dup_components`` over simhash/minhash/embedding pairs, or
+    the canonical-URL groups. Docs absent from it are singletons and
+    hash by their own id, which keeps this a strict superset of
+    corpus_split: on a fully-deduplicated corpus the two agree row for
+    row. Returns (id, split_key, split, bucket) — split_key is the
+    effective hashed id, kept for audit (every member of a cluster
+    shows the same key, bucket, and split).
+
+    Scale shape: one |components|-row join (components is pair-output
+    bound, far smaller than the corpus; Spark broadcasts it when it
+    fits) + the zero-shuffle hash projection. Same split-bucket
+    contract as corpus_split (md5_int48 % 10000 on the STRING key), so
+    existing downstream samplers read it unchanged.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    comp = components.select(
+        F.col("doc_id").alias("__cs_id"),
+        F.col("component_id").alias("__cs_comp"),
+    )
+    joined = docs.select(F.col(id_col)).join(
+        comp, F.col(id_col) == F.col("__cs_id"), "left"
+    )
+    key = F.coalesce(F.col("__cs_comp"), F.col(id_col))
+    b = split_bucket(key)
+    return joined.select(
+        F.col(id_col),
+        key.cast("string").alias("split_key"),
+        _split_expr(b, weights).alias("split"),
+        b.alias("bucket"),
+    )

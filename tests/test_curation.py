@@ -858,3 +858,34 @@ def test_importance_sample_alpha_shapes_rates(spark):
     assert sq.get(0, 0) < lin[0] and sq.get(3, 0) < lin[3]
     # top bucket: both ramps keep the full bucket (rate 10000)
     assert sq[9] == lin[9] == 200
+
+
+def test_cluster_split_no_leakage(spark):
+    """Every member of a near-dup cluster lands on ONE side; singletons
+    agree with plain corpus_split row-for-row."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0..4} -> 0, {10..12} -> 10; everyone else singleton
+    comp_rows = [(i, 0) for i in range(5)] + [(i, 10) for i in (10, 11, 12)]
+    comps = spark.createDataFrame(
+        comp_rows, "doc_id long, component_id long"
+    )
+    out = {r["doc_id"]: r for r in
+           CU.cluster_split(docs, comps).collect()}
+    assert len(out) == 200
+    # cluster coherence: same key, bucket, split for every member
+    for group in ([0, 1, 2, 3, 4], [10, 11, 12]):
+        splits = {out[i]["split"] for i in group}
+        keys = {out[i]["split_key"] for i in group}
+        assert len(splits) == 1 and len(keys) == 1
+    assert out[0]["split_key"] == "0" and out[10]["split_key"] == "10"
+    # singleton agreement with corpus_split
+    plain = {r["doc_id"]: (r["split"], r["bucket"])
+             for r in CU.corpus_split(docs).collect()}
+    clustered_ids = {i for i, _ in comp_rows}
+    for i in range(200):
+        if i not in clustered_ids:
+            assert (out[i]["split"], out[i]["bucket"]) == plain[i]
+    # distribution sanity: all three splits non-empty at n=200
+    assert {r["split"] for r in out.values()} == {"train", "val", "test"}

@@ -93,6 +93,7 @@ QUERIES = [
     "canonical_urls",       # DUST learn + broadcast drop-set rewrite
     "contract_edges",       # two |mapping| joins + edge census
     "collocations",         # two censuses + vocab joins + TakeOrdered
+    "cluster_split",        # simhash CC chain + hash-split projection
 ]
 
 

@@ -168,6 +168,11 @@ def main(argv: list[str] | None = None) -> int:
                     "template_digest — e.g. pagehealth.soft404_hosts "
                     "output): the ingest-side drop of known per-host "
                     "error pages, a broadcast anti-join")
+    ap.add_argument("--split-clusters", action="store_true",
+                    help="with --split: hash the simhash64 near-dup "
+                    "COMPONENT instead of the doc id, so a duplicate "
+                    "family never straddles train/test (leakage-aware "
+                    "split; use when near-dups are kept in the corpus)")
     ap.add_argument("--split", metavar="W1,W2,...",
                     help="deterministic hash split weights (normalized "
                     "by their sum, so 0.9,0.05,0.05 and 90,5,5 are "
@@ -809,9 +814,20 @@ def main(argv: list[str] | None = None) -> int:
         # every bucket into the first split
         weights = [w / sum(raw) for w in raw]
         names = ["train", "val", "test", "extra4", "extra5"][: len(weights)]
-        sp = CU.corpus_split(
-            docs, id_col=id_c, weights=dict(zip(names, weights))
-        ).select(F.col(id_c).alias("__sp_id"), "split")
+        wmap = dict(zip(names, weights))
+        if args.split_clusters:
+            # leakage-aware: whole near-dup families share one split
+            comp_sp = DD.near_dup_components(DD.simhash_pairs64(
+                docs, id_col=id_c, text_col=text_c,
+                max_hamming=args.max_hamming,
+            ))
+            sp = CU.cluster_split(
+                docs, comp_sp, weights=wmap, id_col=id_c
+            ).select(F.col(id_c).alias("__sp_id"), "split")
+        else:
+            sp = CU.corpus_split(
+                docs, id_col=id_c, weights=wmap
+            ).select(F.col(id_c).alias("__sp_id"), "split")
         docs = docs.join(sp, docs[id_c] == sp["__sp_id"], "left").drop("__sp_id")
         out_cols.append("split")
     bpe_merges = None

@@ -1160,3 +1160,45 @@ def test_curate_cli_drop_templates(tmp_path):
         f"SELECT doc_id FROM read_parquet('{out}/*.parquet')"
     ).fetchall())
     assert kept == [2, 3]
+
+
+def test_curate_cli_split_clusters(tmp_path):
+    """curate.py --split --split-clusters: a near-dup pair whose ids a
+    plain hash split would separate (doc 0 -> train, doc 4 -> test)
+    lands on ONE side because the component id hashes instead."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    twin = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day without fail")
+    texts = []
+    for i in range(8):
+        if i == 0 or i == 4:
+            texts.append(twin)  # byte-identical twins: hamming 0
+        else:
+            texts.append(f"document {i} talks about topic {i} "
+                         f"in its own distinct words number {i}")
+    docs_path = tmp_path / "docs.parquet"
+    pd.DataFrame({
+        "doc_id": range(8), "text": texts, "source": ["s"] * 8,
+    }).to_parquet(docs_path)
+    out = tmp_path / "cs"
+    r = subprocess.run(
+        [
+            sys.executable, "curate.py",
+            "--docs", str(docs_path), "--out", str(out),
+            "--split", "0.9,0.05,0.05", "--split-clusters",
+            "--cores", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+    rows = dict(duckdb.sql(
+        f"SELECT doc_id, split FROM read_parquet('{out}/*.parquet')"
+    ).fetchall())
+    assert len(rows) == 8
+    # the twins agree (plain corpus_split would say train vs test)
+    assert rows[0] == rows[4] == "train"

@@ -85,6 +85,9 @@ EXPECTED_FLAGS = {
     "corpus_stats aggregate (N for the BM25+ idf) — the same bounded "
     "1-row pattern as doc_keywords/bm25_search; postings⋈idf is a hash "
     "join on term",
+    "collocations": "NESTED_LOOP = broadcast cross join vs the ONE-row "
+    "token-total aggregate (T in pmi = ln(c12*T/(c1*c2))); the two "
+    "bigram⋈unigram joins are hash joins on the word key",
     "mix_plan": "NESTED_LOOP = broadcast cross join vs the ONE-row "
     "bottleneck-source aggregate (t*, w*) joined back to the <=|sources| "
     "census — both sides bounded",

@@ -2983,6 +2983,25 @@ def q_cluster_split(spark, sf_dir):
     return CU.cluster_split(docs, comps)
 
 
+def q_domain_rollup(spark, sf_dir):
+    """Registrable-domain rollup (graph.domain_rollup over
+    degree_census): 24 subdomain-bearing hosts (wW.domK.test) collapse
+    to 6 sites; n_hosts is the wildcard-subdomain multiplier a crawl
+    planner budgets against. Census-sized groupBy on the depth-2
+    suffix; the oracle recomputes the suffix from the same host
+    strings and replays both censuses."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = DD.md5_int48(d.cast("string"))
+    edges = docs.select(
+        F.concat(F.lit("w"), (d % 4).cast("string"), F.lit(".dom"),
+                 (d % 6).cast("string"), F.lit(".test")).alias("src"),
+        F.concat(F.lit("w"), (h % 4).cast("string"), F.lit(".dom"),
+                 (h % 6).cast("string"), F.lit(".test")).alias("dst"),
+    )
+    return GR.domain_rollup(GR.degree_census(edges))
+
+
 def q_collocations(spark, sf_dir):
     """Top-25 PMI collocations (textstats.collocations, Church & Hanks
     1990): bigram census >= min_count, unigram joins, one 1-row total
@@ -3167,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_edges": q_contract_edges,
         "collocations": q_collocations,
         "cluster_split": q_cluster_split,
+        "domain_rollup": q_domain_rollup,
     }
     # The correctness driver samples the FIRST 50 entries in registration
     # order.  Queries are appended to `base` oldest-first as they are built,
@@ -7090,4 +7110,40 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                bucket
         FROM b"""
+    out["domain_rollup"] = f"""
+        WITH e AS (
+          SELECT 'w' || (doc_id % 4)::VARCHAR || '.dom'
+                   || (doc_id % 6)::VARCHAR || '.test' AS src,
+                 'w' || ({_MD5I48.format(x="doc_id::VARCHAR")} % 4)::VARCHAR
+                   || '.dom'
+                   || ({_MD5I48.format(x="doc_id::VARCHAR")} % 6)::VARCHAR
+                   || '.test' AS dst
+          FROM documents
+        ),
+        oc AS (
+          SELECT src AS host, CAST(count(*) AS BIGINT) AS out_edges,
+                 CAST(count(DISTINCT dst) AS BIGINT) AS out_hosts
+          FROM e GROUP BY src
+        ),
+        ic AS (
+          SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_edges,
+                 CAST(count(DISTINCT src) AS BIGINT) AS in_hosts
+          FROM e GROUP BY dst
+        ),
+        census AS (
+          SELECT COALESCE(oc.host, ic.host) AS host,
+                 COALESCE(out_edges, 0) AS out_edges,
+                 COALESCE(out_hosts, 0) AS out_hosts,
+                 COALESCE(in_edges, 0) AS in_edges,
+                 COALESCE(in_hosts, 0) AS in_hosts
+          FROM oc FULL OUTER JOIN ic ON oc.host = ic.host
+        )
+        SELECT split_part(host, '.', 2) || '.' || split_part(host, '.', 3)
+                 AS domain,
+               CAST(count(*) AS BIGINT) AS n_hosts,
+               CAST(sum(out_edges) AS BIGINT) AS out_edges,
+               CAST(sum(out_hosts) AS BIGINT) AS out_hosts,
+               CAST(sum(in_edges) AS BIGINT) AS in_edges,
+               CAST(sum(in_hosts) AS BIGINT) AS in_hosts
+        FROM census GROUP BY 1"""
     return out

@@ -165,6 +165,7 @@ HEADLINE = [
     "soft404_flags", "soft404_hosts", "strippable_params",
     "tfidf_keywords", "degree_census", "degree_histogram",
     "canonical_urls", "contract_edges", "collocations", "cluster_split",
+    "domain_rollup",
 ]
 
 

@@ -800,3 +800,32 @@ def contract_edges(edges: DataFrame, mapping: DataFrame,
     return out.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("weight")
     )
+
+
+def domain_rollup(census: DataFrame, depth: int = 2) -> DataFrame:
+    """Site-level rollup of a per-host :func:`degree_census`: group
+    hosts by their ``depth``-label domain suffix (``a.b.example.com``
+    at depth 2 → ``example.com``) and sum the degree measures — the
+    registrable-domain view a crawl planner budgets against, since
+    per-host budgets alone let a wildcard-subdomain site (blogspot-
+    style, or a spam farm minting hosts) multiply its effective crawl
+    share by its host count. ``n_hosts`` is exactly that multiplier.
+
+    Hosts with fewer than ``depth`` labels (bare TLDs, localhost-style
+    names) roll up under themselves. One census-sized groupBy — input
+    is already |hosts|-bounded, output |domains|-bounded.
+    """
+    from .url import host_suffix
+
+    dom = F.coalesce(host_suffix(F.col("host"), depth), F.col("host"))
+    return (
+        census.withColumn("domain", dom)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("out_edges").cast("long").alias("out_edges"),
+            F.sum("out_hosts").cast("long").alias("out_hosts"),
+            F.sum("in_edges").cast("long").alias("in_edges"),
+            F.sum("in_hosts").cast("long").alias("in_hosts"),
+        )
+    )

@@ -556,3 +556,26 @@ def test_contract_edges_merges_aliases(spark):
             for r in G.contract_edges(edges, mapping,
                                       drop_self_loops=False).collect()}
     assert kept[("b", "b")] == 1
+
+
+def test_domain_rollup_site_view(spark):
+    edges = [
+        ("a.spam.test", "victim.test"),
+        ("b.spam.test", "victim.test"),
+        ("c.spam.test", "victim.test"),
+        ("victim.test", "other.test"),
+        ("localhost", "victim.test"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["domain"]: r for r in
+           G.domain_rollup(G.degree_census(df)).collect()}
+    # the three minted subdomains collapse into one site
+    spam = got["spam.test"]
+    assert spam["n_hosts"] == 3 and spam["out_edges"] == 3
+    assert spam["in_edges"] == 0
+    v = got["victim.test"]
+    assert v["n_hosts"] == 1 and v["in_edges"] == 4
+    # in_hosts sums per-host distinct counts (host-level view rolled up)
+    assert v["in_hosts"] == 4
+    # a label-poor host rolls up under itself
+    assert got["localhost"]["out_edges"] == 1

@@ -94,6 +94,7 @@ QUERIES = [
     "contract_edges",       # two |mapping| joins + edge census
     "collocations",         # two censuses + vocab joins + TakeOrdered
     "cluster_split",        # simhash CC chain + hash-split projection
+    "domain_rollup",        # census-sized suffix groupBy
 ]
 
 

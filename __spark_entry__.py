@@ -54,8 +54,34 @@ SF0001 = "/root/testdata/sf0.001"
 P31 = DD.MERSENNE31
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# scan-parallelism memo: (sf_dir, table) -> native scan partition count.
+# An int per table, NOT data — every query still computes from parquet.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = True) -> DataFrame:
+    """Load a testdata table, redistributing unsplittable scans.
+
+    The testdata parquet files are written as a SINGLE row group — the
+    minimum parquet read unit — so no split configuration can give the
+    scan more than 1-2 tasks, and every compute stage pipelined with it
+    (tokenize/explode, dot products, hashing) runs on one core of the
+    whole box.  When the native scan yields fewer partitions than the
+    session's parallelism, redistribute once right after the read (the
+    guide's unsplittable-input remedy).  Scale-adaptive by construction:
+    real corpus tables carry many row groups/files, the condition is
+    false, and this is a no-op — never a constant tuned to local[32].
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not par:
+        return df
+    want = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name)
+    have = _SCAN_PARTS.get(key)
+    if have is None:
+        have = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = have
+    return df.repartition(want) if have < want else df
 
 
 # ---------------------------------------------------------------------------

@@ -805,108 +805,67 @@ def pq_topk_rerank(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 # ---- bitext mining (margin-based parallel-text pairs) ----------------------
 
-def _side_sumk(side: DataFrame, other: DataFrame, k: int,
-               id_name: str, vec_name: str, norm_name: str,
-               sumk_name: str, id_col: str, vec_col: str) -> DataFrame:
-    """One side of the margin denominator: for every row of ``side``,
-    the sum of its top-``k`` SHIFTED milli-cosines (floor(cos*1000)+1000,
-    so every term is a non-negative long) against ALL rows of ``other``.
+def _np_ordered_norms(M):
+    """Row norms with the fold's left-to-right summation order, so the
+    doubles are bit-identical to ``norm()`` (sqrt of the sequential dot)."""
+    import numpy as np
 
-    ``other`` collapses to ONE collect_list row (id, f64 vec, norm) and
-    broadcasts — the corpus side never shuffles; per-row work is
-    |other| codegen'd dot products (the decontaminate_semantic pattern).
-    Norms are hoisted: the broadcast rows carry theirs, the side row
-    computes its own once.
+    acc = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        c = M[:, d]
+        acc = acc + c * c
+    return np.sqrt(acc)
+
+
+def _np_cs_matrix(A, A_norms, B, B_norms, k_unused=None):
+    """Quantized shifted milli-cosine matrix between row blocks A and B,
+    IEEE-op-for-op identical to the Catalyst expression
+    ``floor(dot(a,b) / (na * nb) * 1000) + 1000``:
+
+    - the dot is accumulated dimension-by-dimension (one multiply + one
+      add per term, left to right) — the exact order of the zip_with +
+      aggregate fold, NOT numpy's pairwise/BLAS summation, so every
+      partial sum rounds identically;
+    - the quantization applies the same op sequence (divide by the norm
+      product, scale, floor, shift).
     """
-    other_row = other.agg(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).cast("long").alias("oid"),
-                as_double(F.col(vec_col)).alias("ovec"),
-                norm(as_double(F.col(vec_col))).alias("onorm"),
-            )
-        ).alias("_others")
-    )
-    vec = as_double(F.col(vec_col))
-    cs = F.transform(
-        F.col("_others"),
-        lambda o: (
-            F.floor(dot(vec, o["ovec"]) / (F.col("_n") * o["onorm"]) * 1000)
-            + 1000
-        ).cast("long"),
-    )
-    topk = F.slice(F.sort_array(F.col("_cs"), asc=False), 1, k)
-    return (
-        side.crossJoin(F.broadcast(other_row))
-        .withColumn("_n", norm(vec))
-        .withColumn("_cs", cs)
-        .select(
-            F.col(id_col).cast("long").alias(id_name),
-            vec.alias(vec_name),
-            F.col("_n").alias(norm_name),
-            F.aggregate(topk, F.lit(0).cast("long"),
-                        lambda acc, x: acc + x).alias(sumk_name),
-        )
-    )
+    import numpy as np
+
+    P = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):
+        # a[i,d]*b[j,d] is one IEEE multiply; += one IEEE add — matching
+        # the fold's (acc, x) -> acc + x over zip_with products
+        P += A[:, d : d + 1] * B[None, :, d]
+    cs = np.floor(P / (A_norms[:, None] * B_norms[None, :]) * 1000.0) + 1000.0
+    return cs.astype(np.int64)
 
 
-def _best_by_margin(rows: DataFrame, others: DataFrame, k: int,
-                    row_id: str, row_vec: str, row_norm: str, row_sumk: str,
-                    o_id: str, o_vec: str, o_norm: str, o_sumk: str,
-                    best_prefix: str) -> DataFrame:
-    """argmax over ``others`` of the ratio margin for every row of
-    ``rows``: margin_bp = floor(shifted_cos_m * 2k * 10000 /
-    (row_sumk + other_sumk)).  All operands are exact-in-double longs
-    (numerator <= 2000*2k*10000 = 1.6e8 at k=4, denominator <= 4000k,
-    and |true - rounded| < 1/denominator >> double ulp at 2e4), so the
-    floor of the double quotient equals exact integer floor division —
-    the DuckDB oracle's BIGINT ``//`` matches bit-for-bit.  Ties pick
-    larger cosine, then the smallest other-id.
-    """
-    others_row = others.agg(
-        F.collect_list(
-            F.struct(
-                F.col(o_id).alias("oid"),
-                F.col(o_vec).alias("ovec"),
-                F.col(o_norm).alias("onorm"),
-                F.col(o_sumk).alias("osumk"),
-            )
-        ).alias("_others")
+def _np_sumk(cs, k: int):
+    """Sum of each row's top-k quantized cosines (long, order-free)."""
+    import numpy as np
+
+    if cs.shape[1] <= k:
+        return cs.sum(axis=1)
+    return np.partition(cs, cs.shape[1] - k, axis=1)[:, -k:].sum(axis=1)
+
+
+def _np_best(cs, my_sumk, other_sumk, other_ids, k: int):
+    """Per-row argmax of margin_bp = (cs * 2k*10000) div (sumk_x+sumk_y),
+    ties → larger cs, then smallest other id — the lexicographic struct
+    max of the Catalyst plan, in exact int64 arithmetic (the double
+    quotient's floor equals integer floor division at these operand
+    bounds, see bitext_mine's docstring)."""
+    import numpy as np
+
+    margin = (cs * np.int64(2 * k * 10000)) // (
+        my_sumk[:, None] + other_sumk[None, :]
     )
-    vec = F.col(row_vec)
-    scored = F.transform(
-        F.col("_others"),
-        lambda o: F.struct(
-            (
-                F.floor(dot(vec, o["ovec"])
-                        / (F.col(row_norm) * o["onorm"]) * 1000) + 1000
-            ).cast("long").alias("cs"),
-            o["oid"].alias("oid"),
-            o["osumk"].alias("osumk"),
-        ),
-    )
-    margins = F.transform(
-        F.col("_scored"),
-        lambda p: F.struct(
-            F.floor(
-                p["cs"] * F.lit(2 * k * 10000)
-                / (F.col(row_sumk) + p["osumk"])
-            ).cast("long").alias("margin_bp"),
-            p["cs"].alias("cs"),
-            (-p["oid"]).alias("neg_oid"),
-        ),
-    )
-    return (
-        rows.crossJoin(F.broadcast(others_row))
-        .withColumn("_scored", scored)
-        .withColumn("_best", F.array_max(margins))
-        .select(
-            F.col(row_id),
-            (-F.col("_best.neg_oid")).alias(f"{best_prefix}_id"),
-            (F.col("_best.cs") - 1000).alias(f"{best_prefix}_cos_m"),
-            F.col("_best.margin_bp").alias(f"{best_prefix}_margin_bp"),
-        )
-    )
+    m1 = margin.max(axis=1)
+    csm = np.where(margin == m1[:, None], cs, np.int64(-1))
+    c1 = csm.max(axis=1)
+    tie = (margin == m1[:, None]) & (cs == c1[:, None])
+    oid = np.where(tie, other_ids[None, :], np.iinfo(np.int64).max).min(axis=1)
+    return oid, c1, m1
 
 
 def bitext_mine(src_vecs: DataFrame, tgt_vecs: DataFrame, k: int = 4,
@@ -928,49 +887,145 @@ def bitext_mine(src_vecs: DataFrame, tgt_vecs: DataFrame, k: int = 4,
     then smallest id, on both axes.
 
     Plan shape: the exact baseline is quadratic BY DEFINITION (every
-    margin needs both rows' neighbourhood sums), expressed as four
-    zero-corpus-exchange broadcast passes — per-side top-k sums
-    (_side_sumk), then forward and backward argmax (_best_by_margin) —
-    plus one |tgt|-bounded broadcast join for the mutual check; the only
-    exchanges are the 1-row collect_list aggregates.  The 100-TB path is
-    the standard CCMatrix shape: shortlist ~k' candidates per row with
-    the persisted IVF index (vecindex.index_topk / ivf_topk) and compute
-    margins on shortlists only; this operator IS that scorer run on a
-    shortlist join instead of the broadcast array.  Both sides must have
-    >= k rows (the denominator assumes k neighbours each side).
+    margin needs both rows' neighbourhood sums).  It runs as two
+    mapInPandas passes over the union of the shards — (1) per-row top-k
+    neighbourhood sums, (2) per-row margin argmax — each scoring its
+    rows against the OTHER shard's vectors from a Spark broadcast
+    variable with an ordered-summation numpy kernel that is
+    IEEE-op-for-op identical to the previous Catalyst fold (see
+    _np_cs_matrix), plus one |tgt|-bounded broadcast join for the
+    mutual check.  The shards are materialized once through Arrow at
+    plan-construction time — the same full-side driver residency the
+    previous collect_list→BroadcastExchange form had, now explicit; the
+    intermediate sum table is N rows of (id, long).  This stays the
+    quarantined oracle baseline: the 100-TB path is bitext_mine_ivf
+    (the standard CCMatrix shape — IVF shortlists, both shards
+    streaming, no full-side materialization anywhere).  Both sides must
+    have >= k rows (the denominator assumes k neighbours each side).
 
     Returns one row per src vector: (src_id, tgt_id, cos_m, margin_bp,
     mutual, mined) — its best target, the raw milli-cosine, the margin,
     whether the pair is mutual-best, and mutual AND margin >= threshold.
     """
-    src_k = _side_sumk(src_vecs, tgt_vecs, k, "sid", "svec", "snorm",
-                       "sumk_x", id_col, vec_col).persist()
-    tgt_k = _side_sumk(tgt_vecs, src_vecs, k, "tid", "tvec", "tnorm",
-                       "sumk_y", id_col, vec_col).persist()
-    fwd = _best_by_margin(
-        src_k, tgt_k, k, "sid", "svec", "snorm", "sumk_x",
-        "tid", "tvec", "tnorm", "sumk_y", "best_tgt",
+    import numpy as np
+    import pandas as pd
+
+    spark = src_vecs.sparkSession
+    sc = spark.sparkContext
+
+    def _mat(df: DataFrame):
+        pdf = df.select(
+            F.col(id_col).cast("long").alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+        ).toPandas()
+        ids = pdf["id"].to_numpy(np.int64)
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        return ids, M
+
+    s_ids, S = _mat(src_vecs)
+    t_ids, T = _mat(tgt_vecs)
+    bc = sc.broadcast({
+        "s_ids": s_ids, "S": S, "s_n": _np_ordered_norms(S),
+        "t_ids": t_ids, "T": T, "t_n": _np_ordered_norms(T),
+    })
+
+    both = (
+        src_vecs.select(
+            F.lit(0).alias("side"),
+            F.col(id_col).cast("long").alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+        ).unionByName(tgt_vecs.select(
+            F.lit(1).alias("side"),
+            F.col(id_col).cast("long").alias("id"),
+            as_double(F.col(vec_col)).alias("v"),
+        ))
     )
-    bwd = _best_by_margin(
-        tgt_k, src_k, k, "tid", "tvec", "tnorm", "sumk_y",
-        "sid", "svec", "snorm", "sumk_x", "best_src",
+
+    def _batches(it):
+        for pdf in it:
+            for side in (0, 1):
+                part = pdf[pdf["side"] == side]
+                if len(part):
+                    yield side, part
+
+    def sumk_fn(it):
+        b = bc.value
+        for side, part in _batches(it):
+            A = np.array(part["v"].tolist(), dtype=np.float64)
+            An = _np_ordered_norms(A)
+            o = ("T", "t_n") if side == 0 else ("S", "s_n")
+            cs = _np_cs_matrix(A, An, b[o[0]], b[o[1]])
+            yield pd.DataFrame({
+                "side": np.int32(side), "id": part["id"].to_numpy(np.int64),
+                "sumk": _np_sumk(cs, k),
+            })
+
+    sumk_pdf = both.mapInPandas(
+        sumk_fn, "side int, id long, sumk long"
+    ).toPandas()
+    sx = dict(zip(sumk_pdf[sumk_pdf["side"] == 0]["id"],
+                  sumk_pdf[sumk_pdf["side"] == 0]["sumk"]))
+    sy = dict(zip(sumk_pdf[sumk_pdf["side"] == 1]["id"],
+                  sumk_pdf[sumk_pdf["side"] == 1]["sumk"]))
+    bc2 = sc.broadcast({
+        "sumk_x": sx,
+        "sumk_y": sy,
+        # other-side sums aligned to the broadcast id order
+        "sumk_x_arr": np.array([sx[i] for i in s_ids], dtype=np.int64),
+        "sumk_y_arr": np.array([sy[i] for i in t_ids], dtype=np.int64),
+    })
+
+    def best_fn(it):
+        b, b2 = bc.value, bc2.value
+        for side, part in _batches(it):
+            A = np.array(part["v"].tolist(), dtype=np.float64)
+            An = _np_ordered_norms(A)
+            ids = part["id"].to_numpy(np.int64)
+            if side == 0:
+                cs = _np_cs_matrix(A, An, b["T"], b["t_n"])
+                mine = np.array([b2["sumk_x"][i] for i in ids], np.int64)
+                oid, c1, m1 = _np_best(cs, mine, b2["sumk_y_arr"],
+                                       b["t_ids"], k)
+            else:
+                cs = _np_cs_matrix(A, An, b["S"], b["s_n"])
+                mine = np.array([b2["sumk_y"][i] for i in ids], np.int64)
+                oid, c1, m1 = _np_best(cs, mine, b2["sumk_x_arr"],
+                                       b["s_ids"], k)
+            yield pd.DataFrame({
+                "side": np.int32(side), "id": ids, "best_id": oid,
+                "cs": c1, "margin_bp": m1,
+            })
+
+    best_schema = "side int, id long, best_id long, cs long, margin_bp long"
+    fwd = (
+        both.filter(F.col("side") == 0)
+        .mapInPandas(best_fn, best_schema)
+        .select(F.col("id").alias("sid"),
+                F.col("best_id").alias("best_tgt_id"),
+                F.col("cs"), F.col("margin_bp"))
+    )
+    bwd = (
+        both.filter(F.col("side") == 1)
+        .mapInPandas(best_fn, best_schema)
+        .select(F.col("id").alias("tid"),
+                F.col("best_id").alias("best_src_id"))
     )
     mutual = F.coalesce(
         F.col("best_src_id") == F.col("sid"), F.lit(False)
     )
     return (
         fwd.join(
-            F.broadcast(bwd.select("tid", "best_src_id")),
+            F.broadcast(bwd),
             fwd["best_tgt_id"] == F.col("tid"),
             "left",
         )
         .select(
             F.col("sid").alias("src_id"),
             F.col("best_tgt_id").alias("tgt_id"),
-            F.col("best_tgt_cos_m").alias("cos_m"),
-            F.col("best_tgt_margin_bp").alias("margin_bp"),
+            (F.col("cs") - 1000).alias("cos_m"),
+            F.col("margin_bp"),
             mutual.alias("mutual"),
-            (mutual & (F.col("best_tgt_margin_bp")
+            (mutual & (F.col("margin_bp")
                        >= F.lit(int(threshold_bp)))).alias("mined"),
         )
     )

@@ -59,7 +59,7 @@ P31 = DD.MERSENNE31
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = True) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = False) -> DataFrame:
     """Load a testdata table, redistributing unsplittable scans.
 
     The testdata parquet files are written as a SINGLE row group — the
@@ -71,6 +71,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str, par: bool = True) -> DataFra
     guide's unsplittable-input remedy).  Scale-adaptive by construction:
     real corpus tables carry many row groups/files, the condition is
     false, and this is a no-op — never a constant tuned to local[32].
+
+    ``par`` is opt-in per query: the redistribution pays one exchange +
+    one AQE stage (~0.3s of fixed latency per consumer on this box), so
+    it is enabled exactly where the scan-pipelined per-row work
+    (shingling, hashing, dot products, pandas UDFs) dwarfs that cost —
+    measured query by query in OPTIMIZATION_r06.md — and left off for
+    the projection/aggregate queries where the exchange would dominate.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if not par:
@@ -595,24 +602,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     O(df²) pair blowup); the oracle applies the same document-frequency
     filter."""
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=64
+        _t(spark, sf_dir, "documents", par=True), threshold=0.5, max_df=64
     )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4×4) candidate pairs (training-data pipeline)."""
-    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents", par=True))
 
 
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (training-data pipeline)."""
-    return DD.simhash(_t(spark, sf_dir, "documents"))
+    return DD.simhash(_t(spark, sf_dir, "documents", par=True))
 
 
 def q_dedup_simhash64(spark, sf_dir):
     """64-bit SimHash fingerprints as two 32-bit halves (sh_hi, sh_lo),
     computed in one closed-form aggregate — the 10^9+-doc print width."""
-    return DD.simhash64(_t(spark, sf_dir, "documents"))
+    return DD.simhash64(_t(spark, sf_dir, "documents", par=True))
 
 
 def q_semdedup(spark, sf_dir):
@@ -622,7 +629,7 @@ def q_semdedup(spark, sf_dir):
     Σ|cluster|², never N²; the oracle replays the same chain with a
     recursive CTE."""
     return SIM.semdedup(
-        _t(spark, sf_dir, "embeddings"), n_cells=32, threshold=0.4
+        _t(spark, sf_dir, "embeddings", par=True), n_cells=32, threshold=0.4
     )
 
 
@@ -659,7 +666,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     64-bit two-half fingerprints: agree on ≥1 of 4 SIXTEEN-bit blocks ⇒
     candidate (65,536 buckets per block position — the scale form);
     bit_count over both halves verifies hamming ≤ 3."""
-    return DD.simhash_pairs64(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return DD.simhash_pairs64(_t(spark, sf_dir, "documents", par=True), max_hamming=3)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -669,13 +676,13 @@ def q_dedup_components(spark, sf_dir):
     propagation (Pregel-style CC as DataFrame joins; DuckDB oracle is a
     recursive CTE over the same pair set)."""
     return DD.near_dup_components(
-        DD.simhash_pairs64(_t(spark, sf_dir, "documents"), max_hamming=3)
+        DD.simhash_pairs64(_t(spark, sf_dir, "documents", par=True), max_hamming=3)
     )
 
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.4 (training-data pipeline)."""
-    return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings", par=True), threshold=0.4)
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
@@ -685,7 +692,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     from the measured recall study in BENCH.md — the single-table
     8-plane default was the study's worst case on diffuse corpora."""
     return SIM.embedding_near_dup_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, preset="balanced"
+        _t(spark, sf_dir, "embeddings", par=True), threshold=0.4, preset="balanced"
     )
 
 
@@ -699,7 +706,7 @@ def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (random hyperplanes), 'balanced'
     preset (6 planes × 4 independent tables — recall-tuned from the
     BENCH.md study; candidates found by several tables score once)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", par=True)
     return SIM.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, preset="balanced"
     )
@@ -707,7 +714,7 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_ann_ivf(spark, sf_dir):
     """IVF-Flat approximate top-5: 32 seeded coarse cells, 4 probed."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", par=True)
     return SIM.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=4
     )
@@ -752,7 +759,7 @@ def q_token_count(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     """Order-sensitive rolling document fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     return docs.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -857,7 +864,7 @@ def q_train_corpus_filter(spark, sf_dir):
     exists for: exact-dedup canonical docs ∩ lang_pred='en' ∩ word_count
     ≥ 50 ∩ alpha ratio ≥ 0.6. One digest-keyed shuffle (the dedup agg) +
     per-row closed-form scoring; every stage is a reused contract op."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     t = F.col("text")
     wc = TS.word_count(t)
     cc = TS.char_count(t)
@@ -953,7 +960,7 @@ def q_train_corpus_neardup(spark, sf_dir):
     ∩ lang_pred='en' ∩ word_count ≥ 50 ∩ alpha ratio ≥ 0.6 — the
     composition that subsumes the exact-dedup gate (identical docs share
     a fingerprint, so exact dups are hamming-0 near-dups)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     return _corpus_gate(docs, DD.simhash_pairs64(docs, max_hamming=3))
 
 
@@ -1067,7 +1074,7 @@ def q_substring_dedup(spark, sf_dir):
     (quadratic pairing per digest, like ngram_jaccard's cap).
     The oracle brute-forces every-offset duplicated-8-gram coverage —
     provably equal to the anchor plan's output (see substring_spans)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     idc = F.col("doc_id")
     ids = idc.cast("string")
     gs = F.floor(idc / 60).cast("long").cast("string")
@@ -1133,7 +1140,7 @@ def q_pii_redact(spark, sf_dir):
     + per-family counts on the original text — closed-form regex chain,
     dialect-portable patterns (no lookarounds/backrefs, so Java regex and
     DuckDB's RE2 agree)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1148,7 +1155,7 @@ def q_quality_repetition(spark, sf_dir):
     """Gopher-style repetition profile: duplicate-line fraction (closed
     form over the line array) + top word-2-gram share (one shuffle keyed
     by (doc, gram) with map-side partial counts)."""
-    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+    return TS.repetition_stats(_t(spark, sf_dir, "documents", par=True))
 
 
 def q_corpus_split(spark, sf_dir):
@@ -1183,7 +1190,7 @@ def q_decontaminate(spark, sf_dir):
     gram set is DISTINCT + broadcast, so the 100-TB train side never
     shuffles its grams — explode, semi-probe, and per-doc hit count all
     stay partition-local."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     b = CU.split_bucket(F.col("doc_id"))
     train = docs.filter(b < 9000)
     bench = docs.filter(b >= 9000)
@@ -1231,7 +1238,7 @@ def q_incremental_dedup(spark, sf_dir):
     never re-read or re-shuffled — the increment computes its own
     signatures and left-semi probes the index; cost is O(increment),
     not O(corpus)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     b = CU.split_bucket(F.col("doc_id"))
     idx = DD.dedup_index(docs.filter(b < 8000))
     return DD.incremental_dedup(docs.filter(b >= 8000), idx)
@@ -1361,7 +1368,7 @@ def q_train_corpus_full(spark, sf_dir):
     is curate.py's flag stage expressed as a contract query: five
     independent gate families, each scale-shaped as audited
     individually, sharing one scan of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     b = CU.split_bucket(F.col("doc_id"))
     train = docs.filter(b < 9000)
     bench = docs.filter(b >= 9000)
@@ -1404,7 +1411,7 @@ def q_top_ngrams(spark, sf_dir):
     boilerplate census. One combinable (source, gram) shuffle; the
     per-source top-k window gets a map-side partial WindowGroupLimit
     from Catalyst (same measured property as source_cap)."""
-    return CU.top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=10)
+    return CU.top_ngrams(_t(spark, sf_dir, "documents", par=True), n=3, k=10)
 
 
 def q_doc_keywords(spark, sf_dir):
@@ -1569,7 +1576,7 @@ def q_sitemap_lastmod(spark, sf_dir):
     block regexp + posexplode, scan-speed."""
     from distributed_crawl_spark.operators.robots import sitemap_url_entries
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     d = F.col("doc_id")
     base = F.concat(F.lit("https://"), F.col("source"),
                     F.lit(".example.org"))
@@ -1626,7 +1633,7 @@ def q_dedup_lines_global(spark, sf_dir):
     line, and the planted exact-dup docs exercise real cross-doc
     removal. Three uniform digest/doc-keyed shuffles; the winner census
     is map-side combinable (see dedup.global_line_dedup)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     lined = F.array_join(
         F.transform(CU.span_chunks(F.col("text"), 8), lambda s: s.chunk),
         "\n",
@@ -1965,7 +1972,7 @@ def q_c4_clean(spark, sf_dir):
     line itself is clean, only the DOC gate trips, separating the two
     rule tiers). Zero shuffle — split → HOF filter → rejoin, all
     codegen; DuckDB runs the same lambda."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     d = F.col("doc_id")
     chunks = F.transform(
         CU.span_chunks(F.col("text"), 8),
@@ -2037,7 +2044,7 @@ def q_bm25_index_search(spark, sf_dir):
     the oracle scores the corpus in place."""
     import re as _re
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
     path = f"/tmp/textindex_contract_{tag}_{__import__('os').getpid()}"  # pid-unique: concurrent harnesses must not race one index dir
     SE.write_text_index(docs, path)
@@ -2062,7 +2069,7 @@ def q_source_similarity(spark, sf_dir):
     source_entropy. Posting-list plan with the list bounded by |sources|
     by construction (collect_set dedups map-side), so the one shingle
     shuffle is the only corpus-sized exchange at any scale."""
-    return CU.source_similarity(_t(spark, sf_dir, "documents"))
+    return CU.source_similarity(_t(spark, sf_dir, "documents", par=True))
 
 
 def q_dup_rate_by_source(spark, sf_dir):
@@ -2072,7 +2079,7 @@ def q_dup_rate_by_source(spark, sf_dir):
     that discounts a source's raw token count in mix planning. One
     doc-id join (components is pair-output-bound) + a |sources|-bounded
     census."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     comp = DD.near_dup_components(
         DD.simhash_pairs64(docs, max_hamming=3)
     )
@@ -2091,7 +2098,7 @@ def q_decontaminate_semantic(spark, sf_dir):
     broadcast-nested-loop pattern mix_plan already uses. Scores quantize
     to cosine milli-units BEFORE the argmax; ties pick the smallest
     bench id."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", par=True)
     return CU.decontaminate_semantic(
         emb.filter(F.col("vec_id") % 10 != 0),
         emb.filter(F.col("vec_id") % 10 == 0),
@@ -2105,7 +2112,7 @@ def q_bigram_logprob(spark, sf_dir):
     sensitive fluency, Lidstone-interpolated with unigram backoff,
     per-pair log-prob evaluated by one double expression written
     identically in both engines and floor-quantized."""
-    return TS.bigram_logprob(_t(spark, sf_dir, "documents"))
+    return TS.bigram_logprob(_t(spark, sf_dir, "documents", par=True))
 
 
 def q_hits_scores(spark, sf_dir):
@@ -2190,7 +2197,7 @@ def q_blocklist_mine(spark, sf_dir):
     candidates, which is how UT1/FineWeb-style domain blocklists are
     grown from corpus evidence. Gate is a zero-shuffle projection; the
     only exchange is the |sources|-bounded census groupBy."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     feats = TS.gopher_features(
         F.col("text"), stopwords=sorted(["a", *TS.LANG_MARKERS["en"]])
     )
@@ -2209,7 +2216,7 @@ def q_importance_sample(spark, sf_dir):
     remaining ops are correctly-rounded mul/div, identical across
     engines). Distinct-score census + broadcast bucket map +
     zero-shuffle hash filter."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     return CU.importance_sample(
         docs, TS.quality_score_int(F.col("text")),
         n_buckets=10, alpha_bp=10000, floor_bp=500,
@@ -2249,7 +2256,7 @@ def q_dedup_cluster_stats(spark, sf_dir):
     (is one template dominating, or is it a size-2 tail?). Component
     census is output-bound like the pair set; the singleton row is two
     1-row aggregates joined lazily."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     comp = DD.near_dup_components(
         DD.simhash_pairs64(docs, max_hamming=3)
     )
@@ -2309,7 +2316,7 @@ def q_gate_agreement(spark, sf_dir):
     replaces or conjoins the other. All gates evaluate in one
     zero-shuffle projection; census ≤ 2³ cells; share via 1-row
     broadcast total."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     t = F.col("text")
     feats = TS.gopher_features(
         t, stopwords=sorted(["a", *TS.LANG_MARKERS["en"]])
@@ -2404,7 +2411,7 @@ def q_bitext_mine(spark, sf_dir):
     at every sf.  Four zero-corpus-exchange broadcast passes + one
     |tgt|-bounded mutual join; the scale path runs the same scorer on a
     persisted-IVF shortlist instead of the broadcast array."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", par=True)
     return SIM.bitext_mine(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
@@ -2452,7 +2459,7 @@ def q_phrase_index_search(spark, sf_dir):
     oracle scores the corpus in place."""
     import re as _re
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
     path = f"/tmp/textindex_pos_contract_{tag}_{__import__('os').getpid()}"  # pid-unique: concurrent harnesses must not race one index dir
     SE.write_text_index(docs, path, positions=True)
@@ -2470,7 +2477,7 @@ def q_focused_frontier(spark, sf_dir):
     most-relevant-first. Topic = ['go', '7', '13']: every 'go N' anchor
     matches once, N ∈ {7,13} matches twice, 'see N' only via N — so the
     census, tokenizer, and weighting all show up in the hash."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     d = F.col("doc_id")
     x = (d % 97).cast("string")
     y = ((d * 31 + 7) % 97).cast("string")
@@ -2504,7 +2511,7 @@ def q_index_neardup(spark, sf_dir):
 
     from distributed_crawl_spark.functions import vecindex as VX
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", par=True)
     corpus = emb.filter(F.col("vec_id") % 13 != 0)
     inc = emb.filter(F.col("vec_id") % 13 == 0)
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
@@ -2691,7 +2698,7 @@ def q_dedup_containment(spark, sf_dir):
     quote's shingles are a strict subset of its source's, so containment
     reads 1.0 where Jaccard(quote, source) is tiny. Same posting-list
     plan and max_df=64 skew bound as dedup_ngram_jaccard."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     quotes = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.array_join(F.slice(DD.tokens(F.col("text")), 1, 12), " ")
@@ -3002,7 +3009,7 @@ def q_cluster_split(spark, sf_dir):
     plain hash split leaves open. Singletons hash by their own id,
     making this a strict superset of corpus_split. The oracle chains
     the dedup_components recursive CTE into the split hash."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", par=True)
     comps = DD.near_dup_components(
         DD.simhash_pairs64(docs, max_hamming=3)
     )

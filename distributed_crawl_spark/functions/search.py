@@ -336,6 +336,21 @@ def _bucket(term):
     return F.pmod(F.xxhash64(term), F.lit(64)).cast("int")
 
 
+def _write_manifest_json(manifest_dir: str, manifest: dict) -> None:
+    """One-row manifest written directly (spark.read.json-compatible
+    line format) — a whole Spark job per 1-row manifest was measurable
+    build overhead. The index layout is already local-FS shaped (the
+    compactor uses os.rename); an object-store deployment would swap
+    this for the Hadoop FS API alongside the compactor's swap."""
+    import os
+    import shutil
+
+    shutil.rmtree(manifest_dir, ignore_errors=True)  # overwrite semantics
+    os.makedirs(manifest_dir, exist_ok=True)
+    with open(f"{manifest_dir}/part-00000.json", "w") as f:
+        f.write(_json.dumps({"manifest": _json.dumps(manifest)}) + "\n")
+
+
 def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                      text_col: str = "text",
                      positions: bool = False) -> dict:
@@ -358,9 +373,24 @@ def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     exact-phrase queries from the index alone; increments added later
     inherit the layout via the manifest flag.
     """
-    postings = build_postings(docs, id_col=id_col, text_col=text_col,
-                              positions=positions)
-    per_doc = postings.select("doc_id", "dl").groupBy("doc_id").agg(
+    spark = docs.sparkSession
+    # ONE tokenization pass: write the postings first (repartitioned onto
+    # the bucket key so each of the 64 partition directories is a single
+    # sorted file — write tasks align with directories instead of every
+    # task fanning out into every bucket), then derive idf/stats from the
+    # WRITTEN files. The previous shape re-tokenized the corpus for each
+    # of the three writes.
+    (
+        build_postings(docs, id_col=id_col, text_col=text_col,
+                       positions=positions)
+        .withColumn("term_bucket", _bucket(F.col("term")))
+        .repartition(64, "term_bucket")
+        .sortWithinPartitions("term_bucket", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket").parquet(f"{path}/postings")
+    )
+    written = spark.read.parquet(f"{path}/postings")
+    per_doc = written.select("doc_id", "dl").groupBy("doc_id").agg(
         F.first("dl").alias("dl")
     )
     stats = per_doc.agg(
@@ -371,17 +401,20 @@ def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
         F.expr("(sum_dl * 1000) div n_docs").cast("long")
         .alias("avgdl_x1000"),
     )
-    idf = term_idf(postings, stats.select("n_docs", "avgdl_x1000"))
-    postings.withColumn("term_bucket", _bucket(F.col("term"))).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(f"{path}/postings")
-    idf.write.mode("overwrite").parquet(f"{path}/idf")
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    idf = term_idf(written, stats.select("n_docs", "avgdl_x1000"))
+    # idf and stats are independent scans of the written postings —
+    # overlap them so the second job back-fills the first one's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(
+            lambda: idf.write.mode("overwrite").parquet(f"{path}/idf"))
+        fs = pool.submit(
+            lambda: stats.write.mode("overwrite").parquet(f"{path}/stats"))
+        fi.result(), fs.result()
     manifest = {"format": TEXT_INDEX_FORMAT, "n_buckets": 64,
                 "positional": positions}
-    docs.sparkSession.createDataFrame(
-        [(_json.dumps(manifest),)], "manifest string"
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    _write_manifest_json(f"{path}/manifest", manifest)
     return manifest
 
 

@@ -106,9 +106,17 @@ def write_vector_index(vectors: DataFrame, path: str, n_cells: int = 32,
     )
     # persist quantizers FIRST, then encode against the PERSISTED copies:
     # the files are the index's source of truth, so adds and searches see
-    # byte-identical centroids even if the in-memory plan would recompute
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
-    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    # byte-identical centroids even if the in-memory plan would recompute.
+    # The two K-row quantizer writes are independent jobs — overlap them
+    # so the second back-fills the first one's tail.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(lambda: cent.write.mode("overwrite")
+                         .parquet(f"{path}/centroids"))
+        fb = pool.submit(lambda: cb.write.mode("overwrite")
+                         .parquet(f"{path}/codebooks"))
+        fc.result(), fb.result()
     cent_t = spark.read.parquet(f"{path}/centroids")
     cb_t = spark.read.parquet(f"{path}/codebooks")
     codes = encode_codes(vectors, cent_t, cb_t, m, dim, id_col, vec_col)
@@ -117,8 +125,9 @@ def write_vector_index(vectors: DataFrame, path: str, n_cells: int = 32,
     )
     manifest = {"format": INDEX_FORMAT, "n_cells": n_cells, "m": m,
                 "n_codes": n_codes, "dim": dim}
-    spark.createDataFrame([(json.dumps(manifest),)], "manifest STRING") \
-        .coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    from .search import _write_manifest_json
+
+    _write_manifest_json(f"{path}/manifest", manifest)
     return manifest
 
 

@@ -339,9 +339,17 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
     """
     v = vectors.select(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec)
+    ).withColumn("_vn", norm(F.col(out_vec)))
+    # hoisted norms: one norm per vector row and one per centroid row
+    # instead of per (vector, centroid) pair; dot/(_vn*_cn) is
+    # bit-identical to cosine(v, centroid)
+    cent = centroids.select(
+        "cell_id", "centroid", norm(F.col("centroid")).alias("_cn")
     )
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "ccos", cosine(F.col(out_vec), F.col("centroid"))
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos",
+        dot(F.col(out_vec), F.col("centroid"))
+        / (F.col("_vn") * F.col("_cn")),
     )
     if nprobe == 1:
         # ordering key (ccos, -cell_id): max cosine, then MIN cell_id —
@@ -392,13 +400,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         vectors, n_cells, id_col, vec_col
     )
     c = ivf_assign(vectors, cent, nprobe=1, id_col=id_col, vec_col=vec_col,
-                   out_id="vec_id", out_vec="cv")
+                   out_id="vec_id", out_vec="cv").withColumn(
+        "_cn", norm(F.col("cv")))
     q = ivf_assign(queries, cent, nprobe=nprobe, id_col=id_col,
-                   vec_col=vec_col, out_id="query_id", out_vec="qv")
+                   vec_col=vec_col, out_id="query_id", out_vec="qv"
+                   ).withColumn("_qn", norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), ["cell_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        # norms hoisted to the assigned rows — one dot per scored pair;
+        # dot/(_qn*_cn) is bit-identical to cosine(qv, cv)
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -419,11 +434,17 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
     exact form is O(n²) and exists for oracle checks and recall
     measurement only. Returns (id_a, id_b, cos).
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    ).withColumn("_na", norm(F.col("va")))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("_nb", norm(F.col("vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        # hoisted norms — one dot per pair; bit-identical to cosine(va, vb)
+        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                    / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.floor(F.col("cos") * scale).cast("long").alias("cos_m"))
     )
@@ -512,20 +533,26 @@ def semdedup(vectors: DataFrame, n_cells: int = 32, threshold: float = 0.4,
         else seed_centroids(vectors, n_cells, id_col, vec_col)
     )
     assigned = materialize(
+        # the norm rides the persisted assignment — computed once per
+        # vector at materialization, never per within-cell pair
         ivf_assign(vectors, cents, nprobe=1, id_col=id_col,
-                   vec_col=vec_col),
+                   vec_col=vec_col).withColumn("_n", norm(F.col("v"))),
         "semdedup_assigned",
     )
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell_id"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("_n").alias("_na"), "cell_id"
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell_id"
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("_n").alias("_nb"), "cell_id"
     )
     pairs = (
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        # hoisted norms — one dot per pair; bit-identical to cosine(va, vb)
+        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+                    / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )

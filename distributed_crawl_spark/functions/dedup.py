@@ -568,6 +568,10 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    # (round 6 note: a two-steps-per-materialized-round variant with a
+    # union+groupBy neighbor-min was measured SLOWER at sf0.1 — the
+    # deeper per-round plan cost more than the saved job round-trips —
+    # so the loop keeps the one-step-per-job shape.)
     for _ in range(max_iters):
         # pointer jump: component_id <- labels[component_id] (path
         # compression; left join only for safety — labels always point
@@ -720,59 +724,66 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     portable (DuckDB: ``CAST('0x' || substr(md5(t), 1|9, 8) AS BIGINT)``).
     Docs with zero tokens are dropped (parity with :func:`simhash`).
     Returns (doc_id, sh_hi, sh_lo).
+
+    Physical form (round 6): an Arrow ``mapInPandas`` kernel — md5 via
+    hashlib, bit census via integer numpy — replacing an interpreted
+    64-slot higher-order aggregate per token (~3× the wall at sf0.1).
+    Everything is EXACT integer arithmetic, and the tokenizer replicates
+    ``tokens()``'s Java semantics precisely: trim strips 0x20 only, the
+    split class is Java's default ``\\s`` = [ \\t\\n\\x0B\\f\\r], Java
+    split drops TRAILING empty fields but keeps a leading one, and md5
+    hashes the UTF-8 bytes. Bit j is set iff 2·count_j > n_tokens —
+    identical to the ±1 fold.
     """
-    toks = tokens(F.col(text_col))
-    # md5 once per token; the two 32-bit halves are cheap substring/conv
-    # projections of the one hex string
-    hashes = F.transform(
-        F.transform(toks, lambda t: F.md5(t)),
-        lambda h: F.struct(
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("lo"),
-            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hi"),
-        ),
-    )
-    pow2_32 = F.array(*[F.lit(1 << j) for j in range(32)]).cast("array<long>")
-    # accumulator = struct of two 32-slot bit-sum arrays — each half is
-    # EXACTLY the 32-bit form's inner loop (plain power-of-two masks, no
-    # per-slot half-pick conditional; a 64-slot struct-mask variant
-    # measured ~7× slower at sf0.1)
-    init = F.struct(
-        F.array_repeat(F.lit(0).cast("long"), 32).alias("lo"),
-        F.array_repeat(F.lit(0).cast("long"), 32).alias("hi"),
-    )
+    import hashlib
+    import re as _re
 
-    def step_half(acc_half: Column, h_half: Column) -> Column:
-        return F.zip_with(
-            acc_half,
-            pow2_32,
-            lambda a, p: a
-            + F.when(h_half.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
+    import numpy as np
+    import pandas as pd
 
-    bit_sums = F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.struct(
-            step_half(acc["lo"], h["lo"]).alias("lo"),
-            step_half(acc["hi"], h["hi"]).alias("hi"),
-        ),
-    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    # Java's default \s class, NOT Python's unicode-aware \s
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    shifts = np.arange(32, dtype=np.uint32)
 
-    def half(sums: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                sums,
-                pow2_32,
-                lambda w, p: F.when(w > 0, p).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        )
+    def _toks(text):
+        if text is None:
+            return None
+        t = text.strip(" ")
+        if t == "":
+            return []
+        parts = ws.split(t)
+        while parts and parts[-1] == "":  # Java split: drop trailing empties
+            parts.pop()
+        return parts
 
-    return docs.filter(F.size(toks) > 0).select(
-        id_col,
-        half(bit_sums["hi"]).alias("sh_hi"),
-        half(bit_sums["lo"]).alias("sh_lo"),
+    def _fp(it):
+        for pdf in it:
+            ids, his, los = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                parts = _toks(text)
+                if not parts:
+                    continue
+                n = len(parts)
+                lo = np.empty(n, dtype=np.int64)
+                hi = np.empty(n, dtype=np.int64)
+                for j, tok in enumerate(parts):
+                    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                    lo[j] = int(h[:8], 16)
+                    hi[j] = int(h[8:16], 16)
+                # count of set bits per position; fold value is 2*cnt - n
+                cnt_lo = ((lo[:, None] >> shifts) & 1).sum(axis=0)
+                cnt_hi = ((hi[:, None] >> shifts) & 1).sum(axis=0)
+                ids.append(i)
+                los.append(int(
+                    ((2 * cnt_lo > n).astype(np.int64) << shifts).sum()))
+                his.append(int(
+                    ((2 * cnt_hi > n).astype(np.int64) << shifts).sum()))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sh_hi": his, "sh_lo": los})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _fp, f"{id_col} {id_type}, sh_hi long, sh_lo long"
     )
 
 

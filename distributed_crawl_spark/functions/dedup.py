@@ -519,9 +519,60 @@ def incremental_dedup(new_docs: DataFrame, index: DataFrame,
     )
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Exact min-label connected components in ONE task — the small-graph
+    fast path of :func:`near_dup_components` (the same hybrid GraphFrames
+    ships): a pair list that fits comfortably in a single task is solved
+    with a classic union-find instead of paying the iterative loop's
+    per-round job latency.  Output is identical to the converged loop —
+    every node labelled with the minimum id in its component (min over
+    strings is codepoint order in BOTH paths: Spark's UTF8_BINARY
+    collation is UTF-8 byte order, which equals Python's)."""
+    import pandas as pd
+
+    id_t = edges.schema["src"].dataType.simpleString()
+
+    def _uf(it):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in it:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+        best: dict = {}
+        for n in parent:
+            r = find(n)
+            m = best.get(r)
+            if m is None or n < m:
+                best[r] = n
+        if parent:
+            yield pd.DataFrame({
+                "doc_id": list(parent),
+                "component_id": [best[find(n)] for n in parent],
+            })
+
+    return edges.coalesce(1).mapInPandas(
+        _uf, f"doc_id {id_t}, component_id {id_t}"
+    )
+
+
 def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                         id_b: str = "id_b",
-                        max_iters: int = 25) -> DataFrame:
+                        max_iters: int = 25,
+                        local_threshold: int = 2_000_000) -> DataFrame:
     """Connected components over a near-dup pair list: every document in
     a transitively-connected duplicate cluster gets the cluster's MINIMUM
     doc id as its ``component_id`` — the canonical-pick step that turns
@@ -562,6 +613,14 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .localCheckpoint()
     )
+    # Size-adaptive dispatch (the count is a cheap scan of the already-
+    # checkpointed edge RDD): small graphs take the single-task
+    # union-find (identical output, none of the per-round job latency);
+    # graphs past ``local_threshold`` edges keep the iterative scale
+    # path below. The threshold is a data-size bound (~tens of MB of
+    # edge rows in one task), not a core-count constant.
+    if local_threshold and edges.count() <= local_threshold:
+        return _local_components(edges)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

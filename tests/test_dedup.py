@@ -268,6 +268,12 @@ def test_near_dup_components_matches_union_find(spark):
     # canonical = min id of each component
     for doc, comp in got.items():
         assert comp <= doc
+    # r6: both physical paths — single-task union-find (the small-graph
+    # default) and the iterative min-label loop — must agree exactly
+    got_iter = {r.doc_id: r.component_id
+                for r in DD.near_dup_components(
+                    df, local_threshold=0).collect()}
+    assert got_iter == want
 
 
 def test_components_nonconvergence_raises(spark):
@@ -282,8 +288,8 @@ def test_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_components(chain, max_iters=3)
-    out = near_dup_components(chain, max_iters=25)
+        near_dup_components(chain, max_iters=3, local_threshold=0)
+    out = near_dup_components(chain, max_iters=25, local_threshold=0)
     assert {r.component_id for r in out.collect()} == {0}
 
 
@@ -297,7 +303,7 @@ def test_components_deep_chain_log_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
     )
-    out = near_dup_components(chain)          # default max_iters=25
+    out = near_dup_components(chain, local_threshold=0)  # max_iters=25
     got = {r.doc_id: r.component_id for r in out.collect()}
     assert len(got) == 301
     assert set(got.values()) == {0}

@@ -169,20 +169,57 @@ def _bucket_tagged(df: DataFrame, id_alias: str, vec_alias: str,
     of dot + two norm re-computations per pair — at sum-of-squared-
     bucket-sizes pair counts that's ~3× less higher-order-function work,
     and ``dot/(norm_a*norm_b)`` is bit-identical to ``cosine(a, b)``.
+
+    Physical form (round 6): an Arrow ``mapInPandas`` kernel — the
+    T×P plane projections and the norm were interpreted higher-order
+    dot products per row (24 of them at the 'balanced' preset) and
+    dominated both LSH queries' walls.  The numpy kernel accumulates
+    every projection dimension-by-dimension in the fold's IEEE order
+    (see _np_cs_matrix), so each projection's sign — and therefore
+    every bucket id — and the norms are bit-identical.
     """
-    buckets = F.array(
-        *[
-            lsh_bucket(F.col(vec_alias), dim, n_planes, table=t)
-            for t in range(n_tables)
-        ]
-    )
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(
+        [plane_matrix(n_planes, dim, t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (T, P, dim) — integer-valued, exact in f64
+    id_t = df.schema[id_col].dataType.simpleString()
+    pow2 = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
+
+    def _tag(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            n = A.shape[0]
+            acc = np.zeros(n)
+            proj = np.zeros((n_tables, n_planes, n))
+            for d in range(dim):
+                c = A[:, d]
+                acc = acc + c * c                      # ordered, = norm()
+                proj += W[:, :, None, d] * c[None, None, :]  # ordered dot
+            norms = np.sqrt(acc)
+            # bucket_t = Σ_j 2^j [proj_tj > 0] — order-free integer sum
+            buckets = ((proj > 0).astype(np.int64)
+                       * pow2[None, :, None]).sum(axis=1)  # (T, n)
+            ids = pdf["__id"].to_numpy()
+            out = {
+                id_alias: np.tile(ids, n_tables),
+                vec_alias: list(pdf["__v"]) * n_tables,
+                f"{vec_alias}_n": np.tile(norms, n_tables),
+                "tbl": np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
     return df.select(
-        F.col(id_col).alias(id_alias),
-        as_double(F.col(vec_col)).alias(vec_alias),
-    ).select(
-        id_alias, vec_alias,
-        norm(F.col(vec_alias)).alias(f"{vec_alias}_n"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(
+        _tag,
+        f"{id_alias} {id_t}, {vec_alias} array<double>, "
+        f"{vec_alias}_n double, tbl int, bucket long",
     )
 
 

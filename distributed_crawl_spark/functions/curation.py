@@ -666,6 +666,82 @@ def gram_digests(toks: Column, k: int) -> Column:
     )
 
 
+def _winnow_anchor_rows(docs: DataFrame, k: int, s: int, id_col: str,
+                        text_col: str) -> DataFrame:
+    """(__doc, __pos, __dig) winnowed-anchor occurrence rows — the Arrow
+    twin of ``explode(winnow_anchors(gram_digests(tokens(text))))``.
+    Position ``i`` is selected iff its maximal runs of ``>=``-digest
+    neighbours left/right (each capped at ``min(s, g) - 1``) satisfy
+    ``la + ra + 1 >= min(s, g)`` — computed with vectorized shifted
+    string comparisons instead of per-element interpreted lambdas."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import java_ws_tokens
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def _anchors(it):
+        for pdf in it:
+            # all docs of the batch concatenate into ONE digest vector;
+            # the shifted >=-comparisons run once per offset e with
+            # doc-boundary guards (pos-in-doc / pos-from-end >= e), so
+            # numpy call count is O(s) per BATCH, not per doc
+            doc_ids, dig_list, pos_in, g_of = [], [], [], []
+            for did, text in zip(pdf["__doc"], pdf["__txt"]):
+                toks = java_ws_tokens(text)
+                if not toks or len(toks) < k:
+                    continue
+                g = len(toks) - k + 1
+                dig_list.extend(
+                    hashlib.md5(
+                        " ".join(toks[i:i + k]).encode("utf-8")
+                    ).hexdigest()
+                    for i in range(g)
+                )
+                doc_ids.append((did, g))
+                pos_in.append(np.arange(g))
+                g_of.append(np.full(g, g))
+            if not dig_list:
+                continue
+            digs = np.array(dig_list)
+            n = len(digs)
+            pos = np.concatenate(pos_in)
+            g_arr = np.concatenate(g_of)
+            la = np.zeros(n, dtype=np.int64)
+            ra = np.zeros(n, dtype=np.int64)
+            ok_l = np.ones(n, dtype=bool)
+            ok_r = np.ones(n, dtype=bool)
+            for e in range(1, s):
+                cl = np.zeros(n, dtype=bool)
+                cl[e:] = digs[:-e] >= digs[e:]
+                cl &= pos >= e                  # stay inside the doc
+                ok_l &= cl
+                la += ok_l
+                cr = np.zeros(n, dtype=bool)
+                cr[:n - e] = digs[e:] >= digs[:-e]
+                cr &= (g_arr - 1 - pos) >= e
+                ok_r &= cr
+                ra += ok_r
+            sel = np.flatnonzero(la + ra + 1 >= np.minimum(s, g_arr))
+            doc_col = np.empty(n, dtype=object)
+            o = 0
+            for did, g in doc_ids:
+                doc_col[o:o + g] = did
+                o += g
+            yield pd.DataFrame({
+                "__doc": doc_col[sel],
+                "__pos": pos[sel].astype(np.int32),
+                "__dig": digs[sel],
+            })
+
+    return docs.select(
+        F.col(id_col).alias("__doc"), F.col(text_col).alias("__txt")
+    ).mapInPandas(_anchors, f"__doc {id_t}, __pos int, __dig string")
+
+
 def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
                     min_docs: int = 2, id_col: str = "doc_id",
                     text_col: str = "text",
@@ -715,18 +791,16 @@ def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
     toks_t = docs.select(
         F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__toks")
     )
-    # two-step staging (tokens -> digests -> selection): each alias is
-    # expensive and multiply-referenced, so Catalyst keeps the projects
-    # separate (SPARK-36718) and every layer evaluates ONCE per row —
-    # inlining the whole tree re-evaluates it per lambda element, an
-    # O(grams²·s) blowup per document (see winnow_anchors)
-    digests = toks_t.select(
-        "__doc", gram_digests(F.col("__toks"), k).alias("__h")
-    )
-    anchors = digests.select(
-        "__doc",
-        F.explode(winnow_anchors(F.col("__h"), s)).alias("a"),
-    ).select("__doc", F.col("a.pos").alias("__pos"), F.col("a.digest").alias("__dig"))
+    # Anchor stage as an Arrow kernel (round 6): gram digests + window-
+    # minimum selection were O(grams·s) interpreted higher-order
+    # comparisons per row — the dominant cost of the operator. The
+    # kernel replicates the JVM exactly: java_ws_tokens is tokens()'s
+    # bit-identical twin, digests are md5 of the space-joined k-gram's
+    # UTF-8 bytes, and the la/ra neighbour-run selection compares hex
+    # digest strings (ASCII, so Python's ordering equals UTF8_BINARY).
+    # The JVM winnow_anchors/gram_digests forms remain the documented
+    # reference (and the pytest oracle pins both to the same spans).
+    anchors = _winnow_anchor_rows(docs, k, s, id_col, text_col)
     census = anchors.groupBy("__dig").agg(
         F.countDistinct("__doc").alias("__n_docs"),
         F.count(F.lit(1)).alias("__n_occ"),

@@ -95,6 +95,29 @@ def tokens(text: Column) -> Column:
     )
 
 
+# Java's default \s class, NOT Python's unicode-aware \s — the exact
+# class split() matches inside the JVM
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_ws_tokens(text):
+    """Python twin of :func:`tokens` with the JVM's exact semantics, for
+    Arrow kernels that must produce bit-identical token streams:
+    ``trim`` strips 0x20 only, the split class is Java's default ``\\s``,
+    and Java ``split`` drops TRAILING empty fields but keeps a leading
+    one. Returns ``None`` for null text (callers drop), ``[]`` for
+    empty/space-only text."""
+    if text is None:
+        return None
+    t = text.strip(" ")
+    if t == "":
+        return []
+    parts = _JAVA_WS.split(t)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles in document order (may repeat).
 
@@ -795,26 +818,13 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     identical to the ±1 fold.
     """
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    # Java's default \s class, NOT Python's unicode-aware \s
-    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    _toks = java_ws_tokens
     shifts = np.arange(32, dtype=np.uint32)
-
-    def _toks(text):
-        if text is None:
-            return None
-        t = text.strip(" ")
-        if t == "":
-            return []
-        parts = ws.split(t)
-        while parts and parts[-1] == "":  # Java split: drop trailing empties
-            parts.pop()
-        return parts
 
     def _fp(it):
         for pdf in it:

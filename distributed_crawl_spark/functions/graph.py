@@ -46,9 +46,13 @@ def host_rank(edges: DataFrame, iters: int = 5, damping_x1000: int = 850,
     the groupBy on ``dst`` is map-side combinable so even 10^6 in-links
     partial-aggregate before the exchange), then one groupBy(dst) and
     one left join back to the node set. Three shuffles per iteration,
-    each keyed by host id; ``localCheckpoint`` per iteration keeps the
-    plan linear. Overflow bound: sum(contrib) ≤ |hosts| · RANK_UNIT, so
-    the 850× product stays in int64 up to ~10^13 hosts.
+    each keyed by host id. ``ranks`` is referenced ONCE per iteration,
+    so the lazy plan grows LINEARLY in ``iters`` — no per-iteration
+    checkpoint needed (round 6: dropping the eager per-iteration
+    localCheckpoint removed ``iters`` driver-blocking jobs; the static
+    ``nodes``/``e`` tables stay checkpointed because every iteration
+    re-reads them). Overflow bound: sum(contrib) ≤ |hosts| · RANK_UNIT,
+    so the 850× product stays in int64 up to ~10^13 hosts.
 
     Returns (host, pr_x1e6) for every host appearing as src or dst.
     """
@@ -88,7 +92,6 @@ def host_rank(edges: DataFrame, iters: int = 5, damping_x1000: int = 850,
                     / F.lit(1000)
                 ).cast("long")).alias("pr_x1e6"),
             )
-            .localCheckpoint()
         )
     return ranks
 
@@ -468,7 +471,8 @@ def trust_rank(edges: DataFrame, seeds: "list[str]",
     the already-checkpointed node table.
 
     Scale shape: identical to :func:`host_rank` — three host-keyed
-    shuffles per iteration, localCheckpoint keeps the plan linear; the
+    shuffles per iteration, lazy linear plan (ranks referenced once per
+    iteration, so no per-iteration checkpoint — see host_rank); the
     seed set is a literal in-plan array (vetted seed lists are
     hundreds-to-thousands of hosts — driver-side by nature). Returns
     ``(host, trust_x1e6)`` for every host appearing as src or dst.
@@ -522,7 +526,8 @@ def trust_rank(edges: DataFrame, seeds: "list[str]",
                     / F.lit(1000)
                 ).cast("long")).alias("trust_x1e6"),
             )
-            .localCheckpoint()
+            # ranks referenced once per iteration — linear lazy plan, no
+            # per-iteration checkpoint (see host_rank)
         )
     return ranks
 

@@ -66,25 +66,58 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
 
     With ``positions=True`` each posting also carries the sorted
     0-based token positions of the term in the doc (the classic
-    positional-postings layout phrase queries need); the collect_list
-    rides the SAME groupBy, so the plan shape is unchanged."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    positional-postings layout phrase queries need).
+
+    Physical form (round 6): every output fact — tf, positions, dl —
+    is LOCAL to its document, so the postings are emitted by a
+    per-row Arrow kernel with ZERO exchanges; the previous form paid a
+    corpus-wide (term, doc) shuffle plus a per-doc-length self-join for
+    values each row already knew. The tokenizer is java_ws_tokens,
+    tokens()'s bit-identical twin; positions are in document order
+    (ascending — exactly the sorted collect_list)."""
+    import pandas as pd
+
+    from .dedup import java_ws_tokens
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"term string, doc_id {id_t}, tf long"
+        + (", positions array<int>" if positions else "")
+        + ", dl long"
     )
-    aggs = [F.count(F.lit(1)).alias("tf_raw")]
-    if positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return (
-        toks.groupBy("term", "doc_id")
-        .agg(*aggs)
-        .withColumn("tf", F.least(F.col("tf_raw"), F.lit(TF_CAP)).cast("long"))
-        .drop("tf_raw")
-        .join(
-            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
-            "doc_id",
-        )
-    )
+
+    def _post(it):
+        import numpy as np
+
+        for pdf in it:
+            terms, dids, tfs, poss, dls = [], [], [], [], []
+            for did, text in zip(pdf["__id"], pdf["__txt"]):
+                toks = java_ws_tokens(text)
+                if not toks:
+                    continue
+                dl = len(toks)
+                occ: dict = {}
+                for i, t in enumerate(toks):
+                    occ.setdefault(t, []).append(i)
+                for t, pl in occ.items():
+                    terms.append(t)
+                    dids.append(did)
+                    tfs.append(min(len(pl), TF_CAP))
+                    dls.append(dl)
+                    if positions:
+                        poss.append(np.array(pl, dtype=np.int32))
+            if not terms:
+                continue
+            out = {"term": terms, "doc_id": dids,
+                   "tf": np.array(tfs, dtype=np.int64)}
+            if positions:
+                out["positions"] = poss
+            out["dl"] = np.array(dls, dtype=np.int64)
+            yield pd.DataFrame(out)
+
+    return docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    ).mapInPandas(_post, schema)
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:

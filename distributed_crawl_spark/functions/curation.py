@@ -443,49 +443,80 @@ def decontaminate_semantic(corpus_vecs: DataFrame, bench_vecs: DataFrame,
 
     Returns one row per corpus vector:
     (id_col, best_bench_id, best_cos_m, contaminated).
-    """
-    from .similarity import as_double, dot, norm
 
-    # Norms are hoisted out of the |corpus|×|bench| inner loop: the bench
-    # norm rides the collected struct (computed once per bench vector),
-    # the corpus norm is one column per row. cos = dot/(na*nb) keeps
-    # cosine()'s exact operand order, so every double — and therefore the
-    # milli-unit floor — is bit-identical to the unhoisted form the
-    # DuckDB oracle mirrors.
-    bench_row = bench_vecs.agg(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).cast("long").alias("bid"),
-                as_double(F.col(vec_col)).alias("bvec"),
-                norm(as_double(F.col(vec_col))).alias("bnorm"),
+    Physical form (round 6): an Arrow ``mapInPandas`` kernel. The
+    Catalyst ``transform`` + ``array_max`` over the broadcast struct
+    array evaluated |bench| *interpreted* higher-order dots per corpus
+    row; the kernel broadcasts the (tiny) bench matrix once and scores
+    each Arrow batch with the same ordered-summation numpy kernel the
+    bitext family uses: the dot matrix accumulates dimension-by-
+    dimension (one IEEE multiply + one IEEE add per term, left to
+    right — the zip_with/aggregate fold's exact op order), then
+    divide / scale / floor in the fold's op sequence, so every cos_m
+    and the (cos_m, smallest-bid) argmax are bit-identical to the
+    Catalyst form the DuckDB oracle mirrors. Zero exchanges either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _np_ordered_norms, as_double
+
+    spark = corpus_vecs.sparkSession
+    bp = bench_vecs.select(
+        F.col(id_col).cast("long").alias("bid"),
+        as_double(F.col(vec_col)).alias("bv"),
+    ).toPandas()
+    b_ids = bp["bid"].to_numpy(np.int64)
+    if len(bp):
+        B = np.array(bp["bv"].tolist(), dtype=np.float64)
+        bn = _np_ordered_norms(B)
+    else:  # empty suite → null best/flag per row, like array_max([])
+        B = np.zeros((0, 0))
+        bn = np.zeros(0)
+    bc = spark.sparkContext.broadcast((b_ids, B, bn))
+    thr = int(threshold_m)
+    id_t = dict(corpus_vecs.dtypes)[id_col]
+
+    def _score(it):
+        b_ids, B, bn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if B.size == 0:
+                yield pd.DataFrame({
+                    id_col: pdf["__id"],
+                    "best_bench_id": pd.array([None] * len(pdf), dtype="Int64"),
+                    "best_cos_m": pd.array([None] * len(pdf), dtype="Int64"),
+                    "contaminated": pd.array([None] * len(pdf), dtype="boolean"),
+                })
+                continue
+            A = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            an = _np_ordered_norms(A)
+            P = np.zeros((A.shape[0], B.shape[0]))
+            for d in range(A.shape[1]):
+                # one IEEE multiply + one IEEE add per term — the fold's
+                # (acc, x) -> acc + x over zip_with products
+                P += A[:, d : d + 1] * B[None, :, d]
+            cs = np.floor(P / (an[:, None] * bn[None, :]) * 1000.0).astype(
+                np.int64
             )
-        ).alias("benches")
-    )
-    vec = as_double(F.col(vec_col))
-    # "_na" is a BOUND column (computed once per corpus row); inside the
-    # lambda it is only an attribute read, not a re-evaluated sqrt/fold.
-    scored = F.transform(
-        F.col("benches"),
-        lambda b: F.struct(
-            F.floor(
-                dot(vec, b["bvec"]) / (F.col("_na") * b["bnorm"]) * 1000
-            ).cast("long").alias("cos_m"),
-            (-b["bid"]).alias("neg_bid"),
-        ),
-    )
-    best = F.array_max(scored)
-    return (
-        corpus_vecs.crossJoin(F.broadcast(bench_row))
-        .withColumn("_na", norm(vec))
-        .withColumn("_best", best)
-        .select(
-            id_col,
-            (-F.col("_best.neg_bid")).alias("best_bench_id"),
-            F.col("_best.cos_m").alias("best_cos_m"),
-            (F.col("_best.cos_m") >= F.lit(int(threshold_m))).alias(
-                "contaminated"
-            ),
-        )
+            best = cs.max(axis=1)
+            bid = np.where(
+                cs == best[:, None], b_ids[None, :], np.iinfo(np.int64).max
+            ).min(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf["__id"],
+                "best_bench_id": bid,
+                "best_cos_m": best,
+                "contaminated": best >= thr,
+            })
+
+    return corpus_vecs.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(
+        _score,
+        f"{id_col} {id_t}, best_bench_id long, best_cos_m long,"
+        " contaminated boolean",
     )
 
 

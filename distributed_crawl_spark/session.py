@@ -58,4 +58,62 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark, cores)
     return spark
+
+
+def _warm_session(spark: SparkSession, cores: int | None) -> None:
+    """One-time, data-independent session warmup (guide §4.5's
+    heavyweight-init-once, applied at session scope).
+
+    A fresh JVM charges the FIRST queries of a session for cold-start
+    work that has nothing to do with those queries: JIT compilation of
+    the Catalyst analyze/optimize/codegen path, Janino infrastructure,
+    the shuffle + broadcast machinery, and the Python worker pool
+    (daemon fork + pandas/numpy import per worker).  Measured on
+    local[32] these cost 3-6 s on the first complex query of a session.
+    This warmup runs two tiny synthetic jobs — a join/aggregate/window/
+    explode plan and a mapInPandas pass across `cores` partitions — so
+    that cost is paid once at session build, not inside whichever real
+    query happens to run first.  No input data is read and no result is
+    kept: everything computes from ``spark.range`` and lands in the
+    noop sink.
+    """
+    if getattr(spark, "_dcs_warmed", False):
+        return
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        n = max(cores or 0, os.cpu_count() or 8)
+        df = spark.range(0, 4 * n, 1, n).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("k"),
+            F.array(F.lit("a"), F.lit("b")).alias("arr"),
+        )
+        agg = df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("id").alias("s")
+        )
+        w = Window.partitionBy("k").orderBy(F.col("id"))
+        out = (
+            df.join(F.broadcast(agg), "k")
+            .join(df.select(F.col("id")).hint("merge"), "id")
+            .select("id", "k", "c", F.explode("arr").alias("e"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+        def _k(it):
+            import numpy  # noqa: F401 — worker-side import warm
+            import pandas  # noqa: F401
+
+            for b in it:
+                yield b
+
+        spark.range(0, n, 1, n).mapInPandas(_k, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass  # warmup must never block session creation
+    spark._dcs_warmed = True

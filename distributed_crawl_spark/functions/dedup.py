@@ -136,13 +136,44 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct — the inverted-index input.
 
-    distinct() before any join: partial (map-side) dedup runs per input
-    partition, so the shuffle carries unique (doc, shingle) pairs only.
+    Physical form (round 6): an Arrow ``mapInPandas`` kernel
+    (:func:`java_ws_tokens` + a per-doc seen-set) replaces the
+    interpreted higher-order slice/array_join transform + explode +
+    a ``distinct()`` exchange.  Per-doc dedup makes (id, shingle) pairs
+    globally distinct by construction (callers feed unique-id doc
+    tables), so the kernel's output goes straight into the census
+    shuffle — one exchange fewer — and shingle assembly runs as batched
+    Python string ops instead of per-element Catalyst lambdas.  Token
+    and join semantics are the JVM's exactly (0x20-only trim, Java
+    default ``\\s`` split, ``' '``-joined n-grams), so the shingle
+    strings are byte-identical to the previous plan's.
     """
-    return (
-        docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
-    )
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+
+    def _sh(it):
+        for pdf in it:
+            ids: list = []
+            shs: list = []
+            ap_i, ap_s = ids.append, shs.append
+            for i, txt in zip(pdf["__id"], pdf["__t"]):
+                toks = java_ws_tokens(txt)
+                if not toks or len(toks) < n:
+                    continue
+                seen: set = set()
+                add = seen.add
+                for j in range(len(toks) - n + 1):
+                    s = " ".join(toks[j : j + n])
+                    if s not in seen:
+                        add(s)
+                        ap_i(i)
+                        ap_s(s)
+            yield pd.DataFrame({id_col: ids, "shingle": shs})
+
+    return docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(_sh, f"{id_col} {id_t}, shingle string")
 
 
 # CCNet hash-normalization tables (cc_net text_normalizer semantics,
@@ -366,14 +397,53 @@ def _minhash_cols(docs: DataFrame, id_col: str, text_col: str,
     no parameter-table join, ONE uniform shuffle keyed by doc_id with
     map-side partial minima for every column. This is the scale form; the
     row-shaped views below are projections of it."""
-    ds = doc_shingles(docs, id_col, text_col, n)
-    x = md5_int48(F.col("shingle")) % F.lit(MERSENNE31)
-    ds = ds.withColumn("x", x)
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    ]
-    return ds.groupBy(id_col).agg(*aggs)
+    # Round 6: the whole signature is per-doc-local (distinct shingles →
+    # md5 → k affine minima), so it is ONE Arrow kernel with ZERO
+    # exchanges — the previous form still paid the shingle explode plus
+    # a doc_id-keyed aggregation shuffle. hashlib md5 / Python ints
+    # reproduce md5_int48 and the Mersenne-mod arithmetic exactly (all
+    # operands positive, % identical), so signatures are bit-identical.
+    import hashlib
+
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+    _md5 = hashlib.md5
+    P = MERSENNE31
+    params = MINHASH_PARAMS
+
+    def _sig(it):
+        for pdf in it:
+            out_ids: list = []
+            out_mh: list[list] = [[] for _ in params]
+            for i, txt in zip(pdf["__id"], pdf["__t"]):
+                toks = java_ws_tokens(txt)
+                if not toks or len(toks) < n:
+                    continue
+                xs = {
+                    int(
+                        _md5(
+                            " ".join(toks[j : j + n]).encode()
+                        ).hexdigest()[:12],
+                        16,
+                    )
+                    % P
+                    for j in range(len(toks) - n + 1)
+                }
+                out_ids.append(i)
+                for ki, (a, b) in enumerate(params):
+                    out_mh[ki].append(min((a * x + b) % P for x in xs))
+            cols = {id_col: out_ids}
+            for ki in range(len(params)):
+                cols[f"mh{ki}"] = out_mh[ki]
+            yield pd.DataFrame(cols)
+
+    schema = ", ".join(
+        [f"{id_col} {id_t}"] + [f"mh{i} long" for i in range(len(params))]
+    )
+    return docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(_sig, schema)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",

@@ -163,32 +163,80 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 20,
     BM25 (k1 = 1.2, b = 0.75). Returns (doc_id, score_q, rank) with the
     deterministic tie-break (score DESC, doc_id ASC).
 
-    The query-term list is driver-side and tiny, so it broadcasts; only
-    the postings of the queried terms survive the join (Catalyst turns
-    the inner join against a ≤|terms|-row table into a broadcast hash
-    join — the rest of the index is pruned at the scan when the
-    postings table is partitioned by term)."""
-    postings = build_postings(docs, id_col=id_col, text_col=text_col)
-    stats = corpus_stats(postings)
-    idf = term_idf(postings, stats)
+    Physical form (round 6): the query terms are known up front, so the
+    ad-hoc search never builds corpus-wide postings — ONE per-doc Arrow
+    kernel emits (doc_id, dl, tf per query term), from which corpus
+    stats AND per-term dfs reduce to a single 1-row aggregate, and the
+    score is a per-row integer expression (a tf=0 term contributes
+    exactly 0, so summing columns equals summing the surviving postings
+    rows). Docs with no query term are dropped before ranking, as the
+    postings join did. Three corpus tokenize passes (stats / idf /
+    scoring subtrees) become two slim kernel passes; zero corpus-wide
+    shuffles remain. The persisted-index path (write_text_index /
+    text_index_topk) is unchanged — this is the index-free form."""
+    import pandas as pd
 
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [(t,) for t in dict.fromkeys(terms)], "term string"
+    from .dedup import java_ws_tokens
+
+    qterms = list(dict.fromkeys(terms))
+    nq = len(qterms)
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def _tfs(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, dls = [], []
+            tfs: list[list[int]] = [[] for _ in range(nq)]
+            for did, text in zip(pdf["__id"], pdf["__txt"]):
+                toks = java_ws_tokens(text)
+                if not toks:
+                    continue
+                ids.append(did)
+                dls.append(len(toks))
+                for qi in range(nq):
+                    c = toks.count(qterms[qi])
+                    tfs[qi].append(min(c, TF_CAP))
+            out = {"doc_id": ids, "dl": np.array(dls, dtype=np.int64)}
+            for qi in range(nq):
+                out[f"tf{qi}"] = np.array(tfs[qi], dtype=np.int64)
+            yield pd.DataFrame(out)
+
+    per_doc = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    ).mapInPandas(
+        _tfs,
+        ", ".join(
+            [f"doc_id {id_t}", "dl long"]
+            + [f"tf{i} long" for i in range(nq)]
+        ),
     )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("(sum(dl) * 1000) div count(1)").cast("long")
+        .alias("avgdl_x1000"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long")
+            .alias(f"df{i}")
+            for i in range(nq)
+        ],
+    )
+    # idf_q per term from the 1-row stats — the exact term_idf expression
+    idf_sql = (
+        "CAST(floor(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * {IDF_SCALE}) AS BIGINT)"
+    )
+    contrib = (
+        "((" + idf_sql + ") * 22 * tf{i} * avgdl_x1000) div "
+        "(10 * avgdl_x1000 * tf{i} + 3 * avgdl_x1000 + 9000 * dl)"
+    )
+    score = " + ".join("(" + contrib.format(i=i) + ")" for i in range(nq))
+    hit = F.greatest(*[F.col(f"tf{i}") for i in range(nq)]) > 0 \
+        if nq > 1 else F.col("tf0") > 0
     scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(idf), "term")
+        per_doc.filter(hit)
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.expr(
-                "(idf_q * 22 * tf * avgdl_x1000) div "
-                "(10 * avgdl_x1000 * tf + 3 * avgdl_x1000 + 9000 * dl)"
-            ).cast("long").alias("contrib"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").cast("long").alias("score_q"))
+        .select("doc_id", F.expr(score).cast("long").alias("score_q"))
         .orderBy(F.col("score_q").desc(), F.col("doc_id"))
         .limit(k)
     )
@@ -293,27 +341,58 @@ def phrase_topk(docs: DataFrame, phrase, k: int = 20,
     Bag-of-words BM25 cannot distinguish "hash join" from "join ...
     hash"; this is the standard positional-adjacency upgrade.
 
-    Plan: one posexplode + the |phrase|-row broadcast offset join +
-    two map-combinable censuses (anchors, dl), a 1-row stats broadcast,
-    and TakeOrdered top-k. The only corpus-sized exchanges are the two
-    uniform censuses. Returns (doc_id, ptf, score_q, rank)."""
+    Physical form (round 6): phrase occurrences are PER-DOC LOCAL, so
+    one Arrow kernel emits (doc_id, dl, ptf) per non-empty doc — the
+    exact-sequence scan is the anchor-coverage census's semantics (a
+    start position counts iff every offset matches; overlaps counted,
+    capped at TF_CAP) without the posexplode, the offset join, or the
+    two census exchanges. n_docs / avgdl / df reduce to ONE 1-row
+    aggregate over the kernel rows; scoring is the same integer
+    expression; TakeOrdered finishes. The persisted positional index
+    (text_index_phrase) is unchanged. Returns (doc_id, ptf, score_q,
+    rank)."""
+    import pandas as pd
+
+    from .dedup import java_ws_tokens
+
     terms = _phrase_terms(phrase)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
-    )
-    stats = dl.agg(
+    p = len(terms)
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def _ptf(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, dls, ptfs = [], [], []
+            t0 = terms[0]
+            for did, text in zip(pdf["__id"], pdf["__txt"]):
+                toks = java_ws_tokens(text)
+                if not toks:
+                    continue
+                dl = len(toks)
+                c = 0
+                for j in range(dl - p + 1):
+                    if toks[j] == t0 and toks[j : j + p] == terms:
+                        c += 1
+                ids.append(did)
+                dls.append(dl)
+                ptfs.append(min(c, TF_CAP))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "dl": np.array(dls, dtype=np.int64),
+                "ptf": np.array(ptfs, dtype=np.int64),
+            })
+
+    per_doc = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    ).mapInPandas(_ptf, f"doc_id {id_t}, dl long, ptf long")
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.expr("(sum(dl) * 1000) div count(1)").cast("long")
         .alias("avgdl_x1000"),
+        F.sum((F.col("ptf") > 0).cast("long")).cast("long").alias("df"),
     )
-    pp = _phrase_coverage(toks, terms).join(dl, "doc_id")
-    idf = pp.agg(F.count(F.lit(1)).cast("long").alias("df")).crossJoin(
-        F.broadcast(stats)
-    ).select(
+    idf = stats.select(
         F.floor(
             F.log(
                 (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -325,7 +404,8 @@ def phrase_topk(docs: DataFrame, phrase, k: int = 20,
         "avgdl_x1000",
     )
     scored = (
-        pp.crossJoin(F.broadcast(idf))
+        per_doc.filter(F.col("ptf") > 0)
+        .crossJoin(F.broadcast(idf))
         .select(
             "doc_id", "ptf",
             F.expr(_PHRASE_SCORE).cast("long").alias("score_q"),

@@ -682,13 +682,48 @@ def text_index_phrase(index: TextIndex, phrase, k: int = 20) -> DataFrame:
     post = (
         index.postings.where(F.col("term_bucket").isin(buckets))
         .join(F.broadcast(qterms), "term")
-        .persist()
     )
-    toks = post.select(
-        "doc_id", "term", F.explode("positions").alias("pos")
+    # Round 6: coverage is PER-DOC LOCAL once the pruned postings are
+    # grouped by doc — one doc_id exchange feeding an Arrow kernel that
+    # intersects the offset-shifted position sets (the anchor-coverage
+    # census's exact semantics: a start counts iff every phrase offset
+    # matches; overlaps counted, TF_CAP'd), replacing the positions
+    # explode + (doc, anchor) census + dl census + join + persist.
+    import pandas as pd
+
+    id_t = index.postings.schema["doc_id"].dataType.simpleString()
+    rows = post.groupBy("doc_id").agg(
+        F.first("dl").cast("long").alias("dl"),
+        F.collect_list(F.struct("term", "positions")).alias("tp"),
     )
-    dl = post.groupBy("doc_id").agg(F.first("dl").cast("long").alias("dl"))
-    pp = _phrase_coverage(toks, terms).join(dl, "doc_id")
+
+    def _pp(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, dls, ptfs = [], [], []
+            for did, dl_, tp in zip(pdf["doc_id"], pdf["dl"], pdf["tp"]):
+                sets: dict = {}
+                for e in tp:
+                    sets[e["term"]] = {int(x) for x in e["positions"]}
+                if any(t not in sets for t in terms):
+                    continue
+                rest = [(i, sets[t]) for i, t in enumerate(terms) if i]
+                c = 0
+                for a in sets[terms[0]]:
+                    if all((a + i) in s for i, s in rest):
+                        c += 1
+                if c:
+                    ids.append(did)
+                    dls.append(int(dl_))
+                    ptfs.append(min(c, TF_CAP))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "dl": np.array(dls, dtype=np.int64),
+                "ptf": np.array(ptfs, dtype=np.int64),
+            })
+
+    pp = rows.mapInPandas(_pp, f"doc_id {id_t}, dl long, ptf long")
     idf = pp.agg(F.count(F.lit(1)).cast("long").alias("df")).crossJoin(
         F.broadcast(index.stats.select("n_docs", "avgdl_x1000"))
     ).select(

@@ -68,21 +68,86 @@ def encode_codes(vectors: DataFrame, centroids: DataFrame,
                  vec_col: str = "embedding") -> DataFrame:
     """(vec_id, cell_id, sub, code_id) — one row per (vector, subspace):
     the vector's IVF cell plus its PQ code in every subspace, against a
-    GIVEN (frozen) quantizer pair. Broadcast centroid argmax + broadcast
-    codebook argmin; the only exchange is the N-row min_by combine."""
+    GIVEN (frozen) quantizer pair.
+
+    Physical form (round 6): both argmins are per-vector-local against
+    the broadcast quantizers, so the whole encode is ONE Arrow
+    mapInPandas kernel with ZERO exchanges — the previous form paid the
+    interpreted per-pair cosine/L2² higher-order folds plus an N-row
+    min_by combine and a vec_id join. The numpy kernel accumulates
+    dimension-by-dimension in the folds' exact IEEE order (cosine =
+    dot/(vn·cn) with hoisted ordered norms; L2² = Σ(x−y)² left fold),
+    centroid rows are laid out cell_id-ascending and codebook rows
+    code_id-ascending so numpy's first-max/first-min tie-break equals
+    the (ccos, −cell_id) max_by / (d, code_id) min_by exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _np_ordered_norms
+
     d0 = dim // m
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
-    )
-    assigned = ivf_assign(
-        v, centroids, nprobe=1, id_col="vec_id", vec_col="e",
-        out_id="vec_id", out_vec="e",
-    ).select("vec_id", "cell_id")
-    best = _pq_best(v, codebooks, m, d0).select(
-        "vec_id", "sub", F.col("b.code_id").alias("code_id")
-    )
-    return best.join(assigned, "vec_id").select(
-        "vec_id", "cell_id", "sub", "code_id"
+    spark = vectors.sparkSession
+
+    cp = centroids.select(
+        F.col("cell_id").cast("long").alias("cid"),
+        as_double(F.col("centroid")).alias("c"),
+    ).toPandas().sort_values("cid")
+    cent_ids = cp["cid"].to_numpy(np.int64)
+    C = np.array(cp["c"].tolist(), dtype=np.float64)
+    cn = _np_ordered_norms(C)
+
+    cbp = codebooks.select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code_id").cast("int").alias("code_id"),
+        as_double(F.col("centroid")).alias("c"),
+    ).toPandas().sort_values(["sub", "code_id"])
+    CB = [
+        np.array(
+            cbp[cbp["sub"] == j]["c"].tolist(), dtype=np.float64
+        )
+        for j in range(m)
+    ]
+    bc = spark.sparkContext.broadcast((cent_ids, C, cn, CB))
+
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    subs_arr = np.arange(m, dtype=np.int32)
+
+    def _enc(it):
+        cent_ids, C, cn, CB = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["__e"].tolist(), dtype=np.float64)
+            n = A.shape[0]
+            an = _np_ordered_norms(A)
+            # cell argmax: ordered-accumulation dot, cosine op order
+            P = np.zeros((n, C.shape[0]))
+            for d in range(A.shape[1]):
+                P += A[:, d : d + 1] * C[None, :, d]
+            ccos = P / (an[:, None] * cn[None, :])
+            cell = cent_ids[np.argmax(ccos, axis=1)]  # first max = min cid
+            # PQ codes per subspace: ordered-fold L2² argmin
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                As = A[:, j * d0 : (j + 1) * d0]
+                Bs = CB[j]
+                D = np.zeros((n, Bs.shape[0]))
+                for d in range(d0):
+                    t = As[:, d : d + 1] - Bs[None, :, d]
+                    D += t * t
+                codes[:, j] = np.argmin(D, axis=1)  # first min = min code
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, m),
+                "cell_id": np.repeat(cell, m),
+                "sub": np.tile(subs_arr, n),
+                "code_id": codes.reshape(-1),
+            })
+
+    return vectors.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__e")
+    ).mapInPandas(
+        _enc, f"vec_id {id_t}, cell_id long, sub int, code_id int"
     )
 
 
@@ -120,8 +185,16 @@ def write_vector_index(vectors: DataFrame, path: str, n_cells: int = 32,
     cent_t = spark.read.parquet(f"{path}/centroids")
     cb_t = spark.read.parquet(f"{path}/codebooks")
     codes = encode_codes(vectors, cent_t, cb_t, m, dim, id_col, vec_col)
-    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{path}/codes"
+    # align write tasks with the partition directories (the text-index
+    # build's lesson): without this every map partition fans out into
+    # every cell_id directory — n_parts × n_cells small files + commit
+    # overhead. One slim-row exchange buys one sorted file per cell.
+    (
+        codes.repartition(n_cells, "cell_id")
+        .sortWithinPartitions("cell_id", "vec_id", "sub")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/codes"
+        )
     )
     manifest = {"format": INDEX_FORMAT, "n_cells": n_cells, "m": m,
                 "n_codes": n_codes, "dim": dim}

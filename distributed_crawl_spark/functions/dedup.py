@@ -251,13 +251,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     ``materializer`` (``(df, name) -> df``) controls reuse of the
     posting-list table between its two consumers (per-doc counts and
-    pair enumeration). Default ``None``: the pure plan — Spark's
-    exchange reuse already computes the shingle shuffle once, and a
-    measured interleaved A/B at sf0.1 showed persist a wash-to-slower
-    (5.7s plain vs 6.4s persisted median) because only the final
-    collect_list merge is duplicated. ``"persist"`` caches the posting
-    table (MEMORY_AND_DISK) when that merge is the bottleneck; a
-    callable plugs in the driver's staged-write pattern
+    pair enumeration). Default ``None`` → ``"persist"``
+    (MEMORY_AND_DISK): with the round-6 Arrow shingle kernel feeding
+    the census, re-deriving the posting subtree means re-running the
+    kernel, and the interleaved A/B that previously favoured the pure
+    plan now favours persist (sf0.1: 1.65s plain vs 1.31s persisted
+    steady-state, 5.5 vs 4.2 first-run). Pass ``False`` for the pure
+    plan; a callable plugs in the driver's staged-write pattern
     (``operators/seen.py``) to spill to parquet when the index exceeds
     cluster memory.
 
@@ -285,7 +285,7 @@ def _shingle_pair_counts(docs: DataFrame, id_col: str, text_col: str,
     :func:`ngram_jaccard_pairs` (single shingle shuffle, bounded
     posting arrays under ``max_df``, array-projection pair
     enumeration) live here."""
-    materializer = _resolve_materializer(materializer, default=None)
+    materializer = _resolve_materializer(materializer, default="persist")
     ds = doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
         # census first (count-only partial agg — safe on the Zipf head),

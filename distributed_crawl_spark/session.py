@@ -85,7 +85,7 @@ def _warm_session(spark: SparkSession, cores: int | None) -> None:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        n = max(cores or 0, os.cpu_count() or 8)
+        n = cores or (os.cpu_count() or 8)
         df = spark.range(0, 4 * n, 1, n).select(
             F.col("id"),
             (F.col("id") % 5).alias("k"),

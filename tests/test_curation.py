@@ -522,12 +522,13 @@ def test_decontaminate_semantic_planted_neighbors(spark):
     assert got[0].best_bench_id == 100 and got[0].best_cos_m == 1000
     assert got[0].contaminated and got[1].contaminated
     assert not got[2].contaminated
-    # corpus side stays exchange-free: the only join is the broadcast
-    # 1-row bench array (the bounded mix_plan pattern)
+    # corpus side stays exchange-free: the round-6 Arrow kernel streams
+    # the corpus through MapInPandas against the broadcast bench matrix
+    # (previously a BroadcastNestedLoopJoin over the 1-row bench array)
     plan = CU.decontaminate_semantic(
         mk(corpus), mk(bench), threshold_m=900
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "Exchange hashpartitioning" not in plan
 
 

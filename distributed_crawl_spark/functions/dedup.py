@@ -104,18 +104,19 @@ def java_ws_tokens(text):
     """Python twin of :func:`tokens` with the JVM's exact semantics, for
     Arrow kernels that must produce bit-identical token streams:
     ``trim`` strips 0x20 only, the split class is Java's default ``\\s``,
-    and Java ``split`` drops TRAILING empty fields but keeps a leading
-    one. Returns ``None`` for null text (callers drop), ``[]`` for
-    empty/space-only text."""
+    and — because Spark's ``split`` expression calls Java split with
+    limit −1, NOT the default 0 — empty fields are KEPT, leading and
+    trailing alike (Python ``re.split`` matches that exactly). A
+    trailing-empty-drop here once diverged from ``tokens()`` on texts
+    ending in non-space whitespace (caught by the simhash64 hypothesis
+    oracle on ``'0\\r'``). Returns ``None`` for null text (callers
+    drop), ``[]`` for empty/space-only text."""
     if text is None:
         return None
     t = text.strip(" ")
     if t == "":
         return []
-    parts = _JAVA_WS.split(t)
-    while parts and parts[-1] == "":
-        parts.pop()
-    return parts
+    return _JAVA_WS.split(t)
 
 
 def shingles(text: Column, n: int = 3) -> Column:

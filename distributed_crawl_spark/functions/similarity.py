@@ -699,48 +699,76 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame | None = None,
     instead of 256), with the reconstruction cosine reported as the
     per-vector distortion metric.
 
-    Plan: subvector explode is a pure projection (N·m slim rows, no
-    shuffle); the codebook is m·k rows and BROADCASTS, so scoring is an
-    equi-join on ``sub`` that never exchanges the corpus; per-(vec,
-    sub) argmin is a map-side-combinable min_by; the code/recon
-    assembly is one vec-keyed aggregate. Distances are ordered-fold
-    L2² so the argmin is bit-identical in the DuckDB oracle (sqrt-ing
-    would let two distinct sums round to an equal distance and flip a
-    tiebreak). Returns (vec_id, codes 'c0,...,cm-1', recon_cos_m).
+    Physical form (round 6): everything here is per-vector-local
+    against the broadcast m·k codebook, so the encode is ONE Arrow
+    mapInPandas kernel with ZERO exchanges — replacing the subvector
+    explode + interpreted L2² folds + min_by combine + vec-keyed
+    assembly aggregate + join. The numpy kernel accumulates in the
+    folds' exact IEEE order (L2² = Σ(x−y)² left fold; reconstruction
+    cosine = dot/(na·nr) with ordered norms), and codebook rows are
+    code_id-ascending so numpy's first-min equals the (d, code_id)
+    min_by tie-break. Distances stay ordered-fold L2² so the argmin is
+    bit-identical in the DuckDB oracle (sqrt-ing would let two distinct
+    sums round to an equal distance and flip a tiebreak).
+    Returns (vec_id, codes 'c0,...,cm-1', recon_cos_m).
     """
+    import numpy as np
+    import pandas as pd
+
     d0 = dim // m
     cb = (
         codebooks
         if codebooks is not None
         else seed_pq_codebooks(vectors, m, k, dim, id_col, vec_col)
     )
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
-    )
-    best = _pq_best(v, cb, m, d0)
-    agg = best.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", F.col("b.code_id").alias("c")))),
-                lambda s: s.c.cast("string"),
-            ),
-            ",",
-        ).alias("codes"),
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("sub", F.col("b.centroid").alias("cv")))
-                ),
-                lambda s: s.cv,
-            )
-        ).alias("recon"),
-    )
-    return v.join(agg, "vec_id").select(
-        "vec_id",
-        "codes",
-        F.floor(cosine(F.col("e"), F.col("recon")) * scale)
-        .cast("long")
-        .alias("recon_cos_m"),
+    spark = vectors.sparkSession
+    cbp = cb.select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code_id").cast("int").alias("code_id"),
+        as_double(F.col("centroid")).alias("c"),
+    ).toPandas().sort_values(["sub", "code_id"])
+    CB = [
+        np.array(cbp[cbp["sub"] == j]["c"].tolist(), dtype=np.float64)
+        for j in range(m)
+    ]
+    bc = spark.sparkContext.broadcast(CB)
+    id_t = vectors.schema[id_col].dataType.simpleString()
+
+    def _enc(it):
+        CB = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["__e"].tolist(), dtype=np.float64)
+            n = A.shape[0]
+            codes = np.empty((n, m), dtype=np.int64)
+            recon = np.empty_like(A)
+            for j in range(m):
+                As = A[:, j * d0 : (j + 1) * d0]
+                Bs = CB[j]
+                D = np.zeros((n, Bs.shape[0]))
+                for d in range(d0):
+                    t = As[:, d : d + 1] - Bs[None, :, d]
+                    D += t * t
+                cj = np.argmin(D, axis=1)  # first min = min code_id
+                codes[:, j] = cj
+                recon[:, j * d0 : (j + 1) * d0] = Bs[cj]
+            dotv = np.zeros(n)
+            for d in range(A.shape[1]):
+                dotv = dotv + A[:, d] * recon[:, d]
+            na = _np_ordered_norms(A)
+            nr = _np_ordered_norms(recon)
+            cosm = np.floor(dotv / (na * nr) * float(scale)).astype(np.int64)
+            yield pd.DataFrame({
+                "vec_id": pdf["__id"],
+                "codes": [",".join(map(str, row)) for row in codes],
+                "recon_cos_m": cosm,
+            })
+
+    return vectors.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__e")
+    ).mapInPandas(
+        _enc, f"vec_id {id_t}, codes string, recon_cos_m long"
     )
 
 

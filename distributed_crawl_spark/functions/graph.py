@@ -24,9 +24,181 @@ from pyspark.sql import functions as F
 
 RANK_UNIT = 1_000_000  # 1.0 in micro-units
 
+# Edge count under which an iterative graph query runs its whole
+# iteration sequence in ONE task instead of paying per-round job
+# latency — a data-size bound (tens of MB of edge rows in a single
+# task), not a core-count constant; the same hybrid dispatch as
+# dedup.near_dup_components. Pass 0 to force the iterative scale path.
+LOCAL_GRAPH_EDGES = 2_000_000
+
+
+def _edge_indices(it):
+    """Drain a mapInPandas batch iterator of (src, dst) rows into
+    factorized int64 index arrays + the sorted host vocabulary.
+    ``sort=True`` makes code order equal host order (UTF-8 byte order ==
+    Python codepoint order — the _local_components argument), so integer
+    min/tie-breaks over codes reproduce Spark's string comparisons
+    exactly. Returns (src_idx, dst_idx, hosts) or (None, None, None) on
+    an empty input."""
+    import numpy as np
+    import pandas as pd
+
+    srcs, dsts = [], []
+    for pdf in it:
+        srcs.append(pdf["src"])
+        dsts.append(pdf["dst"])
+    if not srcs:
+        return None, None, None
+    s = pd.concat(srcs, ignore_index=True)
+    d = pd.concat(dsts, ignore_index=True)
+    if len(s) == 0:
+        return None, None, None
+    codes, hosts = pd.factorize(pd.concat([s, d], ignore_index=True),
+                                sort=True)
+    n = len(s)
+    return (codes[:n].astype(np.int64), codes[n:].astype(np.int64),
+            np.asarray(hosts))
+
+
+def _local_rank(e: DataFrame, iters: int, damping_x1000: int,
+                out_name: str, seeds=None,
+                scaled_teleport: bool = False) -> DataFrame:
+    """Single-task replay of the host_rank / trust_rank quantized power
+    iteration — the small-graph fast path. Bit-identical to the
+    DataFrame loop it replaces: contributions are
+    ``floor(double(pr) / double(outdeg))`` (the same long→double cast +
+    IEEE divide + floor Catalyst evaluates), summed in int64 (exact,
+    order-free), and the damping step is ``floor(double(d·s) / 1000)``.
+    ``seeds=None`` gives the uniform-teleport host_rank update; a seed
+    set gives the trust_rank update (teleport only on seeds, optional
+    |hosts|//|seeds| scaling computed from the same distinct-host count
+    the DataFrame path uses)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema["src"].dataType.simpleString()
+    seed_set = None if seeds is None else set(seeds)
+
+    def _kern(it):
+        s_idx, d_idx, hosts = _edge_indices(it)
+        if hosts is None:
+            return
+        nv = len(hosts)
+        outdeg = np.bincount(s_idx, minlength=nv).astype(np.int64)
+        base = (1000 - damping_x1000) * 1000
+        if seed_set is None:
+            pr = np.full(nv, RANK_UNIT, dtype=np.int64)
+            teleport = np.full(nv, base, dtype=np.int64)
+        else:
+            is_seed = np.fromiter((h in seed_set for h in hosts),
+                                  dtype=bool, count=nv)
+            scale = (max(1, nv // len(seed_set))
+                     if scaled_teleport else 1)
+            pr = np.where(is_seed, np.int64(RANK_UNIT * scale),
+                          np.int64(0))
+            teleport = np.where(is_seed, np.int64(base * scale),
+                                np.int64(0))
+        od = outdeg[s_idx].astype(np.float64)
+        for _ in range(iters):
+            contrib = np.floor(
+                pr[s_idx].astype(np.float64) / od
+            ).astype(np.int64)
+            acc = np.zeros(nv, dtype=np.int64)
+            np.add.at(acc, d_idx, contrib)  # int64-exact, order-free
+            pr = teleport + np.floor(
+                (damping_x1000 * acc).astype(np.float64) / 1000.0
+            ).astype(np.int64)
+        yield pd.DataFrame({"host": hosts, out_name: pr})
+
+    return e.coalesce(1).mapInPandas(
+        _kern, f"host {id_t}, {out_name} bigint"
+    )
+
+
+def _local_hits(e: DataFrame, iters: int) -> DataFrame:
+    """Single-task replay of the hits_scores quantized update: int64
+    neighbor sums (exact, order-free) + max-renormalization with
+    Spark's ``div`` (integral division — floor for the non-negative
+    values here). Identical output to the DataFrame loop."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema["src"].dataType.simpleString()
+
+    def _kern(it):
+        s_idx, d_idx, hosts = _edge_indices(it)
+        if hosts is None:
+            return
+        nv = len(hosts)
+        hub = np.full(nv, RANK_UNIT, dtype=np.int64)
+        auth = np.zeros(nv, dtype=np.int64)
+        for _ in range(iters):
+            raw = np.zeros(nv, dtype=np.int64)
+            np.add.at(raw, d_idx, hub[s_idx])
+            mx = raw.max()
+            auth = ((raw * RANK_UNIT) // mx if mx > 0
+                    else np.zeros(nv, dtype=np.int64))
+            raw = np.zeros(nv, dtype=np.int64)
+            np.add.at(raw, s_idx, auth[d_idx])
+            mx = raw.max()
+            hub = ((raw * RANK_UNIT) // mx if mx > 0
+                   else np.zeros(nv, dtype=np.int64))
+        yield pd.DataFrame(
+            {"host": hosts, "hub_x1e6": hub, "auth_x1e6": auth}
+        )
+
+    return e.coalesce(1).mapInPandas(
+        _kern, f"host {id_t}, hub_x1e6 bigint, auth_x1e6 bigint"
+    )
+
+
+def _local_communities(e: DataFrame, iters: int) -> DataFrame:
+    """Single-task replay of label_communities' synchronous label
+    propagation: the undirected simple graph is deduplicated in-kernel
+    (np.unique over packed pair codes — same distinct), each round
+    counts neighbor labels + the self vote and picks (count DESC, label
+    ASC) per host. Sorted factorization makes the integer label
+    comparisons equal Spark's string ordering, so output is identical
+    to the DataFrame loop."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema["src"].dataType.simpleString()
+
+    def _kern(it):
+        s_idx, d_idx, hosts = _edge_indices(it)
+        if hosts is None:
+            return
+        nv = len(hosts)
+        mask = s_idx != d_idx
+        a = np.concatenate([s_idx[mask], d_idx[mask]])
+        b = np.concatenate([d_idx[mask], s_idx[mask]])
+        und = np.unique(a * nv + b)  # distinct undirected-as-directed
+        ua, ub = und // nv, und % nv
+        self_h = np.arange(nv, dtype=np.int64)
+        lab = self_h.copy()
+        for _ in range(iters):
+            vh = np.concatenate([ua, self_h])
+            vl = np.concatenate([lab[ub], lab])  # neighbor + self votes
+            keys, cnt = np.unique(vh * nv + vl, return_counts=True)
+            kh, kl = keys // nv, keys % nv
+            order = np.lexsort((kl, -cnt, kh))  # (host, n DESC, label)
+            kh_s = kh[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = kh_s[1:] != kh_s[:-1]
+            nxt = np.empty(nv, dtype=np.int64)
+            nxt[kh_s[first]] = kl[order][first]  # self vote covers all
+            lab = nxt
+        yield pd.DataFrame({"host": hosts, "community": hosts[lab]})
+
+    return e.coalesce(1).mapInPandas(
+        _kern, f"host {id_t}, community {id_t}"
+    )
+
 
 def host_rank(edges: DataFrame, iters: int = 5, damping_x1000: int = 850,
-              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+              src_col: str = "src", dst_col: str = "dst",
+              local_threshold: int = LOCAL_GRAPH_EDGES) -> DataFrame:
     """PageRank over a host multigraph, quantized to integer micro-units.
 
     Update per iteration (all integer ops)::
@@ -54,11 +226,22 @@ def host_rank(edges: DataFrame, iters: int = 5, damping_x1000: int = 850,
     re-reads them). Overflow bound: sum(contrib) ≤ |hosts| · RANK_UNIT,
     so the 850× product stays in int64 up to ~10^13 hosts.
 
+    Small graphs (edge list under ``local_threshold`` rows — the same
+    data-size dispatch as dedup.near_dup_components) skip the iterative
+    loop entirely: the checkpointed edge list runs the identical
+    integer update in ONE task (:func:`_local_rank`), trading
+    ``3·iters`` fixed-latency shuffle stages for one numpy pass.
+    ``local_threshold=0`` forces the scale path.
+
     Returns (host, pr_x1e6) for every host appearing as src or dst.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if local_threshold:
+        e = e.localCheckpoint()  # parallel materialize; cheap count
+        if e.count() <= local_threshold:
+            return _local_rank(e, iters, damping_x1000, "pr_x1e6")
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
@@ -206,7 +389,8 @@ def _census_topk(pairs: DataFrame, k: int) -> DataFrame:
 
 
 def hits_scores(edges: DataFrame, iters: int = 2,
-                src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+                src_col: str = "src", dst_col: str = "dst",
+                local_threshold: int = LOCAL_GRAPH_EDGES) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a host multigraph,
     quantized to integer micro-units — the complementary link signal to
     :func:`host_rank`: PageRank finds globally-endorsed hosts; HITS
@@ -243,6 +427,11 @@ def hits_scores(edges: DataFrame, iters: int = 2,
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
+    # small-graph fast path: identical integer iteration in one task
+    # (same dispatch as host_rank; the edge list is already
+    # checkpointed, so the count is a cheap scan)
+    if local_threshold and e.count() <= local_threshold:
+        return _local_hits(e, iters)
     nodes = e.select(F.col("src").alias("host")).union(
         e.select(F.col("dst").alias("host"))
     ).distinct().localCheckpoint()
@@ -434,7 +623,8 @@ def link_spam_signals(edges: DataFrame,
 def trust_rank(edges: DataFrame, seeds: "list[str]",
                iters: int = 5, damping_x1000: int = 850,
                src_col: str = "src", dst_col: str = "dst",
-               scaled_teleport: bool = False) -> DataFrame:
+               scaled_teleport: bool = False,
+               local_threshold: int = LOCAL_GRAPH_EDGES) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
     with the teleport biased onto a hand-vetted TRUSTED seed set, so
     trust flows only along links out of good hosts and decays with
@@ -480,6 +670,15 @@ def trust_rank(edges: DataFrame, seeds: "list[str]",
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # small-graph fast path (same dispatch as host_rank); the kernel
+    # computes the scaled-teleport factor from the same distinct-host
+    # count the DataFrame path would
+    if local_threshold:
+        e = e.localCheckpoint()
+        if e.count() <= local_threshold:
+            return _local_rank(e, iters, damping_x1000, "trust_x1e6",
+                               seeds=seeds,
+                               scaled_teleport=scaled_teleport)
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
@@ -630,7 +829,9 @@ def reciprocal_link_rate(edges: DataFrame,
 
 def label_communities(edges: DataFrame, iters: int = 4,
                       src_col: str = "src",
-                      dst_col: str = "dst") -> DataFrame:
+                      dst_col: str = "dst",
+                      local_threshold: int = LOCAL_GRAPH_EDGES
+                      ) -> DataFrame:
     """Host communities by SYNCHRONOUS label propagation (Raghavan et
     al. 2007) over the undirected simple host graph: every host starts
     labeled with itself; each iteration every host adopts the most
@@ -664,6 +865,12 @@ def label_communities(edges: DataFrame, iters: int = 4,
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # small-graph fast path (same dispatch as host_rank): the raw edge
+    # list crosses once and the kernel dedups/undirects it in-task
+    if local_threshold:
+        e = e.localCheckpoint()
+        if e.count() <= local_threshold:
+            return _local_communities(e, iters)
     und = (
         e.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")

@@ -579,3 +579,41 @@ def test_domain_rollup_site_view(spark):
     assert v["in_hosts"] == 4
     # a label-poor host rolls up under itself
     assert got["localhost"]["out_edges"] == 1
+
+
+def test_local_fast_path_equals_iterative_path(spark):
+    """The round-6 small-graph dispatch: every iterative graph query
+    must produce IDENTICAL rows whether it takes the single-task numpy
+    replay (default threshold) or the DataFrame loop
+    (local_threshold=0 forces it) — including seeded/scaled trust and
+    the self-loop + parallel-edge corners the kernels dedup in-task."""
+    edges = _graph(n_nodes=29, n_edges=400) + [
+        ("h3", "h3"),            # self loop
+        ("solo", "solo"),        # self-loop-only host
+        ("h1", "h2"), ("h1", "h2"),  # extra parallel edges
+    ]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    seeds = ["h0", "h5", "h11"]
+
+    fast = sorted(map(tuple, G.host_rank(df, iters=4).collect()))
+    slow = sorted(map(tuple, G.host_rank(
+        df, iters=4, local_threshold=0).collect()))
+    assert fast == slow
+
+    fast = sorted(map(tuple, G.hits_scores(df, iters=3).collect()))
+    slow = sorted(map(tuple, G.hits_scores(
+        df, iters=3, local_threshold=0).collect()))
+    assert fast == slow
+
+    for scaled in (False, True):
+        fast = sorted(map(tuple, G.trust_rank(
+            df, seeds, iters=4, scaled_teleport=scaled).collect()))
+        slow = sorted(map(tuple, G.trust_rank(
+            df, seeds, iters=4, scaled_teleport=scaled,
+            local_threshold=0).collect()))
+        assert fast == slow
+
+    fast = sorted(map(tuple, G.label_communities(df, iters=4).collect()))
+    slow = sorted(map(tuple, G.label_communities(
+        df, iters=4, local_threshold=0).collect()))
+    assert fast == slow

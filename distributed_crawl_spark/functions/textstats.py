@@ -865,15 +865,25 @@ def bigram_logprob(docs, vocab_k: int = 50_000, bigram_k: int = 200_000,
 
     toks = docs.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    total = uni.agg(F.sum("c").cast("long").alias("t"))
+    # T = Σ census counts = Σ per-doc token counts: the size() form
+    # costs one cheap projection pass instead of re-running the
+    # explode+census subtree a second time (Catalyst does not reuse it)
+    total = docs.agg(
+        F.sum(F.size(_tokens(F.col(text_col))).cast("long"))
+        .cast("long").alias("t")
+    )
     uvocab = (
         uni.orderBy(F.col("c").desc(), F.col("tok"))
         .limit(vocab_k)
         .select("tok", "c")
     )
+    # the bigram stream is read twice (vocab census + scoring join) and
+    # the interpreted higher-order shingle transform dominates its cost
+    # — persist so it evaluates once per run (lives and dies inside
+    # this plan's execution, guide §5)
     bgs = docs.select(
         id_col, F.explode(shingles(F.col(text_col), 2)).alias("bg")
-    )
+    ).persist()
     bvocab = (
         bgs.groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))

@@ -88,6 +88,14 @@ def md5_int48(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
+# (id, shingle) row count under which the whole posting/pair-count
+# stage runs in ONE task (same data-size dispatch as
+# near_dup_components / graph.LOCAL_GRAPH_EDGES): a few hundred MB of
+# rows in a single pandas task, not a core-count constant. Pass
+# local_threshold=0 to force the distributed posting-list plan.
+LOCAL_POSTING_ROWS = 4_000_000
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (collapsing, like Python str.split())."""
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
@@ -228,7 +236,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
                         max_df: int | None = None,
-                        materializer=None) -> DataFrame:
+                        materializer=None,
+                        local_threshold: int = LOCAL_POSTING_ROWS
+                        ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard similarity ≥ threshold.
 
     Plan: inverted index (doc, shingle) → self-join on shingle →
@@ -269,16 +279,91 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # never round()'ed (round impls differ at representability edges).
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        _shingle_pair_counts(docs, id_col, text_col, n, max_df, materializer)
+        _shingle_pair_counts(docs, id_col, text_col, n, max_df,
+                             materializer, local_threshold)
         .withColumn("jaccard_u", F.floor(jac * 1_000_000).cast("long"))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard_u")
     )
 
 
+def _local_pair_counts(ds: DataFrame, id_col: str,
+                       max_df: int | None) -> DataFrame:
+    """Single-task replay of :func:`_shingle_pair_counts`' posting
+    machinery for small corpora: census → max_df filter → post-filter
+    per-doc counts → i<j pair enumeration → intersection counts, all
+    integer numpy ops on factorized codes (sorted factorization makes
+    code order equal id order, so ``id_a < id_b`` matches the
+    array_sort'd posting lists). Output rows identical to the
+    distributed plan; the float jaccard/containment math stays in
+    Catalyst downstream either way."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = ds.schema[id_col].dataType.simpleString()
+
+    def _kern(it):
+        ids, shs = [], []
+        for pdf in it:
+            ids.append(pdf[id_col])
+            shs.append(pdf["shingle"])
+        if not ids:
+            return
+        id_vals = pd.concat(ids, ignore_index=True)
+        if len(id_vals) == 0:
+            return
+        sh_codes, _ = pd.factorize(
+            pd.concat(shs, ignore_index=True), sort=False)
+        id_codes, uids = pd.factorize(id_vals, sort=True)
+        sh_codes = sh_codes.astype(np.int64)
+        id_codes = id_codes.astype(np.int64)
+        if max_df is not None:
+            df_cnt = np.bincount(sh_codes)
+            keep = df_cnt[sh_codes] <= max_df
+            sh_codes, id_codes = sh_codes[keep], id_codes[keep]
+        nu = len(uids)
+        n_sh = np.bincount(id_codes, minlength=nu).astype(np.int64)
+        # group rows by shingle, ids ascending within each group
+        order = np.lexsort((id_codes, sh_codes))
+        g = sh_codes[order]
+        iv = id_codes[order]
+        starts = np.flatnonzero(
+            np.r_[True, g[1:] != g[:-1]]) if len(g) else np.array([], int)
+        lens = np.diff(np.r_[starts, len(g)])
+        tri = {}  # i<j index templates per posting-list length
+        a_parts, b_parts = [], []
+        for o, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            t = tri.get(ln)
+            if t is None:
+                t = tri[ln] = np.triu_indices(ln, 1)
+            a_parts.append(iv[o + t[0]])
+            b_parts.append(iv[o + t[1]])
+        if not a_parts:
+            return
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        keys, n_inter = np.unique(a * nu + b, return_counts=True)
+        ka, kb = keys // nu, keys % nu
+        yield pd.DataFrame({
+            "id_a": uids[ka], "id_b": uids[kb],
+            "n_inter": n_inter.astype(np.int64),
+            "n_a": n_sh[ka], "n_b": n_sh[kb],
+        })
+
+    return ds.coalesce(1).mapInPandas(
+        _kern,
+        f"id_a {id_t}, id_b {id_t}, n_inter bigint, "
+        f"n_a bigint, n_b bigint",
+    )
+
+
 def _shingle_pair_counts(docs: DataFrame, id_col: str, text_col: str,
                          n: int, max_df: int | None,
-                         materializer) -> DataFrame:
+                         materializer,
+                         local_threshold: int = LOCAL_POSTING_ROWS
+                         ) -> DataFrame:
     """Shared posting-list machinery for the set-overlap family
     (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`):
     (id_a, id_b, n_inter, n_a, n_b) for every unordered pair id_a <
@@ -288,6 +373,13 @@ def _shingle_pair_counts(docs: DataFrame, id_col: str, text_col: str,
     enumeration) live here."""
     materializer = _resolve_materializer(materializer, default="persist")
     ds = doc_shingles(docs, id_col, text_col, n)
+    # small-corpus fast path: the whole census/filter/pair stage in one
+    # task (the materializer is moot there — a single pass reads the
+    # checkpointed shingle rows once)
+    if local_threshold:
+        ds = ds.localCheckpoint()
+        if ds.count() <= local_threshold:
+            return _local_pair_counts(ds, id_col, max_df)
     if max_df is not None:
         # census first (count-only partial agg — safe on the Zipf head),
         # then filter the index via the rare-shingle join; both sides
@@ -337,7 +429,9 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             threshold: float = 0.8,
                             max_df: int | None = None,
-                            materializer=None) -> DataFrame:
+                            materializer=None,
+                            local_threshold: int = LOCAL_POSTING_ROWS
+                            ) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment C(A⊂B) = |S_A ∩ S_B| /
     |S_A| ≥ threshold — the quote/aggregator/boilerplate-wrapper case
     Jaccard structurally misses (a 100-shingle article embedded in a
@@ -360,7 +454,7 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     n_inter / n_contained); a pair of mutual near-dups appears in both
     directions."""
     pairs = _shingle_pair_counts(docs, id_col, text_col, n, max_df,
-                                 materializer)
+                                 materializer, local_threshold)
     directed = pairs.select(
         F.explode(
             F.array(

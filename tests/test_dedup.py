@@ -624,3 +624,37 @@ def test_containment_max_df_filters_universe(spark):
             df, threshold=0.2, max_df=3).collect()
     }
     assert got == _py_containment(docs, threshold=0.2, max_df=3)
+
+
+def test_shingle_pair_counts_fast_path_equals_distributed(spark):
+    """Round-6 small-corpus dispatch: ngram_jaccard_pairs /
+    ngram_containment_pairs must produce IDENTICAL rows whether the
+    posting/pair stage runs as the single-task numpy kernel (default
+    threshold) or the distributed posting-list plan
+    (local_threshold=0), with and without the max_df cap, including
+    string ids (code order must equal UTF-8 order for id_a < id_b)."""
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 7}"
+        rows.append((f"d{i:03d}", " ".join(words)))
+        if i < 6:  # clones: their rare shingles get df=2 so pairs
+            rows.append((f"d{i:03d}x", " ".join(words)))  # survive max_df
+    rows.append(("d900", ""))            # empty doc
+    rows.append(("d901", "one two"))     # too short for 3-grams
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    for max_df in (None, 5):
+        fast = sorted(map(tuple, DD.ngram_jaccard_pairs(
+            df, threshold=0.1, max_df=max_df).collect()))
+        slow = sorted(map(tuple, DD.ngram_jaccard_pairs(
+            df, threshold=0.1, max_df=max_df,
+            local_threshold=0).collect()))
+        assert fast == slow and fast
+        cf = sorted(map(tuple, DD.ngram_containment_pairs(
+            df, threshold=0.3, max_df=max_df).collect()))
+        cs = sorted(map(tuple, DD.ngram_containment_pairs(
+            df, threshold=0.3, max_df=max_df,
+            local_threshold=0).collect()))
+        assert cf == cs and cf

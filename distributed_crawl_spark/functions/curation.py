@@ -773,10 +773,107 @@ def _winnow_anchor_rows(docs: DataFrame, k: int, s: int, id_col: str,
     ).mapInPandas(_anchors, f"__doc {id_t}, __pos int, __dig string")
 
 
+# Anchor-row count under which the census/extend/merge tail of
+# substring_spans runs in ONE task (the near_dup_components /
+# LOCAL_GRAPH_EDGES data-size dispatch — anchor rows bound the
+# occurrence table, the pair count and the involved-doc set). Pass
+# local_threshold=0 to force the distributed plan.
+LOCAL_ANCHOR_ROWS = 2_000_000
+
+
+def _local_substring_tail(u: DataFrame, w: int, k: int, min_docs: int,
+                          max_df: int | None, id_col: str,
+                          id_t: str) -> DataFrame:
+    """Single-task replay of substring_spans' census → pair →
+    extend → merge tail. Input ``u`` unions the winnowed anchor rows
+    (__doc, __pos, __dig, __txt=null) with the involved docs' text rows
+    (__dig=null). The kernel replicates the DataFrame stages exactly:
+    distinct-doc census with the optional occurrence cap, cross-doc
+    (doc_a < doc_b) occurrence pairing per digest, token-by-token
+    maximal extension on :func:`~..dedup.java_ws_tokens` streams
+    (tokens()' bit-identical twin — same comparisons the array HOFs
+    evaluate, but short-circuiting), span distinct, and the
+    running-max islands merge. All integer ops — output rows identical
+    to the distributed plan."""
+    import pandas as pd
+
+    from .dedup import java_ws_tokens
+
+    def _kern(it):
+        occ: dict = {}
+        texts: dict = {}
+        for pdf in it:
+            for doc, pos, dig, txt in zip(
+                pdf["__doc"], pdf["__pos"], pdf["__dig"], pdf["__txt"]
+            ):
+                if dig is None or (isinstance(dig, float) and pd.isna(dig)):
+                    texts[doc] = txt
+                else:
+                    occ.setdefault(dig, []).append((doc, int(pos)))
+        if not occ:
+            return
+        toks: dict = {}
+
+        def _t(doc):
+            t = toks.get(doc)
+            if t is None:
+                t = toks[doc] = java_ws_tokens(texts[doc])
+            return t
+
+        spans: set = set()
+        for lst in occ.values():
+            if len({d for d, _ in lst}) < min_docs:
+                continue
+            if max_df is not None and len(lst) > max_df:
+                continue
+            for da, pa in lst:
+                ta = _t(da)
+                for db, pb in lst:
+                    if not da < db:
+                        continue
+                    tb = _t(db)
+                    max_l = min(pa, pb)
+                    left = 0
+                    while (left < max_l
+                           and ta[pa - left - 1] == tb[pb - left - 1]):
+                        left += 1
+                    max_r = min(len(ta) - pa - k, len(tb) - pb - k)
+                    right = 0
+                    while (right < max_r
+                           and ta[pa + k + right] == tb[pb + k + right]):
+                        right += 1
+                    ln = k + left + right
+                    if ln >= w:
+                        spans.add((da, pa - left, pa - left + ln))
+                        spans.add((db, pb - left, pb - left + ln))
+        if not spans:
+            return
+        by_doc: dict = {}
+        for d, b, e in spans:
+            by_doc.setdefault(d, []).append((b, e))
+        od, ob, ol = [], [], []
+        for d, lst in by_doc.items():
+            lst.sort()
+            cb, ce = lst[0]
+            for b, e in lst[1:]:
+                if b <= ce:           # overlap or touch: same island
+                    ce = max(ce, e)
+                else:
+                    od.append(d), ob.append(cb), ol.append(ce - cb)
+                    cb, ce = b, e
+            od.append(d), ob.append(cb), ol.append(ce - cb)
+        yield pd.DataFrame({id_col: od, "begin": ob, "length": ol})
+
+    return u.coalesce(1).mapInPandas(
+        _kern, f"{id_col} {id_t}, begin int, length int"
+    )
+
+
 def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
                     min_docs: int = 2, id_col: str = "doc_id",
                     text_col: str = "text",
-                    max_df: int | None = None) -> DataFrame:
+                    max_df: int | None = None,
+                    local_threshold: int = LOCAL_ANCHOR_ROWS) -> DataFrame:
     """Arbitrary-offset exact-substring duplicate detection (the
     Lee et al. 2022 / RefinedWeb repeated-span pass): find every token
     range that is part of a span of ``>= w`` tokens repeated verbatim
@@ -832,6 +929,37 @@ def substring_spans(docs: DataFrame, w: int = 50, s: int = 16,
     # The JVM winnow_anchors/gram_digests forms remain the documented
     # reference (and the pytest oracle pins both to the same spans).
     anchors = _winnow_anchor_rows(docs, k, s, id_col, text_col)
+    # small-anchor-stream fast path (same dispatch as the graph/pair
+    # families): checkpoint the slim anchor rows (one kernel pass —
+    # the distributed plan below would run the kernel twice, census +
+    # occurrence join), then run the whole census/extend/merge tail in
+    # one task over the anchors plus the involved docs' text (fetched
+    # with one slim semi-joined corpus scan)
+    if local_threshold:
+        anchors = anchors.localCheckpoint()
+        if anchors.count() <= local_threshold:
+            involved = anchors.select("__doc").distinct()
+            dtx = (
+                docs.select(
+                    F.col(id_col).alias("__doc"),
+                    F.col(text_col).alias("__txt"),
+                )
+                .join(involved, "__doc", "left_semi")
+            )
+            u = anchors.withColumn(
+                "__txt", F.lit(None).cast("string")
+            ).unionByName(
+                dtx.select(
+                    "__doc",
+                    F.lit(None).cast("int").alias("__pos"),
+                    F.lit(None).cast("string").alias("__dig"),
+                    "__txt",
+                )
+            )
+            id_t = docs.schema[id_col].dataType.simpleString()
+            return _local_substring_tail(
+                u, w, k, min_docs, max_df, id_col, id_t
+            )
     census = anchors.groupBy("__dig").agg(
         F.countDistinct("__doc").alias("__n_docs"),
         F.count(F.lit(1)).alias("__n_occ"),

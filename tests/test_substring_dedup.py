@@ -146,3 +146,36 @@ def test_substring_scrub_roundtrip(spark):
     assert got[1] == ("a1 a2 a3", 11)
     assert got[2] == ("", 11)
     assert got[3] == ("keep these words intact", 0)
+
+
+def test_fast_path_equals_distributed(spark):
+    """Round-6 small-anchor-stream dispatch: the single-task
+    census/extend/merge tail must equal the distributed plan
+    (local_threshold=0 forces it) on the adversarial fuzz corpus,
+    with and without max_df."""
+    rng = random.Random(11)
+    vocab = [f"t{j}" for j in range(9)]
+    passage = " ".join(f"p{j}" for j in range(12))
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60)))
+        for d in range(40)
+    }
+    for d in (3, 11, 19):  # plant a shared passage at varying offsets
+        docs[d] = " ".join(docs[d].split()[: d % 5] + [passage]
+                           + docs[d].split()[d % 5:])
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    for max_df in (None, 6):
+        fast = sorted(
+            map(tuple, CU.substring_spans(
+                df, w=8, s=4, max_df=max_df).collect())
+        )
+        slow = sorted(
+            map(tuple, CU.substring_spans(
+                df, w=8, s=4, max_df=max_df,
+                local_threshold=0).collect())
+        )
+        assert fast == slow, max_df
+        if max_df is None:
+            assert fast  # the uncapped corpus does produce spans

@@ -307,3 +307,38 @@ def test_topk_terms_matches_python(spark):
     # doc-0-only terms over 'joins' (also in docs 2 and 6)
     top0 = {r[1] for r in got if r[0] == 0}
     assert "joins" not in top0
+
+
+def test_text_index_bucket_count_layout_invariant(spark, tmp_path):
+    """Round-6 scale-adaptive bucket count: search results (BM25 and
+    positional phrase) must be byte-identical whatever n_buckets the
+    index was written with — adaptive, a non-power-of-two, or the old
+    64 — and increments must follow the manifest's bucket count."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    terms = ["spark", "vector", "stream"]
+    results = []
+    for tag, nb in (("auto", None), ("nb3", 3), ("nb64", 64)):
+        path = str(tmp_path / f"tix_{tag}")
+        m = S.write_text_index(docs, path, positions=True, n_buckets=nb)
+        if nb is not None:
+            assert m["n_buckets"] == nb
+        idx = S.read_text_index(spark, path)
+        assert idx.params["n_buckets"] == m["n_buckets"]
+        results.append((
+            sorted(map(tuple, S.text_index_topk(idx, terms, k=10).collect())),
+            sorted(map(tuple, S.text_index_phrase(idx, "b c", k=10).collect())),
+        ))
+    assert results[0] == results[1] == results[2]
+    # increment into the non-power-of-two layout follows its manifest
+    path = str(tmp_path / "tix_nb3")
+    extra = spark.createDataFrame([(900, "spark stream b c")],
+                                  ["doc_id", "text"])
+    S.add_to_text_index(spark, path, extra)
+    full = str(tmp_path / "tix_union")
+    S.write_text_index(
+        docs.unionByName(extra), full, positions=True, n_buckets=3)
+    got = sorted(map(tuple, S.text_index_topk(
+        S.read_text_index(spark, path), terms, k=10).collect()))
+    want = sorted(map(tuple, S.text_index_topk(
+        S.read_text_index(spark, full), terms, k=10).collect()))
+    assert got == want

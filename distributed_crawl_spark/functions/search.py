@@ -544,9 +544,24 @@ def write_text_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     return manifest
 
 
+def _read_manifest_json(spark: SparkSession, manifest_dir: str) -> dict:
+    """Read the 1-row manifest directly off the local FS — the read
+    twin of :func:`_write_manifest_json` (a whole Spark job per 1-row
+    manifest was measurable probe overhead); falls back to
+    ``spark.read.json`` for non-local paths."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(manifest_dir, "part-*.json")))
+    if files:
+        with open(files[0]) as f:
+            return _json.loads(_json.loads(f.readline())["manifest"])
+    row = spark.read.json(manifest_dir).collect()[0]
+    return _json.loads(row.manifest)
+
+
 def read_text_index(spark: SparkSession, path: str) -> TextIndex:
-    row = spark.read.json(f"{path}/manifest").collect()[0]
-    params = _json.loads(row.manifest)
+    params = _read_manifest_json(spark, f"{path}/manifest")
     if params.get("format") != TEXT_INDEX_FORMAT:
         raise ValueError(
             f"unsupported text index format {params.get('format')!r}"
@@ -641,12 +656,19 @@ def text_index_topk(index: TextIndex, terms: Sequence[str],
     uniq = list(dict.fromkeys(terms))
     qterms = spark.createDataFrame([(t,) for t in uniq], "term string")
     nb = int(index.params.get("n_buckets", 64))
-    buckets = sorted(
-        {r.b for r in qterms.select(_bucket(F.col("term"), nb).alias("b"))
-         .collect()}
-    )
+    # a small (adaptively-bucketed) index is bounded by construction —
+    # the bucket-id collect job costs more than the pruning saves; big
+    # indexes keep the <= |terms|-of-n_buckets pruned scan
+    pruned = index.postings
+    if nb > 8:
+        buckets = sorted(
+            {r.b for r in
+             qterms.select(_bucket(F.col("term"), nb).alias("b"))
+             .collect()}
+        )
+        pruned = pruned.where(F.col("term_bucket").isin(buckets))
     scored = (
-        index.postings.where(F.col("term_bucket").isin(buckets))
+        pruned
         .join(F.broadcast(qterms), "term")
         .join(F.broadcast(index.idf.join(F.broadcast(qterms), "term")),
               "term")
@@ -693,12 +715,16 @@ def text_index_phrase(index: TextIndex, phrase, k: int = 20) -> DataFrame:
     uniq = list(dict.fromkeys(terms))
     qterms = spark.createDataFrame([(t,) for t in uniq], "term string")
     nb = int(index.params.get("n_buckets", 64))
-    buckets = sorted(
-        {r.b for r in qterms.select(_bucket(F.col("term"), nb).alias("b"))
-         .collect()}
-    )
+    pruned = index.postings
+    if nb > 8:  # same small-index dispatch as text_index_topk
+        buckets = sorted(
+            {r.b for r in
+             qterms.select(_bucket(F.col("term"), nb).alias("b"))
+             .collect()}
+        )
+        pruned = pruned.where(F.col("term_bucket").isin(buckets))
     post = (
-        index.postings.where(F.col("term_bucket").isin(buckets))
+        pruned
         .join(F.broadcast(qterms), "term")
     )
     # Round 6: coverage is PER-DOC LOCAL once the pruned postings are

@@ -205,8 +205,9 @@ def write_vector_index(vectors: DataFrame, path: str, n_cells: int = 32,
 
 
 def read_vector_index(spark: SparkSession, path: str) -> VectorIndex:
-    row = spark.read.json(f"{path}/manifest").collect()[0]
-    params = json.loads(row.manifest)
+    from .search import _read_manifest_json
+
+    params = _read_manifest_json(spark, f"{path}/manifest")
     if params.get("format") != INDEX_FORMAT:
         raise ValueError(
             f"unsupported vector index format {params.get('format')!r}"

@@ -617,7 +617,13 @@ def unigram_logprob(docs, vocab_k: int = 50_000, scale: int = 1_000_000,
     """
     toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
     census = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = census.agg(F.sum("c").cast("double").alias("t"))
+    # T = Σ census counts = Σ per-doc token counts: one cheap size()
+    # projection instead of re-running the explode+census subtree
+    # (same rewrite as bigram_logprob; value identical by construction)
+    total = docs.agg(
+        F.sum(F.size(tokens(F.col(text_col))).cast("long"))
+        .cast("double").alias("t")
+    )
     vocab = (
         census.orderBy(F.col("c").desc(), F.col("tok"))
         .limit(vocab_k)

@@ -33,6 +33,8 @@ Common-Crawl-scale corpora).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,8 +80,25 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+@_lru_cache(maxsize=256)
+def _dot_cols(a_name: str, b_name: str) -> Column:
+    """`dot` over two NAMED columns, memoized: building the
+    higher-order expression costs ~60 py4j round-trips, and the ivf
+    family re-builds the same (qv, cv)-style trees on every plan
+    construction. Column expression trees are immutable and resolve by
+    name at analysis, so one cached instance serves every plan in the
+    process."""
+    return dot(F.col(a_name), F.col(b_name))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+@_lru_cache(maxsize=256)
+def _norm_col(name: str) -> Column:
+    """Memoized :func:`norm` over a NAMED column (see _dot_cols)."""
+    return norm(F.col(name))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -101,15 +120,15 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", _norm_col("qv"))
     c = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", _norm_col("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         # norms hoisted to each side — one dot per scored pair, and
         # dot/(qn*cn) is bit-identical to cosine(qv, cv)
-        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", _dot_cols("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -255,7 +274,7 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         # to the tagged rows so each pair pays ONE dot product
         .withColumn(
             "cos",
-            dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n")),
+            _dot_cols("qv", "cv") / (F.col("qv_n") * F.col("cv_n")),
         )
     )
     if n_tables > 1:  # same pair from several tables → score once
@@ -376,16 +395,16 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1,
     """
     v = vectors.select(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec)
-    ).withColumn("_vn", norm(F.col(out_vec)))
+    ).withColumn("_vn", _norm_col(out_vec))
     # hoisted norms: one norm per vector row and one per centroid row
     # instead of per (vector, centroid) pair; dot/(_vn*_cn) is
     # bit-identical to cosine(v, centroid)
     cent = centroids.select(
-        "cell_id", "centroid", norm(F.col("centroid")).alias("_cn")
+        "cell_id", "centroid", _norm_col("centroid").alias("_cn")
     )
     scored = v.crossJoin(F.broadcast(cent)).withColumn(
         "ccos",
-        dot(F.col(out_vec), F.col("centroid"))
+        _dot_cols(out_vec, "centroid")
         / (F.col("_vn") * F.col("_cn")),
     )
     if nprobe == 1:
@@ -438,10 +457,10 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     )
     c = ivf_assign(vectors, cent, nprobe=1, id_col=id_col, vec_col=vec_col,
                    out_id="vec_id", out_vec="cv").withColumn(
-        "_cn", norm(F.col("cv")))
+        "_cn", _norm_col("cv"))
     q = ivf_assign(queries, cent, nprobe=nprobe, id_col=id_col,
                    vec_col=vec_col, out_id="query_id", out_vec="qv"
-                   ).withColumn("_qn", norm(F.col("qv")))
+                   ).withColumn("_qn", _norm_col("qv"))
     scored = (
         c.join(F.broadcast(q), ["cell_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -449,7 +468,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         # dot/(_qn*_cn) is bit-identical to cosine(qv, cv)
         .withColumn(
             "cos",
-            dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")),
+            _dot_cols("qv", "cv") / (F.col("_qn") * F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -473,14 +492,14 @@ def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.4,
     """
     a = vectors.select(
         F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
-    ).withColumn("_na", norm(F.col("va")))
+    ).withColumn("_na", _norm_col("va"))
     b = vectors.select(
         F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
-    ).withColumn("_nb", norm(F.col("vb")))
+    ).withColumn("_nb", _norm_col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         # hoisted norms — one dot per pair; bit-identical to cosine(va, vb)
-        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+        .withColumn("cos", _dot_cols("va", "vb")
                     / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.floor(F.col("cos") * scale).cast("long").alias("cos_m"))
@@ -517,7 +536,7 @@ def embedding_near_dup_pairs_lsh(vectors: DataFrame, threshold: float = 0.4,
         # hoisted norms: one dot per candidate pair (see _bucket_tagged)
         .withColumn(
             "cos",
-            dot(F.col("va"), F.col("vb")) / (F.col("va_n") * F.col("vb_n")),
+            _dot_cols("va", "vb") / (F.col("va_n") * F.col("vb_n")),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -573,7 +592,7 @@ def semdedup(vectors: DataFrame, n_cells: int = 32, threshold: float = 0.4,
         # the norm rides the persisted assignment — computed once per
         # vector at materialization, never per within-cell pair
         ivf_assign(vectors, cents, nprobe=1, id_col=id_col,
-                   vec_col=vec_col).withColumn("_n", norm(F.col("v"))),
+                   vec_col=vec_col).withColumn("_n", _norm_col("v")),
         "semdedup_assigned",
     )
     a = assigned.select(
@@ -588,7 +607,7 @@ def semdedup(vectors: DataFrame, n_cells: int = 32, threshold: float = 0.4,
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
         # hoisted norms — one dot per pair; bit-identical to cosine(va, vb)
-        .withColumn("cos", dot(F.col("va"), F.col("vb"))
+        .withColumn("cos", _dot_cols("va", "vb")
                     / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
